@@ -1,0 +1,77 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end via the no-op sink (full plan, no driver
+collect). Times include Catalyst planning — that is the honest number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+from stock_market_big_data_project_spark.session import get_spark
+
+# Headline set: one per operator family; extend as coverage widens.
+HEADLINE = [
+    "flagship_market_overview",
+    "hourly_pivot_last",
+    "resample_ffill_hourly",
+    "asof_purchases_last_click",
+    "returns_lag_lead",
+    "lag_features_24",
+    "impute_group_mean",
+    "temporal_split_80_20",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    load_all_plans()
+    spark = get_spark("bench")
+
+    # Warm up the JVM (codegen, shuffle machinery, parquet reader) so the
+    # timings measure the queries, not the first-task compilation cost.
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").groupBy("event_type").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

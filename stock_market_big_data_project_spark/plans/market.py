@@ -1,0 +1,640 @@
+"""Market-pipeline queries on the ``events`` stream table.
+
+``events(event_id, ts, user_id, event_type, value, props)`` plays the quote
+stream (FIXTURES.md Part B): ``user_id`` is the symbol key, ``value`` the
+price, ``event_type`` the indicator name for long-format paths. Each query
+re-expresses one slice of the reference's integrate/analysis/dashboard
+dataflow (file:line cited per query) as a lazy Catalyst plan.
+
+Shared constants: CUTOFF mirrors the reference's history-window predicate
+(integrate/main.py:60-67) and filters real rows at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.cleaning import (
+    dedup_exact,
+    filter_cutoff,
+    hour_floor,
+    normalize_timestamp,
+)
+from ..operators.timegrid import asof_join, pivot_last, resample_ffill
+from ..operators.windows import (
+    lag_features,
+    latest_per_key,
+    lead_col,
+    pct_change,
+    temporal_split_flag,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+CUTOFF = "2024-01-05 00:00:00"
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --------------------------------------------------------------------------
+# Flagship: the dashboard's "last price + 1h change" question end-to-end
+# (dashboard/app.py:73-86) — scan → dedup (OP-13) → cutoff (OP-15) →
+# hour-floor last-value (OP-12/27/32) → 1h return via lag (OP-38) →
+# latest-row-per-key (OP-32/41). Pure Catalyst, one shuffle per stage key.
+# --------------------------------------------------------------------------
+@register(
+    "flagship_market_overview",
+    oracle=f"""
+    WITH clean AS (
+      SELECT DISTINCT * FROM events
+      WHERE ts >= TIMESTAMP '{CUTOFF}'
+    ), hourly AS (
+      SELECT user_id AS symbol,
+             date_trunc('hour', ts) AS hour_ts,
+             last(value ORDER BY ts, event_id) AS price
+      FROM clean GROUP BY 1, 2
+    ), ret AS (
+      SELECT symbol, hour_ts, price,
+             lag(price) OVER (PARTITION BY symbol ORDER BY hour_ts) AS prev_price,
+             row_number() OVER (PARTITION BY symbol ORDER BY hour_ts DESC) AS rn
+      FROM hourly
+    )
+    SELECT symbol, hour_ts AS last_ts, price AS last_price, prev_price,
+           (price - prev_price) / prev_price AS ret_1h
+    FROM ret WHERE rn = 1
+    """,
+)
+def flagship_market_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = filter_cutoff(dedup_exact(_events(spark, sf_dir)), "ts", CUTOFF)
+    hourly = (
+        ev.withColumn("hour_ts", hour_floor("ts"))
+        .groupBy(F.col("user_id").alias("symbol"), "hour_ts")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("price"))
+    )
+    w = Window.partitionBy("symbol").orderBy("hour_ts")
+    ret = hourly.withColumn("prev_price", F.lag("price").over(w)).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("symbol").orderBy(F.desc("hour_ts")))
+    )
+    return ret.filter(F.col("rn") == 1).select(
+        "symbol",
+        F.col("hour_ts").alias("last_ts"),
+        F.col("price").alias("last_price"),
+        "prev_price",
+        F.try_divide(F.col("price") - F.col("prev_price"), F.col("prev_price")).alias(
+            "ret_1h"
+        ),
+    )
+
+
+# --- OP-11: to_datetime(errors='coerce') — invalid strings → NULL ----------
+@register(
+    "ts_normalize_coerce",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(CASE WHEN event_type = 'error' THEN 'not-a-timestamp'
+                         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
+                    AS TIMESTAMP) AS parsed_ts
+    FROM events
+    """,
+)
+def ts_normalize_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """preprocess_function/main.py:13 — coerce semantics via try_to_timestamp."""
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_str",
+        F.when(F.col("event_type") == "error", F.lit("not-a-timestamp")).otherwise(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ),
+    )
+    return normalize_timestamp(ev, "ts_str", out="parsed_ts").select("event_id", "parsed_ts")
+
+
+# --- OP-13: exact dedup on a projection that actually has duplicates -------
+@register(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day_ts
+    FROM events
+    """,
+)
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """preprocess_function/main.py:14 — hash-aggregate dedup, map-side combine."""
+    proj = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.date_trunc("day", "ts").alias("day_ts")
+    )
+    return dedup_exact(proj)
+
+
+# --- OP-14: dropna(how='any') ----------------------------------------------
+@register(
+    "dropna_any",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n,
+             NULLIF(props, '{"k": 0}') AS props_n
+      FROM events
+    )
+    SELECT event_id, value_n, props_n FROM t
+    WHERE value_n IS NOT NULL AND props_n IS NOT NULL
+    """,
+)
+def dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """preprocess_function/main.py:15 — any-null row drop (na.drop('any'))."""
+    t = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+        F.nullif(F.col("props"), F.lit('{"k": 0}')).alias("props_n"),
+    )
+    return t.na.drop("any")
+
+
+# --- OP-15: cutoff predicate (pushed to the parquet scan) -------------------
+@register(
+    "cutoff_filter",
+    oracle=f"""
+    SELECT event_id, ts, user_id AS symbol, value
+    FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'
+    """,
+)
+def cutoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:60-67 — Catalyst pushes this into the scan
+    (PushedFilters); on date-partitioned storage it is partition pruning."""
+    ev = filter_cutoff(_events(spark, sf_dir), "ts", CUTOFF)
+    return ev.select("event_id", "ts", F.col("user_id").alias("symbol"), "value")
+
+
+# --- OP-16 + OP-17: symbol equi-filter + not-null ---------------------------
+@register(
+    "symbol_filter",
+    oracle="""
+    SELECT event_id, ts, value FROM events
+    WHERE user_id = 7 AND value IS NOT NULL
+    """,
+)
+def symbol_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:97 + :110-111 — set-based, no per-symbol loop."""
+    ev = _events(spark, sf_dir)
+    return ev.filter((F.col("user_id") == 7) & F.col("value").isNotNull()).select(
+        "event_id", "ts", "value"
+    )
+
+
+# --- OP-12 + OP-27: hour-floor + pivot with positional-last agg -------------
+@register(
+    "hourly_pivot_last",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'click') AS click,
+           last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'error') AS error,
+           last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'purchase') AS purchase,
+           last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'signup') AS signup,
+           last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def hourly_pivot_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:70-71 — FRED long→wide, aggfunc='last' as
+    max_by(value ORDER BY ts, event_id): deterministic under shuffle, unlike
+    Spark's order-sensitive last(). Explicit pivot values skip the extra
+    distinct job."""
+    ev = _events(spark, sf_dir).withColumn("hour_ts", hour_floor("ts"))
+    return pivot_last(
+        ev.select("hour_ts", "event_type", "value", "ts", "event_id"),
+        ts_col="hour_ts",
+        key_col="event_type",
+        val_col="value",
+        keys=EVENT_TYPES,
+        order_col="struct(ts, event_id)",
+    )
+
+
+# --- OP-28: resample('1H').ffill() ------------------------------------------
+@register(
+    "resample_ffill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS tmin,
+             date_trunc('hour', max(ts)) AS tmax
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS ts,
+             last(value ORDER BY ts, event_id) AS value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id AS symbol, g.ts AS hour_ts,
+           LAST_VALUE(h.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+    FROM grid g LEFT JOIN hourly h USING (user_id, ts)
+    """,
+)
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:72 — densify to an hourly grid then carry the last
+    observation forward. sequence+explode builds the grid distributed; the
+    unbounded-preceding window is correct across shuffle partitions (the
+    partition-boundary hazard SURVEY.md §7 flags). DuckDB checks it with
+    LAST_VALUE IGNORE NULLS."""
+    ev = _events(spark, sf_dir)
+    out = resample_ffill(ev, key_col="user_id", ts_col="ts", val_cols=["value"],
+                         order_col="struct(ts, event_id)")
+    return out.select(
+        F.col("user_id").alias("symbol"),
+        F.col("ts").alias("hour_ts"),
+        F.col("value").alias("price"),
+    )
+
+
+# --- OP-26: as-of join (checked against DuckDB's native ASOF JOIN) ----------
+@register(
+    "asof_purchases_last_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, value AS click_value FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id AS symbol, p.ts, p.purchase_value,
+           c.ts AS last_click_ts, c.click_value AS last_click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchases_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:71-72,105-107 — the FRED 'valid-forward' alignment
+    is an as-of join. Spark lacks a native one; decomposed as tagged union +
+    carry-forward window (one shuffle on the key, no range explosion).
+    DuckDB's native ASOF JOIN is the differential oracle."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases, clicks, key_col="user_id", ts_col="ts",
+        val_cols=["click_value"], right_ts_alias="last_click_ts",
+    )
+    return joined.select(
+        "event_id",
+        F.col("user_id").alias("symbol"),
+        "ts",
+        "purchase_value",
+        "last_click_ts",
+        F.col("click_value").alias("last_click_value"),
+    )
+
+
+# --- OP-29: per-(key, day) group-mean imputation -----------------------------
+@register(
+    "impute_group_mean",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, date_trunc('day', ts) AS day_ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n
+      FROM events
+    )
+    SELECT event_id, user_id AS symbol, ts,
+           round(COALESCE(value_n,
+                          avg(value_n) OVER (PARTITION BY user_id, day_ts)), 6)
+             AS value_imputed
+    FROM t
+    """,
+)
+def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:114-117 — fillna(group mean) per (symbol, date):
+    coalesce + windowed avg, no per-group loop. Rounded to 6dp on both sides
+    because a windowed mean's accumulation order is engine-specific."""
+    t = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+    w = Window.partitionBy("user_id", "day_ts")
+    return t.select(
+        "event_id",
+        F.col("user_id").alias("symbol"),
+        "ts",
+        F.round(F.coalesce(F.col("value_n"), F.avg("value_n").over(w)), 6).alias(
+            "value_imputed"
+        ),
+    )
+
+
+# --- OP-38/OP-39: pct_change + next-period label -----------------------------
+@register(
+    "returns_lag_lead",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value) OVER w AS prev_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id AS symbol, ts,
+           (value - prev_value) / prev_value AS ret_1h,
+           lead((value - prev_value) / prev_value)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret_1h_next
+    FROM r
+    """,
+)
+def returns_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:119-121 — pct_change + shift(-1) as lag/lead windows
+    keyed by symbol; (ts, event_id) ordering makes ties deterministic."""
+    ev = _events(spark, sf_dir)
+    ret = pct_change(ev, "user_id", "ts", "value", out="ret_1h", tiebreak="event_id")
+    ret = lead_col(ret, "user_id", "ts", "ret_1h", out="ret_1h_next", tiebreak="event_id")
+    return ret.select(
+        "event_id", F.col("user_id").alias("symbol"), "ts", "ret_1h", "ret_1h_next"
+    )
+
+
+# --- OP-40: 24-column lag-feature fan-out ------------------------------------
+_LAG_COLS = ",\n           ".join(
+    f"lag(value, {k}) OVER w AS value_lag{k}" for k in range(1, 25)
+)
+
+
+@register(
+    "lag_features_24",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id, user_id, ts, value,
+             {_LAG_COLS}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id AS symbol, value,
+           value_lag1, value_lag6, value_lag12, value_lag24
+    FROM t WHERE value_lag24 IS NOT NULL
+    """,
+)
+def lag_features_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analysis_part/main.py:83-85 — 24 lag features from ONE window spec:
+    single shuffle + single per-key sort regardless of feature count; warm-up
+    rows dropped like the reference's dropna()."""
+    ev = _events(spark, sf_dir)
+    feats = lag_features(ev, "user_id", "ts", "value", n_lags=24, tiebreak="event_id")
+    return feats.select(
+        "event_id",
+        F.col("user_id").alias("symbol"),
+        "value",
+        "value_lag1",
+        "value_lag6",
+        "value_lag12",
+        "value_lag24",
+    )
+
+
+# --- OP-32/OP-41: latest full row per key ------------------------------------
+@register(
+    "latest_per_key",
+    oracle="""
+    SELECT user_id AS symbol,
+           max(ts) AS ts,
+           last(event_id ORDER BY ts, event_id) AS event_id,
+           last(event_type ORDER BY ts, event_id) AS event_type,
+           last(value ORDER BY ts, event_id) AS value
+    FROM events GROUP BY user_id
+    """,
+)
+def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard/app.py:173-174 — argmax-per-group via max_by: hash aggregate
+    with map-side combine (no full sort, unlike row_number)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    out = latest_per_key(ev, key_col="user_id", ts_col="ts", tiebreak="event_id")
+    return out.select(
+        F.col("user_id").alias("symbol"), "ts", "event_id", "event_type", "value"
+    )
+
+
+# --- OP-42: prev-day lookup with fallback ------------------------------------
+@register(
+    "prev_day_lookup",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, ts, event_id, value, date_trunc('day', ts) AS d,
+             max(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS max_d
+      FROM events
+    ), agg AS (
+      SELECT user_id,
+             last(value ORDER BY ts, event_id)
+               FILTER (WHERE d = max_d - INTERVAL 1 DAY) AS prev_day_value,
+             last(value ORDER BY ts, event_id) AS last_value
+      FROM keyed GROUP BY user_id
+    )
+    SELECT user_id AS symbol,
+           COALESCE(prev_day_value, last_value) AS prev_day_value
+    FROM agg
+    """,
+)
+def prev_day_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard/app.py:17-30 — value on (max date - 1 day), falling back to
+    the overall latest value; one aggregate pass, coalesce fallback."""
+    keyed = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value", F.date_trunc("day", "ts").alias("d")
+    ).withColumn("max_d", F.max("d").over(Window.partitionBy("user_id")))
+    order = F.struct("ts", "event_id")
+    agg = keyed.groupBy("user_id").agg(
+        F.max_by(
+            F.when(F.col("d") == F.col("max_d") - F.expr("INTERVAL 1 DAY"), F.col("value")),
+            F.when(F.col("d") == F.col("max_d") - F.expr("INTERVAL 1 DAY"), order),
+        ).alias("prev_day_value"),
+        F.max_by("value", order).alias("last_value"),
+    )
+    return agg.select(
+        F.col("user_id").alias("symbol"),
+        F.coalesce("prev_day_value", "last_value").alias("prev_day_value"),
+    )
+
+
+# --- OP-44: 80/20 positional temporal split ----------------------------------
+@register(
+    "temporal_split_80_20",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id AS symbol, (rn <= CAST(floor(n * 0.8) AS INT)) AS is_train,
+           count(*) AS n_rows
+    FROM t GROUP BY 1, 2
+    """,
+)
+def temporal_split_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analysis_part/main.py:91-93 — first 80% of time-sorted rows per key
+    are train; returned as per-key split counts."""
+    ev = _events(spark, sf_dir)
+    flagged = temporal_split_flag(ev, "user_id", "ts", frac=0.8, tiebreak="event_id")
+    return flagged.groupBy(F.col("user_id").alias("symbol"), "is_train").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+# --- OP-33/OP-34: volatility (stddev) + min/max ------------------------------
+@register(
+    "volatility_flag",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, (value - lag(value) OVER w) / lag(value) OVER w AS ret
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id AS symbol,
+           round(stddev_samp(ret), 6) AS volatility,
+           CASE WHEN stddev_samp(ret) < 2.0 THEN 'stable' ELSE 'unstable' END
+             AS stability,
+           round(min(ret), 6) AS min_ret,
+           round(max(ret), 6) AS max_ret
+    FROM r GROUP BY user_id
+    """,
+)
+def volatility_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard/app.py:342-343 + :163 — per-symbol return stddev with a
+    stability flag (threshold rescaled to this domain), plus min/max."""
+    ev = _events(spark, sf_dir)
+    r = pct_change(ev, "user_id", "ts", "value", out="ret", tiebreak="event_id")
+    return r.groupBy(F.col("user_id").alias("symbol")).agg(
+        F.round(F.stddev_samp("ret"), 6).alias("volatility"),
+        F.when(F.stddev_samp("ret") < 2.0, "stable")
+        .otherwise("unstable")
+        .alias("stability"),
+        F.round(F.min("ret"), 6).alias("min_ret"),
+        F.round(F.max("ret"), 6).alias("max_ret"),
+    )
+
+
+# --- OP-36: 60-bin histogram / density ---------------------------------------
+@register(
+    "returns_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT (value - lag(value) OVER w) / lag(value) OVER w AS ret
+      FROM events WHERE user_id = 3
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), b AS (
+      SELECT ret,
+             min(ret) OVER () AS lo, max(ret) OVER () AS hi,
+             count(ret) OVER () AS total
+      FROM r WHERE ret IS NOT NULL
+    )
+    SELECT LEAST(CAST(floor((ret - lo) / (hi - lo) * 60) AS INT), 59) AS bucket,
+           count(*) AS n,
+           round(count(*) / (any_value(total) * (any_value(hi) - any_value(lo)) / 60.0), 6)
+             AS density
+    FROM b GROUP BY 1
+    """,
+)
+def returns_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard/app.py:333-338 — 60-bin probability-density histogram of
+    one symbol's returns, as bucket arithmetic + groupBy (no UDF)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") == 3)
+    r = pct_change(ev, "user_id", "ts", "value", out="ret", tiebreak="event_id")
+    r = r.filter(F.col("ret").isNotNull())
+    w = Window.partitionBy()
+    b = r.select(
+        "ret",
+        F.min("ret").over(w).alias("lo"),
+        F.max("ret").over(w).alias("hi"),
+        F.count("ret").over(w).alias("total"),
+    )
+    bucket = F.least(
+        F.floor(
+            F.try_divide(F.col("ret") - F.col("lo"), F.col("hi") - F.col("lo")) * 60
+        ).cast("int"),
+        F.lit(59),
+    )
+    return (
+        b.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.try_divide(
+                    F.count(F.lit(1)),
+                    F.any_value("total")
+                    * (F.any_value("hi") - F.any_value("lo"))
+                    / F.lit(60.0),
+                ),
+                6,
+            ).alias("density"),
+        )
+    )
+
+
+# --- OP-47: melt (wide → long) ----------------------------------------------
+@register(
+    "melt_wide_to_long",
+    oracle="""
+    WITH wide AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'click') AS click,
+             last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'purchase') AS purchase
+      FROM events GROUP BY 1
+    )
+    SELECT hour_ts, 'click' AS series, click AS trend_score FROM wide
+      WHERE click IS NOT NULL
+    UNION ALL
+    SELECT hour_ts, 'purchase' AS series, purchase AS trend_score FROM wide
+      WHERE purchase IS NOT NULL
+    """,
+)
+def melt_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:82-87 — the trends melt: wide columns → long
+    (timestamp, series, trend_score) rows via stack(); null cells dropped
+    like the reference's per-column dropna."""
+    ev = _events(spark, sf_dir).withColumn("hour_ts", hour_floor("ts"))
+    wide = pivot_last(
+        ev.select("hour_ts", "event_type", "value", "ts", "event_id"),
+        ts_col="hour_ts",
+        key_col="event_type",
+        val_col="value",
+        keys=["click", "purchase"],
+        order_col="struct(ts, event_id)",
+    )
+    long = wide.selectExpr(
+        "hour_ts",
+        "stack(2, 'click', click, 'purchase', purchase) AS (series, trend_score)",
+    )
+    return long.filter(F.col("trend_score").isNotNull())
+
+
+# --- OP-48: union-all by name -------------------------------------------------
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT user_id AS symbol, ts, value, 'purchase' AS src
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL BY NAME
+    SELECT 'click' AS src, ts, user_id AS symbol, value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:126-133 — pd.concat of per-symbol frames →
+    unionByName (column-order independent, like concat's name alignment)."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("symbol"), "ts", "value", F.lit("purchase").alias("src")
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("src"), "ts", F.col("user_id").alias("symbol"), "value"
+    )
+    return a.unionByName(b)

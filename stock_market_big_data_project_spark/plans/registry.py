@@ -1,0 +1,51 @@
+"""Query registry — the engine's declared query surface.
+
+Every operator from SURVEY.md §2 registers here as a named query:
+
+    @register("q_name", oracle="SELECT ... AS same_col_names ...")
+    def q_name(spark, sf_dir) -> DataFrame: ...
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` read straight from this
+registry; the driver runs both sides and hash-compares (row count + schema +
+order-insensitive value hash). Column names are part of the contract —
+alias identically on both sides. Queries whose semantics are not
+SQL-expressible (stateful streaming, iterative ML) register with
+``oracle=None`` and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_PLAN_MODULES = (
+    "market",
+    "relational",
+    "llm",
+    "statistical",
+)
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_plans() -> None:
+    """Import every plan module so registrations run (idempotent)."""
+    for mod in _PLAN_MODULES:
+        importlib.import_module(f"{__package__}.{mod}")

@@ -1,0 +1,45 @@
+"""SparkSession factory.
+
+One place to pin every scale-relevant knob so tests, the driver harness and
+``bench.py`` all run the same configuration.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast selection replace hand-tuned partition counts.
+- Arrow on: every pandas-UDF exchange (the statistical operators) moves
+  columnar batches, not pickled rows.
+- UTC session timezone: matches the reference's utcnow() event time and the
+  DuckDB oracle's naive-UTC timestamps.
+- shuffle.partitions defaults to the local core count; on a real cluster this
+  is overridden (or simply left to AQE's coalescing) via SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "stock_market_big_data_project_spark") -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        # parquet scans: vectorized reader + pushdown are on by default; pin
+        # split size so sf0.1 single files still parallelize across cores.
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,85 @@
+"""Parquet/CSV table sources (SURVEY.md §2.1, OP-06..OP-08).
+
+The reference scans whole Firestore collections into pandas
+(preprocess_function/main.py:10-37) and round-trips CSV through GCS
+(integrate/main.py:9-14, analysis_part/main.py:16-26). Here every table is a
+columnar parquet scan: Catalyst pushes predicates and prunes columns into the
+scan, so "collection scan" becomes an indexed, pruned read instead of a full
+materialization. A CSV connector is kept for format parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (OP-06 re-expressed).
+
+    parquet, not CSV/Firestore: vectorized reader, predicate pushdown,
+    column pruning all apply. At 100 TB the same call reads a
+    date-partitioned table and Catalyst prunes partitions.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+        # natively (SPARK-40819): read the physical int64 nanos, then convert
+        # to a microsecond timestamp (matching DuckDB's ns→us truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV connector kept for parity with the reference's GCS CSV round-trips
+    (OP-07, integrate/main.py:9-14). Explicit schema preferred — the
+    reference's inferred schemas are a correctness hazard at scale.
+    """
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink (OP-08, preprocess_function/main.py:49-52)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
+    """Parquet sink — the native at-rest format; partition columns give
+    physical partition pruning for the time-series cutoff filters (OP-15).
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
