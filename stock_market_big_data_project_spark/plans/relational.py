@@ -1,9 +1,10 @@
 """Relational-core queries on the TPC-H-ish tables (joins, aggregates,
-top-k, scalar functions — SURVEY.md §2.3/§2.4/§2.6/§2.8).
+top-k, set ops, scalar functions — SURVEY.md §2.3/§2.4/§2.6/§2.8).
 
 ``lineitem``/``orders`` are the fact tables; ``customer``/``supplier``/
 ``nation``/``region``/``part`` the broadcastable dimensions (FIXTURES.md
-Part B). Placeholder for round-1 widening; queries register below.
+Part B). Aggregates use the decimal-exact pattern (functions/scalar.py) so
+results are bit-identical across engines and shuffle orders.
 """
 
 from __future__ import annotations
@@ -11,5 +12,419 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import (
+    exact_avg,
+    exact_sum,
+    first_token,
+    is_ticker_token,
+    neg_log10_guarded,
+    oracle_exact_avg,
+    oracle_exact_sum,
+)
+from ..operators.cleaning import hour_floor
 from ..sources.tables import load_table
 from .registry import register
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary — the canonical scan→filter→agg plan
+# (OP-34/OP-37 aggregate family at fact-table scale).
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_exact_sum('l_quantity')} AS sum_qty,
+           {oracle_exact_sum('l_extendedprice')} AS sum_base_price,
+           {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oracle_exact_avg('l_quantity')} AS avg_qty,
+           {oracle_exact_avg('l_extendedprice')} AS avg_price,
+           {oracle_exact_avg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed filter → hash aggregate with map-side combine; the whole
+    plan is one WholeStageCodegen span over the vectorized parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity", "sum_qty"),
+        exact_sum("l_extendedprice", "sum_base_price"),
+        exact_sum(disc_price, "sum_disc_price"),
+        exact_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+        exact_avg("l_quantity", "avg_qty"),
+        exact_avg("l_extendedprice", "avg_price"),
+        exact_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OP-22/OP-24: fact ⋈ chain of broadcast dimensions (the macro-join shape:
+# integrate/main.py:105-107 — small table replicated to every fact row).
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_region",
+    oracle=f"""
+    SELECT r.r_name,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders shuffles on the fact key once; customer/nation/region
+    are explicit broadcast joins — zero extra shuffles however large the fact
+    side grows (the 100 TB join strategy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# OP-24: selective-filter broadcast join (filter pushed below the join).
+# --------------------------------------------------------------------------
+@register(
+    "brand_heavy_lineitems",
+    oracle=f"""
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           {oracle_exact_sum('l.l_extendedprice')} AS total_price,
+           {oracle_exact_avg('l.l_quantity')} AS avg_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 30
+    GROUP BY p.p_brand
+    """,
+)
+def brand_heavy_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_extendedprice", "total_price"),
+            exact_avg("l_quantity", "avg_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OP-22/OP-23: composite-key LEFT join of two per-source hourly tables —
+# the stock⋈yahoo/trends shape (integrate/main.py:99-104), set-based.
+# --------------------------------------------------------------------------
+@register(
+    "hourly_left_join_sources",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id AS symbol, date_trunc('hour', ts) AS hour_ts,
+             last(value ORDER BY ts, event_id) AS click_price
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), views AS (
+      SELECT user_id AS symbol, date_trunc('hour', ts) AS hour_ts,
+             last(value ORDER BY ts, event_id) AS view_price
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT c.symbol, c.hour_ts, c.click_price, v.view_price
+    FROM clicks c LEFT JOIN views v USING (symbol, hour_ts)
+    """,
+)
+def hourly_left_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol loop + index join in the reference becomes ONE composite-key
+    left join; both sides pre-aggregated to (symbol, hour) so the join is 1:1
+    and nulls appear exactly where a source has no observation."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def hourly(etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .withColumn("hour_ts", hour_floor("ts"))
+            .groupBy(F.col("user_id").alias("symbol"), "hour_ts")
+            .agg(F.max_by("value", F.struct("ts", "event_id")).alias(out))
+        )
+
+    clicks = hourly("click", "click_price")
+    views = hourly("view", "view_price")
+    return clicks.join(views, ["symbol", "hour_ts"], "left")
+
+
+# --------------------------------------------------------------------------
+# OP-25: trend-column → symbol fuzzy matcher (integrate/main.py:16-29):
+# substring containment, first-match-wins in symbol order, regex-token
+# fallback, unmatched columns dropped.
+# --------------------------------------------------------------------------
+@register(
+    "trend_column_matcher",
+    oracle="""
+    WITH cols AS (
+      SELECT DISTINCT event_type || ' score' AS col FROM events
+      UNION ALL SELECT 'AAPL stock'
+      UNION ALL SELECT 'nyse:MSFT - price'
+      UNION ALL SELECT 'isPartial'
+    ), syms(sym, ord) AS (
+      SELECT * FROM (VALUES ('CLICK', 1), ('SIGNUP', 2), ('PURCHASE', 3)) t
+    ), contained AS (
+      SELECT c.col, arg_min(s.sym, s.ord) AS sym
+      FROM cols c JOIN syms s ON contains(lower(c.col), lower(s.sym))
+      GROUP BY c.col
+    ), fallback AS (
+      SELECT col,
+             CASE WHEN regexp_matches(string_split_regex(col, '\\s|[:\\-]')[1],
+                                      '^[A-Z]{1,5}$')
+                  THEN string_split_regex(col, '\\s|[:\\-]')[1] END AS tok
+      FROM cols
+    )
+    SELECT f.col, COALESCE(c.sym, f.tok) AS symbol
+    FROM fallback f LEFT JOIN contained c USING (col)
+    WHERE COALESCE(c.sym, f.tok) IS NOT NULL
+    """,
+)
+def trend_column_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny metadata theta-join (contains predicate) — at scale this is a
+    column-catalog × symbol-list nested-loop over driver-size data, never the
+    fact table. First-match-wins = min_by(sym, ord); fallback = first token
+    full-matching [A-Z]{1,5} (integrate/main.py:23-28)."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = (
+        ev.select(F.concat(F.col("event_type"), F.lit(" score")).alias("col"))
+        .distinct()
+        .unionAll(
+            spark.createDataFrame(
+                [("AAPL stock",), ("nyse:MSFT - price",), ("isPartial",)], ["col"]
+            )
+        )
+    )
+    syms = spark.createDataFrame(
+        [("CLICK", 1), ("SIGNUP", 2), ("PURCHASE", 3)], ["sym", "ord"]
+    )
+    contained = (
+        cols.join(
+            F.broadcast(syms),
+            F.lower(F.col("col")).contains(F.lower(F.col("sym"))),
+        )
+        .groupBy("col")
+        .agg(F.min_by("sym", "ord").alias("sym"))
+    )
+    tok = first_token(F.col("col"))
+    fallback = cols.select(
+        "col", F.when(is_ticker_token(tok), tok).alias("tok")
+    )
+    out = fallback.join(contained, "col", "left").select(
+        "col", F.coalesce("sym", "tok").alias("symbol")
+    )
+    return out.filter(F.col("symbol").isNotNull())
+
+
+# --- OP-31: group-min aggregate ----------------------------------------------
+@register(
+    "priority_price_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def priority_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard/app.py:410 — groupBy().min() family (min/max are exact
+    cross-engine; no decimal detour needed)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- OP-45/OP-46 + OP-55: top-k by measure with -log10 significance ----------
+@register(
+    "top10_significant_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           round(-log10(CASE WHEN l_discount = 0 THEN 1e-10 ELSE l_discount END), 8)
+             AS significance
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def top10_significant_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard/app.py:411-414 — sort desc + head(10): Catalyst plans
+    TakeOrderedAndProject (per-partition top-k, then merge — no global sort).
+    Unique (orderkey, linenumber) tiebreak keeps LIMIT deterministic; log10
+    rounded to 8dp (libm implementations differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.round(neg_log10_guarded("l_discount"), 8).alias("significance"),
+        )
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# --- OP-35: distinct values ---------------------------------------------------
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:79 — dropna().unique() as distinct + not-null."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .filter(F.col("c_mktsegment").isNotNull())
+        .distinct()
+    )
+
+
+# --- semi/anti joins (declared surface beyond reference parity, SURVEY §2.3) --
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- rollup (free Catalyst surface, SURVEY §2.4 note) -------------------------
+@register(
+    "rollup_customers_by_geo",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_customers_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# --- OP-49..OP-60: the scalar-function bundle ---------------------------------
+@register(
+    "scalar_functions_bundle",
+    oracle="""
+    SELECT o_orderkey,
+           lower(o_orderpriority) AS prio_lower,
+           contains(lower(o_orderpriority), 'high') AS is_high,
+           CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FINISHED'
+                              WHEN 'P' THEN 'PENDING' END AS status_name,
+           o_orderdate - INTERVAL 1 DAY AS prev_day,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           (o_totalprice - 100000.0) / 100000.0 * 100.0 AS pct_vs_ref,
+           round(o_totalprice / 7.0, 5) AS price_div7,
+           sqrt(o_totalprice) AS price_sqrt,
+           o_totalprice / 1000000.0 AS price_mm,
+           CASE WHEN o_orderkey % 24 = 0
+                THEN 'Day ' || CAST(o_orderkey // 24 AS VARCHAR) END AS day_label,
+           CAST(o_orderkey AS DOUBLE) AS key_double
+    FROM orders
+    """,
+)
+def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-49 lower/contains, OP-51 mapping replace, OP-52 date −1 day,
+    OP-53 to_date, OP-54 pct arithmetic, OP-56 round 5dp, OP-57 sqrt (IEEE-
+    exact), OP-58 unit scaling, OP-59 every-24th labeling, OP-60 casts —
+    all JVM-side Catalyst expressions inside one codegen stage."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.lower(F.col("o_orderpriority")).contains("high").alias("is_high"),
+        F.when(F.col("o_orderstatus") == "O", "OPEN")
+        .when(F.col("o_orderstatus") == "F", "FINISHED")
+        .when(F.col("o_orderstatus") == "P", "PENDING")
+        .alias("status_name"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 1 DAY")).alias("prev_day"),
+        # DATE surfaces as a string: pandas renders Spark DATE as date objects
+        # but DuckDB DATE as midnight timestamps — string form is unambiguous.
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+        ((price - 100000.0) / 100000.0 * 100.0).alias("pct_vs_ref"),
+        F.round(price / 7.0, 5).alias("price_div7"),
+        F.sqrt(price).alias("price_sqrt"),
+        (price / 1000000.0).alias("price_mm"),
+        F.when(
+            F.col("o_orderkey") % 24 == 0,
+            F.concat(F.lit("Day "), (F.col("o_orderkey") / 24).cast("long").cast("string")),
+        ).alias("day_label"),
+        F.col("o_orderkey").cast("double").alias("key_double"),
+    )
