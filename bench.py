@@ -20,6 +20,7 @@ from stock_market_big_data_project_spark.session import get_spark
 
 # Headline set: one per operator family; extend as coverage widens.
 HEADLINE = [
+    # market pipeline (events)
     "flagship_market_overview",
     "hourly_pivot_last",
     "resample_ffill_hourly",
@@ -28,6 +29,22 @@ HEADLINE = [
     "lag_features_24",
     "impute_group_mean",
     "temporal_split_80_20",
+    # relational core (TPC-H tables)
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "brand_heavy_lineitems",
+    "top10_significant_lineitems",
+    # LLM-pipeline (documents/embeddings)
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats_quality",
+    "embedding_bruteforce_topk",
+    "embedding_lsh_buckets",
+    # statistical
+    "correlation_matrix",
+    "recursive_forecast",
 ]
 
 
@@ -57,6 +74,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

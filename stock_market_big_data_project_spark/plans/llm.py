@@ -1,13 +1,424 @@
 """LLM-training-data-pipeline queries on ``documents``/``embeddings``
-(SURVEY.md §7 Phase 5): dedup, similarity search, text analysis,
-multimodal plumbing. Placeholder for round-1 widening; queries register
-below.
+(SURVEY.md §7 Phase 5): dedup, similarity search, text analysis, multimodal
+plumbing. These extend the reference's collected-but-never-analyzed text
+surface (twitter/main.py:11-28, OP-68) into the operator family a 100 TB
+training-data pipeline needs.
+
+Every query here is a composition of built-in DataFrame ops (hashes are
+md5-derived so DuckDB mirrors them bit-for-bit); the one pandas stage is the
+multimodal decode stub, whose Spark-side plumbing is real.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dedup import (
+    MOD,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from ..operators.multimodal import attach_binary_payload, decode_images
+from ..operators.similarity import cosine_topk, lsh_bucket, near_dup_pairs
+from ..operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    md5_hash64,
+    oracle_md5_hash64,
+    oracle_word_shingles,
+    predict_lang,
+    tokens,
+)
 from ..sources.tables import load_table
 from .registry import register
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- exact dedup ---------------------------------------------------------
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — one hash aggregate; at 100 TB this is a map-side-combined
+    shuffle on a 128-bit key, nothing else."""
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --- n-gram Jaccard near-dup ----------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({oracle_word_shingles(n=3)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.3 via inverted shingle index — the
+    candidate join is keyed on a 60-bit shingle hash (16-byte shuffle rows)."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({oracle_word_shingles(n=3)}),
+    idx AS (SELECT unnest(range(0, 16)) AS i),
+    sig AS (
+      SELECT doc_id, i,
+             min(((2*i + 1) * (shingle_hash % {MOD}) + 7919*i) % {MOD}) AS mh
+      FROM sh CROSS JOIN idx GROUP BY doc_id, i
+    ), banded AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             sum(mh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                 WHEN 2 THEN 961 ELSE 29791 END) AS band_hash
+      FROM sig GROUP BY 1, 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + 4×4 banding: near-dups collide in a band bucket;
+    the candidate step is an equi-join on (band, band_hash) — the O(n²)
+    cross join never exists. Affine md5-derived permutations keep the whole
+    pipeline deterministic (same buckets on any cluster)."""
+    sig = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n=3, k=16)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4, rows=4)
+
+
+# --- SimHash -----------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {oracle_md5_hash64("unnest(" + _TOKS + ")")} AS h
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, unnest(range(0, 60)) AS j, h FROM toks
+    ), bit_sums AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM votes GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bit_sums GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (near-dups differ in ≤3 bits; the pair
+    scan over fingerprints is a follow-up hamming join on band prefixes)."""
+    out = simhash_fingerprints(_docs(spark, sf_dir), "doc_id", "text", bits=60)
+    return out.select("doc_id", "simhash")
+
+
+# --- text stats / quality scoring ---------------------------------------------
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "text_stats_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len({_TOKS}) AS n_tokens,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(n_nonspace / n_tokens, 6) AS avg_token_len,
+           round(n_stop / n_tokens, 6) AS stopword_ratio,
+           round(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                 + (1.0 - n_stop / n_tokens) * 0.5, 6) AS quality_score
+    FROM t
+    """,
+)
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword quality scoring — pure expressions, no UDF: token
+    count, mean token length, stopword ratio, and a composite quality score
+    (long-enough + low-stopword)."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nonspace"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    nt = F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.try_divide(F.col("n_nonspace"), nt), 6).alias("avg_token_len"),
+        F.round(F.try_divide(F.col("n_stop"), nt), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(nt / F.lit(50.0), F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - F.try_divide(F.col("n_stop"), nt)) * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+# --- language ID heuristic ------------------------------------------------------
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS}, x -> x IN ({lst})))"
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+             {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+             {_lang_score_sql(LANG_MARKERS['zh'])} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram heuristic family): per-language
+    marker hit counts, deterministic argmax. Pure expressions — at scale a
+    narrow map over the text column."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", predict_lang(F.col("text")).alias("predicted_lang")
+    )
+
+
+# --- token counting (regex / BPE-ish) -------------------------------------------
+@register(
+    "token_count_regex",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_tokens_re,
+           n_chars
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (letters / digits / single
+    punctuation — the pre-tokenizer split most BPE vocabularies assume)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens_ws"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_tokens_re"),
+        "n_chars",
+    )
+
+
+# --- document fingerprinting ------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS text_md5,
+             list_transform({_TOKS},
+                            x -> {oracle_md5_hash64("x")} % {MOD}) AS th
+      FROM documents
+    )
+    SELECT doc_id, text_md5,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                       (acc, x) -> (acc * 131 + x) % {MOD}) AS rolling_hash
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the exact bytes + an order-sensitive
+    token-level rolling hash (left fold of (acc·131 + h) mod 1e9+7) — the
+    rolling form supports incremental/streaming fingerprinting."""
+    d = _docs(spark, sf_dir)
+    th = F.transform(tokens(F.col("text")), lambda x: md5_hash64(x) % MOD)
+    rolling = F.aggregate(
+        th,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 131 + x) % MOD,
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        rolling.alias("rolling_hash"),
+    )
+
+
+# --- embedding similarity ------------------------------------------------------
+# Flat (vec_id, dim, value) view + join-on-dim aggregation: the correlated
+# scalar-subquery form is catastrophically slow in DuckDB (one subquery per
+# pair); this relational form is one hash join + aggregate.
+_VECS = """
+    v AS (
+      SELECT vec_id, unnest(embedding) AS val,
+             unnest(range(0, len(embedding))) AS d
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)
+                           AS DECIMAL(38,24))) AS DOUBLE) AS norm2
+      FROM v GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "embedding_bruteforce_topk",
+    oracle=f"""
+    WITH {_VECS},
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                           AS DECIMAL(38,24))) AS DOUBLE) AS dot
+      FROM v a JOIN v b ON a.d = b.d AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 10
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (sqrt(na.norm2) * sqrt(nb.norm2)) DESC,
+                        neighbor_id) AS rank
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 9) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast queries ×
+    corpus, decimal-exact dot products (bit-identical ranking on any
+    partitioning — see operators/similarity.py)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH {_VECS},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                           AS DECIMAL(38,24))) AS DOUBLE) AS dot
+      FROM v a JOIN v b ON a.d = b.d AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 9) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 for this corpus's
+    cosine range) — the brute-force baseline; `embedding_lsh_buckets` is the
+    bucketed scale path."""
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "embedding_lsh_buckets",
+    oracle=f"""
+    WITH planes AS (
+      SELECT p, d,
+             (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 16)) AS p),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), proj AS (
+      SELECT e.vec_id, pl.p,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * pl.comp
+                           AS DECIMAL(38,24))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   unnest(range(0, len(embedding))) AS d
+            FROM embeddings) x
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN planes pl ON pl.d = x.d
+      GROUP BY e.vec_id, pl.p
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+)
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket ids (16 md5-derived planes): the ANN scale path
+    — candidates meet in equal buckets via equi-join, no cross join. The
+    oracle recomputes the identical md5 hyperplanes in SQL."""
+    return lsh_bucket(_emb(spark, sf_dir), n_planes=16)
+
+
+# --- multimodal plumbing ----------------------------------------------------------
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id, 'image/fake' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary multimodal column + mapInPandas decode stage. The decode is a
+    STUB (deterministic fake from byte length — no codec libs here); the
+    Spark plumbing (binary column, typed metadata struct, Arrow batching,
+    mapInPandas schema) is the real contract."""
+    payloads = attach_binary_payload(_docs(spark, sf_dir))
+    return decode_images(payloads)

@@ -90,6 +90,21 @@ def flagship_market_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# End-to-end integrate chain (SURVEY.md §3.2): the whole preprocess→integrate
+# dataflow as ONE DAG — see pipeline.py for the full narrative.
+# --------------------------------------------------------------------------
+def _register_pipeline() -> None:
+    from ..pipeline import INTEGRATED_ORACLE, build_integrated
+
+    register("integrated_all", oracle=INTEGRATED_ORACLE)(
+        lambda spark, sf_dir: build_integrated(spark, sf_dir)
+    )
+
+
+_register_pipeline()
+
+
 # --- OP-11: to_datetime(errors='coerce') — invalid strings → NULL ----------
 @register(
     "ts_normalize_coerce",

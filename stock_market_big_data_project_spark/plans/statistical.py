@@ -1,6 +1,14 @@
-"""Statistical / ML queries (SURVEY.md §2.10): correlation matrix, Granger
-causality, per-group recursive forecasting. Placeholder for round-1
-widening; queries register below.
+"""Statistical / ML queries (SURVEY.md §2.10): correlation matrix (OP-30/67),
+Granger causality (OP-65), recursive forecasting (OP-66).
+
+The shared input is the integrated-style hourly wide table built from
+``events`` (hour × symbol grid, one column per event_type — the analog of
+the reference's integrated_all, integrate/main.py:95-126).
+
+The correlation matrix is oracle-checked (decimal-exact moments). Granger
+and the forecaster are not SQL-expressible (iterative OLS / recursive
+prediction) — they register without oracles and get the driver's rows-only
+check, plus numeric unit tests in tests/test_stats.py.
 """
 
 from __future__ import annotations
@@ -8,5 +16,124 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.cleaning import hour_floor
+from ..operators.stats import corr_pairs_exact, granger_causality, recursive_forecast
 from ..sources.tables import load_table
 from .registry import register
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def hourly_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(symbol, hour_ts, click, error, purchase, signup, view): per-symbol
+    hourly grid with positional-last per (hour, type) — the reference's
+    integrated wide table re-expressed as one pivot aggregate."""
+    ev = load_table(spark, sf_dir, "events").withColumn("hour_ts", hour_floor("ts"))
+    return (
+        ev.groupBy(F.col("user_id").alias("symbol"), "hour_ts")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.expr("max_by(value, struct(ts, event_id))"))
+    )
+
+
+def daily_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(symbol, day_ts, feature, value) long form — feeds the set-based
+    correlation; daily grain so pairwise-complete observations exist at
+    every scale factor (hourly cells are mostly empty in this stream)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_ts", F.date_trunc("day", "ts")
+    )
+    return ev.groupBy(
+        F.col("user_id").alias("symbol"),
+        "day_ts",
+        F.col("event_type").alias("feature"),
+    ).agg(F.expr("max_by(value, struct(ts, event_id))").alias("value"))
+
+
+@register(
+    "correlation_matrix",
+    oracle="""
+    WITH long AS (
+      SELECT user_id AS symbol, date_trunc('day', ts) AS day_ts,
+             event_type AS feature,
+             last(value ORDER BY ts, event_id) AS value
+      FROM events GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT a.symbol, a.feature AS f1, b.feature AS f2, a.value AS x, b.value AS y
+      FROM long a JOIN long b
+        ON a.symbol = b.symbol AND a.day_ts = b.day_ts AND a.feature < b.feature
+    ), m AS (
+      SELECT symbol, f1, f2, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT symbol, f1, f2, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+           END AS corr
+    FROM m WHERE n >= 3
+    """,
+)
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-30/OP-67 (analysis_part/main.py:51-55) — per-symbol pairwise
+    Pearson over the daily feature series, set-based: melt → per-day
+    self-join (pairwise-complete observations, pandas corr semantics) →
+    decimal-exact moments → closed form, degenerate pairs (n<3 or zero
+    variance) excluded/NULL. The whole matrix for every symbol is ONE plan —
+    no per-symbol loop."""
+    return corr_pairs_exact(
+        daily_long(spark, sf_dir), "symbol", "day_ts", "feature", "value",
+        min_n=3,
+    )
+
+
+@register("granger_causality")  # no oracle: iterative OLS + F-sf, rows-only check
+def granger_causality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-65 (analysis_part/main.py:58-78) — does each other event series
+    Granger-cause 'click', per symbol, lags 1..5? applyInPandas UDTF with
+    numpy OLS and an own-implementation F survival function (no statsmodels
+    here); reference knobs preserved: maxlag 5, min-rows guard maxlag+2,
+    5 dp rounding, error rows on failure.
+
+    Input is the hourly wide table with per-symbol forward-fill (the
+    reference Grangers the *integrated* table, whose macro columns are
+    ffilled — integrate/main.py:72): without the fill the hourly cells are
+    too sparse for pairwise-complete observations at any scale factor."""
+    from pyspark.sql import Window
+
+    wide = hourly_wide(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in EVENT_TYPES:
+        wide = wide.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return granger_causality(
+        wide,
+        key_col="symbol",
+        target_col="click",
+        predictor_cols=["error", "purchase", "signup", "view"],
+        maxlag=5,
+    )
+
+
+@register("recursive_forecast")  # no oracle: recursive prediction, rows-only check
+def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-66 (analysis_part/main.py:81-125) — per symbol: 24 lag features,
+    80/20 temporal split, fit, test RMSE, 168-step recursive forecast.
+    xgboost (reference's exact hyperparameters) behind an import-try; closed-
+    form ridge otherwise. applyInPandas: all symbols train in parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select(
+        F.col("user_id").alias("symbol"), F.col("ts").alias("hour_ts"), F.col("value")
+    )
+    return recursive_forecast(
+        series, key_col="symbol", ts_col="hour_ts", val_col="value",
+        n_lags=24, horizon=168, train_frac=0.8,
+    )

@@ -1,0 +1,91 @@
+"""Structured Streaming parity (SURVEY.md §2.9, OP-61..OP-64).
+
+The reference's "streaming" is Cloud-Scheduler micro-batching: each tick
+appends documents with utcnow event time (finnhub/main.py:19-23), downstream
+recomputes everything (README.md:23). Natively:
+
+- OP-61 micro-batch append ingest → ``readStream`` + append sink
+  (``trigger(processingTime=...)`` or ``Trigger.AvailableNow`` replaces the
+  external scheduler).
+- OP-62 tumbling hourly alignment → ``window(ts, '1 hour')``.
+- OP-63 late/duplicate handling → ``withWatermark`` +
+  ``dropDuplicatesWithinWatermark`` (instead of full recompute).
+- OP-64 stateful last-value carry-forward → ``applyInPandasWithState``.
+
+Tests replay the events fixture through a file source and assert
+batch ≡ streaming on the same input (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema as stored on disk: ts is int64 nanoseconds (see sources/tables.py —
+# Spark cannot read parquet TIMESTAMP(NANOS) natively).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """OP-61 — file-source replay of the append-only quote stream.
+
+    In production this is Kafka/Kinesis; a parquet directory source has the
+    same incremental-execution semantics (new files = new micro-batch).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(dir_path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_tumbling_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """OP-62 + OP-63 — watermarked tumbling hourly aggregate per symbol:
+    the streaming twin of the batch hour-floor + last-value pivot. State is
+    bounded by the watermark; keys are (symbol, hour) so skew stays per-key."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("user_id").alias("symbol"),
+        )
+        .agg(
+            F.max_by("value", F.struct("ts", "event_id")).alias("price"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("hour_ts"), "symbol", "price", "n_events")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """OP-63 — the reference handles duplicates by full recompute +
+    drop_duplicates (preprocess_function/main.py:14); natively: bounded-state
+    streaming dedup on the event key within the watermark."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a streaming DataFrame to completion against an in-memory sink
+    (the harness for batch≡streaming assertions)."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,83 @@
+"""Numeric tests for the statistical operators (no scipy/statsmodels in the
+container, so the F survival function is validated against published
+F-table critical values, and Granger against constructed causal series)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stock_market_big_data_project_spark.operators.stats import (
+    _granger_pvalue,
+    betainc_reg,
+    f_sf,
+)
+
+
+def test_f_sf_table_values():
+    # Published F critical values: P(F(d1,d2) > crit) = 0.05
+    assert f_sf(4.9646, 1, 10) == pytest.approx(0.05, abs=2e-3)
+    assert f_sf(4.1028, 2, 10) == pytest.approx(0.05, abs=2e-3)
+    assert f_sf(3.4780, 4, 10) == pytest.approx(0.05, abs=2e-3)
+    # 1% critical value F(1, 20) = 8.0960
+    assert f_sf(8.0960, 1, 20) == pytest.approx(0.01, abs=1e-3)
+
+
+def test_betainc_symmetry():
+    for a, b, x in [(2.5, 5.0, 0.3), (0.5, 0.5, 0.7), (10, 3, 0.05)]:
+        assert betainc_reg(a, b, x) + betainc_reg(b, a, 1 - x) == pytest.approx(
+            1.0, abs=1e-12
+        )
+
+
+def test_betainc_bounds():
+    assert betainc_reg(2, 3, 0.0) == 0.0
+    assert betainc_reg(2, 3, 1.0) == 1.0
+    assert 0.0 < betainc_reg(2, 3, 0.5) < 1.0
+
+
+def test_granger_detects_causality():
+    rng = np.random.default_rng(42)
+    n = 300
+    x = rng.normal(size=n)
+    noise = rng.normal(scale=0.1, size=n)
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 0.8 * x[t - 2] + noise[t]  # x causes y at lag 2
+    p_causal = _granger_pvalue(y, x, 2)
+    assert p_causal < 1e-6
+    # reverse direction: y should not cause x
+    p_reverse = _granger_pvalue(x, y, 2)
+    assert p_reverse > 0.01
+
+
+def test_granger_independent_series():
+    rng = np.random.default_rng(7)
+    y = rng.normal(size=200)
+    x = rng.normal(size=200)
+    p = _granger_pvalue(y, x, 3)
+    assert 0.001 < p <= 1.0
+
+
+def test_forecast_query_shape(spark, sf_dir):
+    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    pdf = QUERIES["recursive_forecast"](spark, sf_dir).toPandas()
+    # every symbol with enough history emits exactly 168 steps
+    counts = pdf.groupby("symbol")["step"].count()
+    assert (counts == 168).all() and len(counts) > 0
+    assert pdf["forecast_c"].notna().all()
+    assert np.isfinite(pdf["rmse"]).all()
+
+
+def test_granger_query_shape(spark, sf_dir):
+    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    pdf = QUERIES["granger_causality"](spark, sf_dir).toPandas()
+    ok = pdf[pdf["error"].isna()]
+    assert set(ok["lag"].unique()) <= {1, 2, 3, 4, 5}
+    assert ((ok["p_value"] >= 0) & (ok["p_value"] <= 1)).all()
+    assert set(ok["predictor"].unique()) <= {"error", "purchase", "signup", "view"}
