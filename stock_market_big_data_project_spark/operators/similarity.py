@@ -109,40 +109,33 @@ def near_dup_pairs(
     )
 
 
-def _hyperplane_component(plane, dim):
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    md5-derived per (plane, dim) — reproducible on any cluster, no RNG
-    broadcast. Mirrors in DuckDB as the same md5 arithmetic."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(",", plane.cast("string"), dim.cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
-    return (h % 1000000).cast("double") / 1000000.0 - 0.5
-
-
 def lsh_bucket(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding",
-               n_planes: int = 16) -> DataFrame:
+               n_planes: int = 16, n_dims: int = 64) -> DataFrame:
     """Sign-bit bucket id per vector: bit p = [⟨emb, plane_p⟩ > 0].
 
-    The projection is a per-row expression over (plane × dim) — at scale this
-    is a narrow map, and the subsequent candidate join is an equi-join on
-    the bucket id.
+    The md5-derived hyperplanes are deterministic constants, so they are
+    materialized driver-side (operators/_planes.py — identical values to the
+    SQL md5 formula the oracle uses) and shipped as array literals: the
+    runtime cost per vector is n_planes exact dot products, no hashing.
+    The whole thing is a narrow map — no shuffle until the final per-id sum,
+    and the downstream candidate join is an equi-join on the bucket id.
     """
-    p = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p")
-    exploded = df.select(id_col, emb_col, p)
-    proj = F.aggregate(
-        F.zip_with(
-            F.col(emb_col),
-            F.sequence(F.lit(0), F.size(F.col(emb_col)) - 1),
-            lambda x, d: x.cast("double") * _hyperplane_component(F.col("p"), d),
-        ),
-        F.lit(0).cast(DOT_DECIMAL),
-        lambda acc, x: (acc + x.cast(DOT_DECIMAL)).cast(DOT_DECIMAL),
-    ).cast("double")
-    bits = exploded.select(
-        id_col,
-        "p",
-        F.when(proj > 0, F.expr("CAST(1 AS BIGINT) << p")).otherwise(0).alias("bit"),
-    )
-    return bits.groupBy(id_col).agg(F.sum("bit").alias("bucket"))
+    from ._planes import hyperplanes
+
+    planes = hyperplanes(n_planes, n_dims)
+
+    def proj(p: int):
+        plane_lit = F.array(*[F.lit(c) for c in planes[p]])
+        return F.aggregate(
+            F.zip_with(
+                F.col(emb_col), plane_lit, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0).cast(DOT_DECIMAL),
+            lambda acc, x: (acc + x.cast(DOT_DECIMAL)).cast(DOT_DECIMAL),
+        ).cast("double")
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(proj(p) > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(id_col, bucket.alias("bucket"))

@@ -68,27 +68,49 @@ def resample_ffill(
 ) -> DataFrame:
     """OP-28 — ``resample('1H').ffill()`` (integrate/main.py:72).
 
-    Hour-floor observations (keeping the positionally-last one per hour,
-    matching pandas resample), left-join onto the dense grid, then carry the
-    last non-null value forward with an unbounded-preceding window.
+    Gap-expansion formulation: hour-floor observations (positionally-last
+    per hour, matching pandas resample), then per key ``lead(hour)`` gives
+    each observation its validity interval, and ``explode(sequence(hour,
+    next_hour - 1h))`` emits the carried-forward grid rows directly.
+
+    ONE shuffle (on the key, for the window) — no dense-grid build, no
+    grid⋈observations join, no second carry-forward window pass. At 100 TB
+    the cost is proportional to observations + emitted grid rows, and the
+    forward-fill can never break at a partition boundary because each row
+    carries its own value.
     """
     order = order_col or ts_col
     hourly = (
         df.withColumn("_h", hour_floor(ts_col))
         .groupBy(key_col, "_h")
         .agg(*[F.expr(f"max_by({v}, {order})").alias(v) for v in val_cols])
-        .withColumnRenamed("_h", ts_col)
     )
-    grid = hourly_grid(df, key_col, ts_col)
-    joined = grid.join(hourly, [key_col, ts_col], "left")
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(key_col).orderBy("_h")
+    expanded = hourly.withColumn("_next_h", F.lead("_h").over(w)).withColumn(
+        "_grid_h",
+        F.explode(
+            F.sequence(
+                F.col("_h"),
+                F.coalesce(
+                    F.col("_next_h") - F.expr("INTERVAL 1 HOUR"), F.col("_h")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
     )
-    for v in val_cols:
-        joined = joined.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return joined
+    out = expanded.select(key_col, F.col("_grid_h").alias(ts_col), *val_cols)
+    if len(val_cols) > 1:
+        # pandas ffill is per-column independent: a column unobserved at this
+        # observation hour still carries ITS last value — one more window on
+        # the same key partitioning (no extra shuffle).
+        wff = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for v in val_cols:
+            out = out.withColumn(v, F.last(v, ignorenulls=True).over(wff))
+    return out
 
 
 def asof_join(

@@ -26,9 +26,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators.cleaning import dedup_exact, filter_cutoff, hour_floor
+from .operators.cleaning import dedup_exact, hour_floor
 from .operators.windows import lead_col, pct_change
-from .sources.tables import load_table
+from .sources.tables import load_events
 
 CUTOFF = "2024-01-05 00:00:00"
 
@@ -43,9 +43,8 @@ def _hourly_last(ev: DataFrame, etype: str, out: str) -> DataFrame:
 
 def build_integrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The integrated_all analog: one wide hourly row per (symbol, hour)."""
-    ev = (
-        filter_cutoff(dedup_exact(load_table(spark, sf_dir, "events")), "ts", CUTOFF)
-        .withColumn("hour_ts", hour_floor("ts"))
+    ev = dedup_exact(load_events(spark, sf_dir, min_ts=CUTOFF)).withColumn(
+        "hour_ts", hour_floor("ts")
     )
 
     quotes = _hourly_last(ev, "click", "c")

@@ -29,7 +29,7 @@ from ..operators.windows import (
     pct_change,
     temporal_split_flag,
 )
-from ..sources.tables import load_table
+from ..sources.tables import load_events, load_table
 from .registry import register
 
 CUTOFF = "2024-01-05 00:00:00"
@@ -69,7 +69,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def flagship_market_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = filter_cutoff(dedup_exact(_events(spark, sf_dir)), "ts", CUTOFF)
+    # load_events(min_ts=...) pushes the cutoff onto the raw int64 nanos
+    # column at the scan (the post-conversion filter cannot push down)
+    ev = dedup_exact(load_events(spark, sf_dir, min_ts=CUTOFF))
     hourly = (
         ev.withColumn("hour_ts", hour_floor("ts"))
         .groupBy(F.col("user_id").alias("symbol"), "hour_ts")
@@ -178,9 +180,10 @@ def dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cutoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """integrate/main.py:60-67 — Catalyst pushes this into the scan
-    (PushedFilters); on date-partitioned storage it is partition pruning."""
-    ev = filter_cutoff(_events(spark, sf_dir), "ts", CUTOFF)
+    """integrate/main.py:60-67 — the cutoff reaches the parquet reader as a
+    pushed filter on the raw nanos column (row-group pruning; partition
+    pruning on date-partitioned storage)."""
+    ev = load_events(spark, sf_dir, min_ts=CUTOFF)
     return ev.select("event_id", "ts", F.col("user_id").alias("symbol"), "value")
 
 
@@ -591,6 +594,67 @@ def returns_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("density"),
         )
+    )
+
+
+# --- OP-21: struct/JSON flatten ----------------------------------------------
+@register(
+    "struct_flatten",
+    oracle="""
+    SELECT event_id,
+           value AS c,
+           round(value * 1.01, 6) AS h,
+           round(value * 0.99, 6) AS l,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-21 — the implied flatten: ingest nests quote fields under a `data`
+    struct (finnhub/main.py:19-23) yet every consumer reads them flat
+    (analysis_part/main.py:138). Build the nested shape, then flatten with
+    select('data.*') + JSON payload extraction (the props column plays the
+    raw document body). Catalyst collapses construct+flatten to a no-op."""
+    ev = _events(spark, sf_dir)
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("value").alias("c"),
+            F.round(F.col("value") * 1.01, 6).alias("h"),
+            F.round(F.col("value") * 0.99, 6).alias("l"),
+        ).alias("data"),
+        F.from_json("props", "k INT").alias("doc"),
+    )
+    return nested.select("event_id", "data.*", F.col("doc.k").alias("k"))
+
+
+# --- OP-05/OP-68: array-of-struct build + explode (the tweets shape) ---------
+@register(
+    "explode_array_structs",
+    oracle="""
+    SELECT user_id AS symbol, ts, event_type AS content, value AS score
+    FROM events WHERE event_type IN ('click', 'view')
+    """,
+)
+def explode_array_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-05/OP-68 — the tweets array<struct> round trip (twitter/main.py:
+    18-27 stores ≤50 {content, username, date} structs per row): pack each
+    symbol's events into a sorted array of structs, then explode back to
+    rows. The oracle is the identity projection — the round trip must be
+    lossless. sort_array makes collect_list order-deterministic."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "view"))
+    packed = ev.groupBy(F.col("user_id").alias("symbol")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
+        ).alias("tweets")
+    )
+    return packed.select(
+        "symbol", F.explode("tweets").alias("t")
+    ).select(
+        "symbol",
+        F.col("t.ts").alias("ts"),
+        F.col("t.event_type").alias("content"),
+        F.col("t.value").alias("score"),
     )
 
 

@@ -92,6 +92,80 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "correlation_square_matrix",
+    oracle="""
+    WITH long AS (
+      SELECT user_id AS symbol, date_trunc('day', ts) AS day_ts,
+             event_type AS feature,
+             last(value ORDER BY ts, event_id) AS value
+      FROM events WHERE user_id = 3 GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT a.feature AS f1, b.feature AS f2, a.value AS x, b.value AS y
+      FROM long a JOIN long b ON a.day_ts = b.day_ts
+    ), m AS (
+      SELECT f1, f2, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2
+    ), c AS (
+      SELECT f1, f2,
+             CASE WHEN n < 3 THEN NULL
+                  WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN round((n * sxy - sx * sy)
+                             / (sqrt(n * sxx - sx * sx)
+                                * sqrt(n * syy - sy * sy)), 9) END AS corr
+      FROM m
+    )
+    SELECT f1 AS feature,
+           max(CASE WHEN f2 = 'click' THEN corr END) AS click,
+           max(CASE WHEN f2 = 'error' THEN corr END) AS error,
+           max(CASE WHEN f2 = 'purchase' THEN corr END) AS purchase,
+           max(CASE WHEN f2 = 'signup' THEN corr END) AS signup,
+           max(CASE WHEN f2 = 'view' THEN corr END) AS view
+    FROM c GROUP BY f1
+    """,
+)
+def correlation_square_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-30/OP-67 artifact shape — the square correlation matrix CSV the
+    reference writes per symbol (analysis_part/main.py:51-55, header =
+    feature names): the long pairwise form pivoted to a matrix for one
+    symbol, diagonal included (corr(f,f) = 1 where variance > 0)."""
+    long = daily_long(spark, sf_dir).filter(F.col("symbol") == 3)
+    a = long.select(F.col("feature").alias("f1"), "day_ts", F.col("value").alias("x"))
+    b = long.select(F.col("feature").alias("f2"), "day_ts", F.col("value").alias("y"))
+    pairs = a.join(b, "day_ts")
+    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    m = pairs.groupBy("f1", "f2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (F.col("n") >= 3) & (vx > 0) & (vy > 0),
+        F.round(
+            F.try_divide(n * F.col("sxy") - F.col("sx") * F.col("sy"),
+                         F.sqrt(vx) * F.sqrt(vy)),
+            9,
+        ),
+    )
+    c = m.select("f1", "f2", corr.alias("corr"))
+    return (
+        c.groupBy(F.col("f1").alias("feature"))
+        .pivot("f2", EVENT_TYPES)
+        .agg(F.max("corr"))
+    )
+
+
 @register("granger_causality")  # no oracle: iterative OLS + F-sf, rows-only check
 def granger_causality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-65 (analysis_part/main.py:58-78) — does each other event series

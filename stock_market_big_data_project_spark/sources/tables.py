@@ -40,15 +40,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-        # natively (SPARK-40819): read the physical int64 nanos, then convert
-        # to a microsecond timestamp (matching DuckDB's ns→us truncation).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str, min_ts: str | None = None) -> DataFrame:
+    """events scan with nanos handling and pushdown-aware time filtering.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read natively
+    (SPARK-40819): read the physical int64 nanos, then convert to a
+    microsecond timestamp (matching DuckDB's ns→us truncation).
+
+    The conversion is an expression, so a later ``ts >= cutoff`` filter can
+    NOT be pushed through it to the scan — at 100 TB that forfeits row-group
+    and partition pruning. ``min_ts`` (whole-second cutoff) applies the
+    equivalent predicate on the RAW int64 column *before* conversion, where
+    it reaches the parquet reader as a pushed filter.
+    """
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if min_ts is not None:
+        cutoff_ns = int(
+            datetime.fromisoformat(min_ts)
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1_000_000_000
+        )
+        df = df.filter(F.col("ts") >= F.lit(cutoff_ns))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
