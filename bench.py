@@ -75,6 +75,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # GC between queries: Spark's ContextCleaner is GC-triggered — without
+        # this, orphaned shuffle/broadcast state from prior queries accumulates
+        # and later timings measure cleanup debt, not the query.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -214,6 +214,29 @@ except Exception:  # numpy ridge fallback — deterministic, closed form
         return lambda x: x @ beta[:-1] + beta[-1]
 
 
+def _forecast_one(vals: np.ndarray, n_lags: int, horizon: int, train_frac: float):
+    """Fit + test RMSE + recursive horizon for one series; None if too short."""
+    if len(vals) < n_lags + 10:
+        return None
+    x = np.column_stack(
+        [vals[n_lags - k : len(vals) - k] for k in range(1, n_lags + 1)]
+    )
+    y = vals[n_lags:]
+    split = int(len(y) * train_frac)
+    predict = _fit_predict(x[:split], y[:split])
+    rmse = float("nan")
+    if split < len(y):
+        err = predict(x[split:]) - y[split:]
+        rmse = float(np.sqrt(np.mean(err**2)))
+    window = np.ascontiguousarray(vals[-n_lags:][::-1])  # [0] = most recent
+    preds = np.empty(horizon)
+    for step in range(horizon):
+        p = float(np.asarray(predict(window[None, :])).ravel()[0])
+        preds[step] = p
+        window = np.concatenate(([p], window[:-1]))
+    return preds, rmse
+
+
 def recursive_forecast(
     series: DataFrame,
     key_col: str,
@@ -225,34 +248,121 @@ def recursive_forecast(
 ) -> DataFrame:
     """OP-66 — per symbol: 24 lag features → 80/20 temporal split → fit →
     test RMSE → 168-step *recursive* forecast feeding each prediction back
-    into the lag vector (inherently sequential per group → applyInPandas;
-    symbols run in parallel, the loop only spans the horizon)."""
+    into the lag vector.
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        sym = pdf[key_col].iloc[0]
-        pdf = pdf.sort_values(ts_col)
-        vals = pdf[val_col].to_numpy(dtype=float)
-        if len(vals) < n_lags + 10:
-            return pd.DataFrame(columns=["symbol", "step", "forecast_c", "rmse"])
-        x = np.column_stack(
-            [vals[n_lags - k : len(vals) - k] for k in range(1, n_lags + 1)]
-        )
-        y = vals[n_lags:]
-        split = int(len(y) * train_frac)
-        predict = _fit_predict(x[:split], y[:split])
-        rmse = float("nan")
-        if split < len(y):
-            err = predict(x[split:]) - y[split:]
-            rmse = float(np.sqrt(np.mean(err**2)))
-        window = list(vals[-n_lags:][::-1])  # window[0] = most recent
-        out = []
-        for step in range(1, horizon + 1):
-            pred = float(predict(np.array([window])))
-            out.append((sym, step, pred, rmse))
-            window = [pred] + window[:-1]
-        return pd.DataFrame(out, columns=["symbol", "step", "forecast_c", "rmse"])
+    The per-group numpy work is ~1 ms, so per-group applyInPandas overhead
+    (Arrow batch + pandas frame per group) would dominate by 10×. Instead
+    each symbol's series is packed into ONE array row (sort_array of
+    (ts, value) structs — deterministic order), and ``mapInPandas`` runs the
+    sequential loop over whole Arrow batches of symbols: one Python
+    round-trip per partition, thousands of models per batch."""
 
-    return series.groupBy(key_col).applyInPandas(fn, schema=FORECAST_SCHEMA)
+    packed = series.groupBy(F.col(key_col).alias("symbol")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col), F.col(val_col)))
+        ).alias("obs")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            syms: list = []
+            steps: list = []
+            preds: list = []
+            rmses: list = []
+            for sym, obs in zip(pdf["symbol"], pdf["obs"]):
+                vals = np.fromiter(
+                    (o[val_col] for o in obs), dtype=float, count=len(obs)
+                )
+                res = _forecast_one(vals, n_lags, horizon, train_frac)
+                if res is None:
+                    continue
+                p, rmse = res
+                syms.extend([sym] * horizon)
+                steps.extend(range(1, horizon + 1))
+                preds.extend(p)
+                rmses.extend([rmse] * horizon)
+            yield pd.DataFrame(
+                {"symbol": syms, "step": steps, "forecast_c": preds, "rmse": rmses}
+            )
+
+    return packed.mapInPandas(fn, schema=FORECAST_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Model binary sink (OP-09, analysis_part/main.py:39-48: joblib.dump → GCS)
+# ---------------------------------------------------------------------------
+
+MODEL_SCHEMA = "symbol bigint, model binary, rmse double"
+
+
+def fit_models(
+    series: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_lags: int = 24,
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Per-symbol model artifacts as a (symbol, model binary, rmse) table.
+
+    The reference pickles one model per symbol to a blob store
+    (analysis_part/main.py:39-48); here the artifact set is itself a
+    DataFrame — write it with ``write_parquet`` and the binary column rides
+    parquet like any other (at 100 TB: model registry as a table, pruned and
+    joined like data). The payload is a pickled dict, codec-agnostic:
+    xgboost boosters serialize the same way."""
+    import pickle
+
+    packed = series.groupBy(F.col(key_col).alias("symbol")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col), F.col(val_col)))
+        ).alias("obs")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sym, obs in zip(pdf["symbol"], pdf["obs"]):
+                vals = np.fromiter(
+                    (o[val_col] for o in obs), dtype=float, count=len(obs)
+                )
+                if len(vals) < n_lags + 10:
+                    continue
+                x = np.column_stack(
+                    [vals[n_lags - k : len(vals) - k] for k in range(1, n_lags + 1)]
+                )
+                y = vals[n_lags:]
+                split = int(len(y) * train_frac)
+                # closed-form ridge fit, coefficients pickled explicitly
+                # (an xgboost artifact would pickle the booster instead)
+                lam = 1e-3
+                xa = np.vstack([x[:split], np.sqrt(lam) * np.eye(n_lags)])
+                xa = np.hstack(
+                    [xa, np.vstack([np.ones((split, 1)), np.zeros((n_lags, 1))])]
+                )
+                ya = np.concatenate([y[:split], np.zeros(n_lags)])
+                coef = np.linalg.lstsq(xa, ya, rcond=None)[0]
+                beta, intercept = coef[:-1], float(coef[-1])
+                rmse = float("nan")
+                if split < len(y):
+                    err = x[split:] @ beta + intercept - y[split:]
+                    rmse = float(np.sqrt(np.mean(err**2)))
+                blob = pickle.dumps(
+                    {"kind": "ridge", "n_lags": n_lags, "beta": beta,
+                     "intercept": intercept}
+                )
+                rows.append((sym, blob, rmse))
+            yield pd.DataFrame(rows, columns=["symbol", "model", "rmse"])
+
+    return packed.mapInPandas(fn, schema=MODEL_SCHEMA)
+
+
+def predict_from_blob(blob: bytes, window: np.ndarray) -> float:
+    """Reload a persisted model artifact and predict one step."""
+    import pickle
+
+    m = pickle.loads(blob)
+    return float(np.dot(m["beta"], window) + m["intercept"])
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,12 @@ def get_spark(app_name: str = "stock_market_big_data_project_spark") -> SparkSes
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Not larger: an oversized heap never GCs, so Spark's ContextCleaner
+        # (GC-triggered) never reclaims finished shuffles/broadcasts and
+        # every subsequent query in the session degrades. 16g fits sf0.1
+        # working sets many times over while keeping the cleaner live.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         # parquet scans: vectorized reader + pushdown are on by default; pin
         # split size so sf0.1 single files still parallelize across cores.

@@ -15,6 +15,16 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _gc_between_tests(request):
+    """Trigger the JVM GC after each test so Spark's ContextCleaner reclaims
+    finished shuffle/broadcast state (otherwise the suite degrades
+    progressively — see session.py driver-memory note)."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").sparkContext._jvm.System.gc()
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
