@@ -18,7 +18,7 @@ permutation is an affine map mod 1e9+7 — bit-identical in Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import exploded_tokens, md5_hash64, word_shingles
 
@@ -40,31 +40,37 @@ def ngram_jaccard_pairs(
 
     shingles(a) self-join on shingle_hash (id_a < id_b) → shared counts;
     |A∪B| = |A| + |B| − shared. Jaccard arithmetic is integer-exact.
-    At scale the shingle join is the only shuffle and it is keyed on a
-    bigint; hot shingles (common phrases) are the skew risk — AQE skew-join
-    handles them, or drop top-frequency shingles as stop-shingles.
+
+    Each doc's shingle count is attached to every shingle row by a window
+    count (reusing the doc-partitioned exchange the shingling itself needs),
+    so n_a/n_b ride through the candidate join and the old sizes-table
+    branch — a third full recompute of the shingle pipeline plus two extra
+    joins — disappears. Hot shingles (common phrases) are the skew risk —
+    AQE skew-join handles them, or drop top-frequency shingles as
+    stop-shingles.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh = word_shingles(df, id_col, text_col, n).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_hash"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle_hash"
+    )
     shared = (
         a.join(b, on="shingle_hash")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        # n_a/n_b are functionally dependent on the ids — grouping by them
+        # adds no groups and saves a join back to a sizes table
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.try_divide(
         F.col("shared"), F.col("n_a") + F.col("n_b") - F.col("shared")
     )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        shared.withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -77,14 +83,32 @@ def minhash_signatures(
 
     h_i(s) = ((2i+1)·(s mod M) + 7919·i) mod M over shingle hashes s —
     deterministic affine permutations, no RNG state to ship to executors.
+
+    All k minima come from ONE groupBy(doc) with k min-aggregates over the
+    shingle stream (map-side combinable: the shuffle carries one k-wide
+    partial row per doc, not shingles×k exploded rows), then an explode of
+    the k-wide row into the (id, i, mh) long format — k× less data through
+    the wire than permuting after an explode.
     """
     sh = word_shingles(df, id_col, text_col, n)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
-    expanded = sh.select(id_col, "shingle_hash", idx)
-    perm = (
-        (2 * F.col("i") + 1) * (F.col("shingle_hash") % MOD) + 7919 * F.col("i")
-    ) % MOD
-    return expanded.groupBy(id_col, "i").agg(F.min(perm).alias("mh"))
+
+    def perm(i: int):
+        return F.min(
+            ((2 * i + 1) * (F.col("shingle_hash") % MOD) + 7919 * i) % MOD
+        ).alias(f"_mh_{i}")
+
+    wide = sh.groupBy(id_col).agg(*[perm(i) for i in range(k)])
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.col(f"_mh_{i}").alias("mh"))
+                for i in range(k)
+            ]
+        )
+    ).alias("s")
+    return wide.select(id_col, stacked).select(
+        id_col, F.col("s.i").alias("i"), F.col("s.mh").alias("mh")
+    )
 
 
 def lsh_candidate_pairs(
@@ -121,20 +145,26 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """60-bit SimHash: per bit position j, documents vote sign((h>>j)&1);
     fingerprint sets bit j when the vote is positive. 60 bits (not 64) keeps
-    the fingerprint a positive bigint in both engines."""
+    the fingerprint a positive bigint in both engines.
+
+    One groupBy(doc) with `bits` conditional-sum aggregates (map-side
+    combinable) instead of exploding every token ×bits — the shuffle carries
+    one partial-agg row per doc, not tokens×bits vote rows."""
     toks = exploded_tokens(df, id_col, text_col).select(
         id_col, md5_hash64(F.col("tok")).alias("h")
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    votes = toks.select(id_col, "h", j).select(
-        id_col,
-        "j",
-        # shiftright builtin needs a literal bit count; expr form takes a column
-        F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("v"),
-    )
-    bit_sums = votes.groupBy(id_col, "j").agg(F.sum("v").alias("s"))
-    return bit_sums.groupBy(id_col).agg(
+    vote = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(0)
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    bit_sums = toks.groupBy(id_col).agg(*vote)
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"_s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return bit_sums.select(F.col(id_col), fingerprint.alias("simhash"))

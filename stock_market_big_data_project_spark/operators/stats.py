@@ -194,8 +194,22 @@ XGB_PARAMS = dict(
     n_jobs=1,
 )
 
+def _fit_ridge(x_tr: np.ndarray, y_tr: np.ndarray) -> tuple[np.ndarray, float]:
+    """Closed-form ridge (λ=1e-3) via the augmented least-squares system;
+    returns (beta, intercept). Deterministic — no RNG, no iteration order."""
+    lam = 1e-3
+    n_feat = x_tr.shape[1]
+    xa = np.vstack([x_tr, np.sqrt(lam) * np.eye(n_feat)])
+    xa = np.hstack([xa, np.vstack([np.ones((len(x_tr), 1)), np.zeros((n_feat, 1))])])
+    ya = np.concatenate([y_tr, np.zeros(n_feat)])
+    coef = np.linalg.lstsq(xa, ya, rcond=None)[0]
+    return coef[:-1], float(coef[-1])
+
+
 try:  # pragma: no cover - xgboost not present in this container
     from xgboost import XGBRegressor  # type: ignore
+
+    _HAVE_XGB = True
 
     def _fit_predict(x_tr, y_tr):
         model = XGBRegressor(**XGB_PARAMS)
@@ -203,15 +217,11 @@ try:  # pragma: no cover - xgboost not present in this container
         return model.predict
 
 except Exception:  # numpy ridge fallback — deterministic, closed form
+    _HAVE_XGB = False
 
     def _fit_predict(x_tr, y_tr):
-        lam = 1e-3
-        n_feat = x_tr.shape[1]
-        xa = np.vstack([x_tr, np.sqrt(lam) * np.eye(n_feat)])
-        xa = np.hstack([xa, np.vstack([np.ones((len(x_tr), 1)), np.zeros((n_feat, 1))])])
-        ya = np.concatenate([y_tr, np.zeros(n_feat)])
-        beta = np.linalg.lstsq(xa, ya, rcond=None)[0]
-        return lambda x: x @ beta[:-1] + beta[-1]
+        beta, intercept = _fit_ridge(x_tr, y_tr)
+        return lambda x: x @ beta + intercept
 
 
 def _forecast_one(vals: np.ndarray, n_lags: int, horizon: int, train_frac: float):
@@ -265,24 +275,64 @@ def recursive_forecast(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            syms: list = []
-            steps: list = []
-            preds: list = []
-            rmses: list = []
+            out_syms: list = []
+            out_preds: list = []
+            out_rmses: list = []
+            # ridge path: fit per symbol (cheap lstsq), then run the
+            # 168-step feedback loop ONCE for the whole batch — each step is
+            # a vectorized multiply-add over (n_symbols × n_lags) instead of
+            # n_symbols separate 1×n_lags predict calls.
+            betas, intercepts, windows, rmses, syms = [], [], [], [], []
             for sym, obs in zip(pdf["symbol"], pdf["obs"]):
                 vals = np.fromiter(
                     (o[val_col] for o in obs), dtype=float, count=len(obs)
                 )
-                res = _forecast_one(vals, n_lags, horizon, train_frac)
-                if res is None:
+                if len(vals) < n_lags + 10:
                     continue
-                p, rmse = res
-                syms.extend([sym] * horizon)
-                steps.extend(range(1, horizon + 1))
-                preds.extend(p)
-                rmses.extend([rmse] * horizon)
+                if _HAVE_XGB:  # sequential per-symbol path (opaque model)
+                    res = _forecast_one(vals, n_lags, horizon, train_frac)
+                    if res is not None:
+                        out_syms.append(sym)
+                        out_preds.append(res[0])
+                        out_rmses.append(res[1])
+                    continue
+                x = np.column_stack(
+                    [vals[n_lags - k : len(vals) - k] for k in range(1, n_lags + 1)]
+                )
+                y = vals[n_lags:]
+                split = int(len(y) * train_frac)
+                beta, intercept = _fit_ridge(x[:split], y[:split])
+                rmse = float("nan")
+                if split < len(y):
+                    err = x[split:] @ beta + intercept - y[split:]
+                    rmse = float(np.sqrt(np.mean(err**2)))
+                syms.append(sym)
+                betas.append(beta)
+                intercepts.append(intercept)
+                windows.append(vals[-n_lags:][::-1])  # [0] = most recent
+                rmses.append(rmse)
+            if betas:
+                b_mat = np.stack(betas)
+                c_vec = np.array(intercepts)
+                w_mat = np.stack(windows)
+                p_mat = np.empty((len(betas), horizon))
+                for step in range(horizon):
+                    p = (w_mat * b_mat).sum(axis=1) + c_vec
+                    p_mat[:, step] = p
+                    w_mat = np.hstack([p[:, None], w_mat[:, :-1]])
+                out_syms.extend(syms)
+                out_preds.extend(p_mat)
+                out_rmses.extend(rmses)
+            n = len(out_syms)
             yield pd.DataFrame(
-                {"symbol": syms, "step": steps, "forecast_c": preds, "rmse": rmses}
+                {
+                    "symbol": np.repeat(np.asarray(out_syms, dtype=object), horizon)
+                    if n
+                    else [],
+                    "step": np.tile(np.arange(1, horizon + 1), n) if n else [],
+                    "forecast_c": np.concatenate(out_preds) if n else [],
+                    "rmse": np.repeat(np.asarray(out_rmses), horizon) if n else [],
+                }
             )
 
     return packed.mapInPandas(fn, schema=FORECAST_SCHEMA)
@@ -335,14 +385,7 @@ def fit_models(
                 split = int(len(y) * train_frac)
                 # closed-form ridge fit, coefficients pickled explicitly
                 # (an xgboost artifact would pickle the booster instead)
-                lam = 1e-3
-                xa = np.vstack([x[:split], np.sqrt(lam) * np.eye(n_lags)])
-                xa = np.hstack(
-                    [xa, np.vstack([np.ones((split, 1)), np.zeros((n_lags, 1))])]
-                )
-                ya = np.concatenate([y[:split], np.zeros(n_lags)])
-                coef = np.linalg.lstsq(xa, ya, rcond=None)[0]
-                beta, intercept = coef[:-1], float(coef[-1])
+                beta, intercept = _fit_ridge(x[:split], y[:split])
                 rmse = float("nan")
                 if split < len(y):
                     err = x[split:] @ beta + intercept - y[split:]

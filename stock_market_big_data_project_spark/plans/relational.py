@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import (
+    EXACT_DECIMAL,
     exact_avg,
     exact_sum,
     first_token,
@@ -85,23 +86,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem⋈orders shuffles on the fact key once; customer/nation/region
-    are explicit broadcast joins — zero extra shuffles however large the fact
+    """lineitem is partially aggregated to one row per order key *before*
+    the join (decimal partial sums stay exact under re-aggregation), so the
+    shuffle join moves one row per order instead of one per lineitem and the
+    count-distinct degenerates to a plain count. customer/nation/region are
+    explicit broadcast joins — zero extra shuffles however large the fact
     side grows (the 100 TB join strategy)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    li_per_order = li.groupBy("l_orderkey").agg(
+        F.sum(rev.cast(EXACT_DECIMAL)).alias("_order_rev")
+    )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("r_name").agg(
-        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum("_order_rev").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
