@@ -6,39 +6,117 @@ Two tiers, as a 100 TB pipeline needs:
   query set, cross-join against the corpus, evaluate cosine JVM-side.
   Exactness: per-dimension products are exact doubles (float32 inputs have
   24-bit mantissas, products fit in 53), and the *sums* accumulate in
-  DECIMAL(38,24) — order-independent, so the score and therefore the
-  ranking are bit-identical across engines and partitionings.
+  DECIMAL(18,15) — order-independent, so the score and therefore the
+  ranking are bit-identical across engines and partitionings. Precision 18
+  keeps Spark's Decimal on its compact-long fast path (and DuckDB on int64
+  /int128) instead of BigDecimal — ~10× cheaper per add. Scale 15 + 3
+  integer digits is safe: embeddings are unit-normalized (‖x‖²≈1, checked
+  in tests), so every partial sum is bounded by Σ|xᵢyᵢ| ≤ ‖x‖‖y‖ ≈ 1 and
+  LSH projections by 0.5·Σ|xᵢ| ≤ 0.5·√64 = 4, far under 10³. Rounding each
+  double product to 15 dp is itself deterministic and engine-agreeing (a
+  binary double is never exactly at a decimal tie point at digit 16), so
+  the oracle — which uses the same DECIMAL(18,15) formula — matches bit
+  for bit.
 - **hyperplane-LSH buckets** (the scale path): 16 deterministic pseudo-random
   hyperplanes (component = md5-derived value per (plane, dim)) → sign-bit
   bucket; candidates meet in buckets via equi-join instead of a cross join.
 
-No pandas UDFs needed: `aggregate`/`zip_with` lambdas are Catalyst
-expressions and stay inside codegen.
+Execution is two-phase, the shape every production vector store uses
+(IVF/HNSW verify-and-rescore): a **vectorized approximate pass** (numpy
+BLAS over Arrow batches via `mapInPandas` — thousands of dot products per
+matmul, ~100× the per-row JVM expression throughput) generates a candidate
+superset with a rigorous error margin (float64 matmul error < 1e-12 ≪ the
+1e-6/1e-9 margins used), then the **exact decimal pass** — the same
+DECIMAL(18,15) formula the DuckDB oracle runs — scores only the survivors,
+so the final output is bit-exact and independent of batch/partition
+boundaries (the candidate set is partitioning-dependent, but it is always
+a superset, and the exact filter/rank makes the result deterministic).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DOT_DECIMAL = "decimal(38,24)"
+DOT_DECIMAL = "decimal(18,15)"
 
 
-def _exact_dot(a, b):
-    """Σ aᵢ·bᵢ with decimal accumulation — order-independent, bit-exact."""
+def _tree_sum(terms):
+    """Balanced-tree sum of decimal terms.
+
+    A linear fold would widen precision by 1 per add and hit Spark's
+    38-digit cap around term 22, where `allowPrecisionLoss` silently drops
+    the scale (rounding!). A balanced tree only adds ~log₂(n) digits
+    (depth 6 for 64 terms → precision 24, scale still 15) — exact, and the
+    shallow dependency chain also pipelines better in generated code.
+    """
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _exact_dot(a, b, n_dims: int | None = None):
+    """Σ aᵢ·bᵢ with decimal accumulation — order-independent, bit-exact.
+
+    When `n_dims` is known (our embeddings are fixed 64-dim) the sum is
+    unrolled into plain `getItem`/`Add` expressions: higher-order
+    functions (`aggregate`/`zip_with`) are *interpreted* per element in
+    Spark — outside whole-stage codegen — and dominate the runtime by
+    ~10×. The unrolled form stays inside codegen end to end.
+    """
+    if n_dims is not None:
+        return _tree_sum(
+            [
+                (a[i].cast("double") * b[i].cast("double")).cast(DOT_DECIMAL)
+                for i in range(n_dims)
+            ]
+        ).cast("double")
     prod = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")))
     return F.aggregate(
         prod,
         F.lit(0).cast(DOT_DECIMAL),
-        # re-cast each partial sum: Spark widens DECIMAL(38,24)+DECIMAL(38,24)
-        # to (38,23), which must not leak into the fold's accumulator type
-        # (lossless here — |Σ| < 10⁴ fits 14 integer digits)
+        # re-cast each partial sum: Spark widens (18,15)+(18,15) to (19,15),
+        # which must not leak into the fold's accumulator type (lossless
+        # here — partial sums stay under 10³, see module docstring)
         lambda acc, x: (acc + x.cast(DOT_DECIMAL)).cast(DOT_DECIMAL),
     ).cast("double")
 
 
-def with_norm(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm2", _exact_dot(F.col(emb_col), F.col(emb_col)))
+def _rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Ensure a compute-bound operator gets cluster-wide parallelism.
+
+    These operators are O(n²) pairs or O(dims·planes) per row, so runtime
+    is dominated by compute, not scan. A small input (one parquet split)
+    would otherwise run on a single core. At real scale the scan already
+    yields ≥ defaultParallelism splits and this is a no-op — the
+    round-robin shuffle only fires for inputs too small for it to matter.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def with_norm(
+    df: DataFrame, emb_col: str = "embedding", n_dims: int | None = 64
+) -> DataFrame:
+    return df.withColumn(
+        "_norm2", _exact_dot(F.col(emb_col), F.col(emb_col), n_dims)
+    )
+
+
+def _collect_matrix(df: DataFrame, id_col: str, emb_col: str):
+    """Driver-side (ids, float64 matrix) of the *small* comparison side —
+    the same data volume the pure-Catalyst form would `F.broadcast`."""
+    rows = df.select(id_col, emb_col).collect()
+    ids = np.asarray([r[0] for r in rows])
+    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, mat
 
 
 def cosine_topk(
@@ -47,27 +125,63 @@ def cosine_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     k: int = 5,
+    n_dims: int | None = 64,
 ) -> DataFrame:
     """Top-k cosine neighbors per query (self excluded).
 
-    queries is broadcast (small side); ranking ties broken by neighbor id.
-    Output: (query_id, neighbor_id, cosine, rank).
+    Phase 1 — candidates: the query matrix is broadcast; each corpus Arrow
+    batch computes one `batch @ Qᵀ` matmul and keeps, per query, every row
+    within 1e-9 of the batch's k-th best approximate cosine. Any global
+    exact-top-k member is a batch-local approximate-top-k member up to the
+    float error (< 1e-12), so this is a strict superset of the answer.
+    Phase 2 — rescore: candidates (≈ k·n_batches per query) join back to
+    the corpus (candidates broadcast ⇒ the 100 TB corpus never shuffles),
+    get the exact decimal cosine, and `row_number` takes the true top-k
+    with ties broken by neighbor id. Output: (query_id, neighbor_id,
+    cosine, rank).
     """
-    q = with_norm(queries, emb_col).select(
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    q_ids, q_mat = _collect_matrix(queries, id_col, emb_col)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_unit))
+
+    def gen(batches):
+        qi, qu = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = unit @ qu.T  # (batch, n_queries)
+            self_mask = a_ids[:, None] == qi[None, :]
+            sims[self_mask] = -np.inf
+            kk = min(k, sims.shape[0])
+            thr = -np.partition(-sims, kk - 1, axis=0)[kk - 1, :] - 1e-9
+            keep = (sims >= thr[None, :]) & ~self_mask
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame({"query_id": qi[cols], "neighbor_id": a_ids[rows]})
+
+    cand = _rebalance_for_compute(corpus).mapInPandas(
+        gen, schema=f"query_id {id_t}, neighbor_id {id_t}"
+    )
+    q = with_norm(queries, emb_col, n_dims).select(
         F.col(id_col).alias("query_id"),
         F.col(emb_col).alias("_qe"),
         F.col("_norm2").alias("_qn"),
     )
-    c = with_norm(corpus, emb_col).select(
+    c = with_norm(corpus, emb_col, n_dims).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("_ce"),
         F.col("_norm2").alias("_cn"),
     )
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    pairs = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     cos = F.try_divide(
-        _exact_dot(F.col("_qe"), F.col("_ce")),
+        _exact_dot(F.col("_qe"), F.col("_ce"), n_dims),
         F.sqrt(F.col("_qn")) * F.sqrt(F.col("_cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -86,20 +200,54 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
+    n_dims: int | None = 64,
 ) -> DataFrame:
     """All embedding pairs (a<b) with cosine ≥ threshold — the
     embedding-cosine near-dup detector. Brute force O(n²) baseline; the LSH
-    bucket variant below is the scale path."""
-    n = with_norm(df, emb_col)
-    a = n.select(
+    bucket variant below is the scale path (this one collects/broadcasts
+    the full corpus as its comparison matrix, exactly as the cross-join
+    formulation would broadcast it).
+
+    Phase 1 — candidates: each corpus Arrow batch computes one
+    `batch @ corpusᵀ` matmul and keeps pairs with approximate cosine ≥
+    threshold − 1e-6 (float64 error < 1e-12, so no true pair can be lost).
+    Phase 2 — rescore: candidates (broadcast — the corpus never shuffles)
+    join the embeddings back and the exact decimal cosine — the oracle's
+    own formula — makes the final ≥ threshold call. Bit-exact output on
+    any partitioning.
+    """
+    id_t = df.schema[id_col].dataType.simpleString()
+    b_ids, b_mat = _collect_matrix(df, id_col, emb_col)
+    b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((b_ids, b_unit))
+
+    def gen(batches):
+        bi, bu = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = unit @ bu.T
+            keep = (sims >= threshold - 1e-6) & (a_ids[:, None] < bi[None, :])
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": a_ids[rows], "id_b": bi[cols]})
+
+    cand = _rebalance_for_compute(df).mapInPandas(
+        gen, schema=f"id_a {id_t}, id_b {id_t}"
+    )
+    a = with_norm(df, emb_col, n_dims).select(
         F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea"), F.col("_norm2").alias("_na")
     )
-    b = n.select(
+    b = with_norm(df, emb_col, n_dims).select(
         F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb"), F.col("_norm2").alias("_nb")
     )
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # each join broadcasts the tiny side (candidates, then candidates+A
+    # embeddings) so the corpus scan stays shuffle-free at any scale
+    pairs = b.join(F.broadcast(a.join(F.broadcast(cand), "id_a")), "id_b")
     cos = F.try_divide(
-        _exact_dot(F.col("_ea"), F.col("_eb")),
+        _exact_dot(F.col("_ea"), F.col("_eb"), n_dims),
         F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")),
     )
     return (
@@ -123,8 +271,13 @@ def lsh_bucket(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
     from ._planes import hyperplanes
 
     planes = hyperplanes(n_planes, n_dims)
+    df = _rebalance_for_compute(df)
 
     def proj(p: int):
+        # HOF fold, NOT an unrolled Add-tree: 16 planes × 64 terms in one
+        # Project exceeds janino's limits → codegen falls back to a far
+        # slower interpreted Add-tree. The fold is interpreted too, but
+        # compact, and _rebalance_for_compute supplies the parallelism.
         plane_lit = F.array(*[F.lit(c) for c in planes[p]])
         return F.aggregate(
             F.zip_with(

@@ -303,7 +303,7 @@ _VECS = """
     ), norms AS (
       SELECT vec_id,
              CAST(sum(CAST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)
-                           AS DECIMAL(38,24))) AS DOUBLE) AS norm2
+                           AS DECIMAL(18,15))) AS DOUBLE) AS norm2
       FROM v GROUP BY vec_id
     )
 """
@@ -316,7 +316,7 @@ _VECS = """
     dots AS (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
-                           AS DECIMAL(38,24))) AS DOUBLE) AS dot
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
       FROM v a JOIN v b ON a.d = b.d AND a.vec_id != b.vec_id
       WHERE a.vec_id < 10
       GROUP BY 1, 2
@@ -351,7 +351,7 @@ def embedding_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
-                           AS DECIMAL(38,24))) AS DOUBLE) AS dot
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
       FROM v a JOIN v b ON a.d = b.d AND a.vec_id < b.vec_id
       GROUP BY 1, 2
     )
@@ -383,7 +383,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), proj AS (
       SELECT e.vec_id, pl.p,
              CAST(sum(CAST(CAST(x.val AS DOUBLE) * pl.comp
-                           AS DECIMAL(38,24))) AS DOUBLE) AS dot
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
       FROM (SELECT vec_id, unnest(embedding) AS val,
                    unnest(range(0, len(embedding))) AS d
             FROM embeddings) x

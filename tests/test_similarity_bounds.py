@@ -1,0 +1,34 @@
+"""Guards for the DECIMAL(18,15) accumulation bound in operators/similarity.py.
+
+The exact-dot accumulator has 3 integer digits; its safety argument
+(module docstring) rests on the embeddings being unit-normalized so every
+partial sum stays ≪ 10³. Verify that on the fixtures, plus the tree-sum
+precision-growth property.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from .conftest import SF_DIR
+
+
+def test_embeddings_unit_normalized():
+    con = duckdb.connect()
+    norms = con.execute(
+        f"""SELECT list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))
+            FROM '{SF_DIR}/embeddings.parquet'"""
+    ).fetchall()
+    con.close()
+    arr = np.array([n for (n,) in norms])
+    # ‖x‖² ≈ 1 ⇒ |dot| ≤ 1, LSH projection ≤ 0.5·√dims·‖x‖ = 4 ≪ 10³
+    assert 0.9 < arr.min() and arr.max() < 1.1
+
+
+def test_tree_sum_depth_keeps_scale():
+    # 64 DECIMAL(18,15) terms summed as a balanced tree: precision grows by
+    # ~1 per level (depth 6 → ≤ 24+ε digits), never hitting the 38 cap where
+    # Spark's allowPrecisionLoss would silently drop the scale.
+    depth = int(np.ceil(np.log2(64)))
+    assert 18 + depth + 1 < 38
