@@ -29,6 +29,7 @@ HEADLINE = [
     "lag_features_24",
     "impute_group_mean",
     "temporal_split_80_20",
+    "sessionize_events",
     # relational core (TPC-H tables)
     "q1_pricing_summary",
     "revenue_by_region",
@@ -42,6 +43,7 @@ HEADLINE = [
     "text_stats_quality",
     "embedding_bruteforce_topk",
     "embedding_lsh_buckets",
+    "embedding_ivf_cells",
     # statistical
     "correlation_matrix",
     "recursive_forecast",

@@ -13,16 +13,18 @@ import hashlib
 from functools import lru_cache
 
 
-def hyperplane_component(plane: int, dim: int) -> float:
+def hyperplane_component(plane: int, dim: int, prefix: str = "") -> float:
     """Identical to the SQL formula:
-    (CAST('0x'||substr(md5(p||','||d),1,15) AS BIGINT) % 1e6) / 1e6 - 0.5."""
-    h = hashlib.md5(f"{plane},{dim}".encode()).hexdigest()
+    (CAST('0x'||substr(md5(prefix||p||','||d),1,15) AS BIGINT) % 1e6) / 1e6 - 0.5."""
+    h = hashlib.md5(f"{prefix}{plane},{dim}".encode()).hexdigest()
     return (int(h[:15], 16) % 1_000_000) / 1_000_000.0 - 0.5
 
 
 @lru_cache(maxsize=None)
-def hyperplanes(n_planes: int, n_dims: int) -> tuple[tuple[float, ...], ...]:
+def hyperplanes(
+    n_planes: int, n_dims: int, prefix: str = ""
+) -> tuple[tuple[float, ...], ...]:
     return tuple(
-        tuple(hyperplane_component(p, d) for d in range(n_dims))
+        tuple(hyperplane_component(p, d, prefix) for d in range(n_dims))
         for p in range(n_planes)
     )

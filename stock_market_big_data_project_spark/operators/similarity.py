@@ -292,3 +292,52 @@ def lsh_bucket(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
         bit = F.when(proj(p) > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
     return df.select(id_col, bucket.alias("bucket"))
+
+
+def ivf_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    n_dims: int = 64,
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: cell = argmax⟨emb, centroid_c⟩.
+
+    The inverted-file ANN layout: vectors land in the cell of their best
+    (max-inner-product — the cosine-IVF criterion for unit-normalized
+    corpora) deterministic md5-derived centroid; a search then probes only
+    matching cells. Dot products use the exact decimal formula, so the
+    argmax (ties → lowest cell id) is engine- and partitioning-independent.
+    Narrow map, no shuffle — at 100 TB this is a pure scan + write,
+    typically feeding `partitionBy(cell)` so probes become partition pruning.
+    """
+    from ._planes import hyperplanes
+
+    cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
+    df = _rebalance_for_compute(df)
+
+    def dot_c(c: int):
+        cent_lit = F.array(*[F.lit(v) for v in cents[c]])
+        return F.aggregate(
+            F.zip_with(
+                F.col(emb_col), cent_lit, lambda x, v: x.cast("double") * v
+            ),
+            F.lit(0).cast(DOT_DECIMAL),
+            lambda acc, x: (acc + x.cast(DOT_DECIMAL)).cast(DOT_DECIMAL),
+        ).cast("double")
+
+    # array_max over (dot, -cell) structs: lexicographic max picks the
+    # highest dot, then — on exact ties — the smallest cell id
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(dot_c(c).alias("dot"), F.lit(-c).alias("negc"))
+                for c in range(n_cells)
+            ]
+        )
+    )
+    return df.select(
+        id_col,
+        (-best["negc"]).cast("int").alias("cell"),
+        F.round(best["dot"], 9).alias("cell_dot"),
+    )

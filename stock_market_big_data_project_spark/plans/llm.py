@@ -23,7 +23,12 @@ from ..operators.dedup import (
     simhash_fingerprints,
 )
 from ..operators.multimodal import attach_binary_payload, decode_images
-from ..operators.similarity import cosine_topk, lsh_bucket, near_dup_pairs
+from ..operators.similarity import (
+    cosine_topk,
+    ivf_cells,
+    lsh_bucket,
+    near_dup_pairs,
+)
 from ..operators.text import (
     LANG_MARKERS,
     STOPWORDS,
@@ -422,3 +427,40 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas schema) is the real contract."""
     payloads = attach_binary_payload(_docs(spark, sf_dir))
     return decode_images(payloads)
+
+
+# --- IVF coarse quantizer (the inverted-file ANN layout) --------------------------
+@register(
+    "embedding_ivf_cells",
+    oracle=f"""
+    WITH {_VECS},
+    cents AS (
+      SELECT c, d,
+             (CAST(('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 8)) AS c),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), dots AS (
+      SELECT x.vec_id, ce.c,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * ce.comp
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v x JOIN cents ce ON ce.d = x.d
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT vec_id, c, dot,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, c) AS rn
+      FROM dots
+    )
+    SELECT vec_id, CAST(c AS INT) AS cell, round(dot, 9) AS cell_dot
+    FROM ranked WHERE rn = 1
+    """,
+)
+def embedding_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer assignment (8 md5-derived centroids, max-inner-
+    product criterion): the inverted-file ANN layout — a search probes only
+    the matching cell(s), and at rest the table is partitionBy(cell) so
+    probing is partition pruning. Exact decimal dots → the argmax (ties to
+    the lowest cell id) matches the oracle bit for bit."""
+    return ivf_cells(_emb(spark, sf_dir), n_cells=8)

@@ -436,3 +436,80 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day_label"),
         F.col("o_orderkey").cast("double").alias("key_double"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets: CUBE over (returnflag, linestatus) — free in Catalyst
+# (SURVEY.md §2.4 "come free in Spark if we declare them"); partial
+# aggregation is map-side combinable per grouping set.
+# --------------------------------------------------------------------------
+@register(
+    "cube_pricing_totals",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           {oracle_exact_sum('l_quantity')} AS sum_qty,
+           {oracle_exact_sum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all 4 grouping-set combinations in one pass —
+    subtotals and grand total materialize from the same shuffle instead of
+    4 separate scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT (distinct) and EXCEPT ALL (multiset) — the set
+# ops SURVEY §2.7 notes the engine exposes beyond the reference's unions.
+# --------------------------------------------------------------------------
+@register(
+    "customer_set_ops",
+    oracle="""
+    SELECT custkey, 'both_years' AS segment_tag FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    UNION ALL
+    SELECT custkey, 'only_1996' AS segment_tag FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    """,
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics) + EXCEPT ALL (multiset difference)
+    over yearly buyer sets (1996 vs 1997, inside the fixture's 1995-2001 range). Both compile to aggregate/join plans — no
+    driver-side set logic; the date predicates push to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    both = (
+        year(1996)
+        .intersect(year(1997))
+        .select("custkey", F.lit("both_years").alias("segment_tag"))
+    )
+    only94 = (
+        year(1996)
+        .exceptAll(year(1997))
+        .select("custkey", F.lit("only_1996").alias("segment_tag"))
+    )
+    return both.unionByName(only94)
