@@ -89,3 +89,24 @@ def run_to_memory(df: DataFrame, name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def session_window_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """OP-62 family — native streaming sessionization: the same
+    ``session_window`` expression as the batch `session_window_native`
+    query, under a watermark. Sessions merge while the event gap ≤ `gap`;
+    a session finalizes (and leaves state) once the watermark passes its
+    close — unbounded sessions cannot pin state forever."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

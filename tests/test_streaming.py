@@ -107,3 +107,36 @@ def test_stateful_ffill_carries_last_value(spark, tmp_path):
     assert b[0] is None or pd.isna(b[0])  # nothing to carry yet
     assert b[1] == 7.0
     assert got[got["indicator"] == "A"]["filled"].tolist() == [False, True, False]
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, events_stream_dir):
+    from stock_market_big_data_project_spark.streaming.ingest import (
+        session_window_agg,
+    )
+
+    stream = read_events_stream(spark, events_stream_dir)
+    run_to_memory(session_window_agg(stream), "sessions_out")
+    got = spark.sql("SELECT * FROM sessions_out").toPandas()
+
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    # append mode only emits sessions closed by the final watermark
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = pd.Timestamp(max_ts) - pd.Timedelta("2 hours")
+    want = want[want["session_end"] <= wm]
+
+    key = ["user_id", "session_start"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) > 0
+    pd.testing.assert_frame_equal(got_s, want_s[got_s.columns], check_like=True)
