@@ -106,3 +106,25 @@ def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Bucketed parquet table (catalog-managed): pre-shuffles data into
+    `n_buckets` hash buckets on the join/agg key so later equi-joins and
+    aggregations on that key are co-located — Catalyst drops the Exchange
+    entirely (proved in tests/test_bucketing.py). This is the storage-side
+    answer to the 100 TB fact⋈fact join: pay the shuffle once at write
+    time, never again per query. `sort_cols` additionally orders within
+    buckets so sort-merge joins skip their sort."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
