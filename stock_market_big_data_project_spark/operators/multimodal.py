@@ -76,3 +76,103 @@ def decode_images(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id bigint, out_width int, out_height int, out_n_bytes int, out_md5 string"
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """mapInPandas resize stage (STUB codec, real plumbing).
+
+    Fake 2×-downsample: output dims = decode dims halved, output payload =
+    first ⌈n/4⌉ bytes. `out_md5` fingerprints the "resized" payload via its
+    hex encoding (uppercase hex is identical across Spark/DuckDB, and
+    DuckDB has no BLOB md5 — hashing the hex string keeps the oracle
+    expressible). Swap `_fake_decode` + the truncation for PIL's
+    `Image.resize`; schema and batching stay as-is.
+    """
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_decode)
+            out_bytes = pdf["payload"].map(lambda b: b[: (len(b) + 3) // 4])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": [w // 2 for w, _ in dims],
+                    "out_height": [h // 2 for _, h in dims],
+                    "out_n_bytes": out_bytes.map(len),
+                    "out_md5": out_bytes.map(
+                        lambda b: hashlib.md5(b.hex().upper().encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_no int, frame_n_bytes int, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, k: int = 4) -> DataFrame:
+    """1→N frame-sampling stage (video STUB): payload split into `k`
+    equal byte ranges, frame j = bytes[⌊j·n/k⌋ : ⌊(j+1)·n/k⌋). The
+    mapInPandas UDTF shape (one binary row in, k typed rows out) is the
+    real contract a frame sampler has at scale — per-batch Python cost,
+    bounded memory, no JVM round-trip per frame."""
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, lens, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for j in range(k):
+                    lo, hi = j * n // k, (j + 1) * n // k
+                    chunk = payload[lo:hi]
+                    ids.append(doc_id)
+                    nos.append(j)
+                    lens.append(len(chunk))
+                    md5s.append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_no": nos,
+                    "frame_n_bytes": lens,
+                    "frame_md5": md5s,
+                }
+            )
+
+    return df.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id bigint, bucket int, frac double"
+
+
+def byte_histogram_features(df: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Feature-extraction stage — and NOT a stub: a 16-bucket byte
+    histogram (bucket = high nibble) computed with one vectorized
+    numpy.bincount per document, the batch shape a real embedding model
+    would use (payload in, fixed-width feature vector out). Emitted long
+    (doc_id, bucket, frac) so the DuckDB oracle can recompute it
+    relationally from the hex encoding; frac is exact (integer count /
+    integer n as one double division)."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, buckets, fracs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr >> 4, minlength=n_buckets)
+                n = len(arr)
+                for b in range(n_buckets):
+                    ids.append(doc_id)
+                    buckets.append(b)
+                    fracs.append(counts[b] / n if n else 0.0)
+            yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "frac": fracs})
+
+    return df.mapInPandas(feats, schema=FEATURES_SCHEMA)

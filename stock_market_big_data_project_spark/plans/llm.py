@@ -22,7 +22,13 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from ..operators.multimodal import attach_binary_payload, decode_images
+from ..operators.multimodal import (
+    attach_binary_payload,
+    byte_histogram_features,
+    decode_images,
+    resize_images,
+    sample_frames,
+)
 from ..operators.similarity import (
     cosine_topk,
     ivf_cells,
@@ -464,3 +470,87 @@ def embedding_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing is partition pruning. Exact decimal dots → the argmax (ties to
     the lowest cell id) matches the oracle bit for bit."""
     return ivf_cells(_emb(spark, sf_dir), n_cells=8)
+
+
+# --- multimodal: resize / frame-sample / feature-extract stages -------------------
+_HEXDOCS = """
+    p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+"""
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle=f"""
+    WITH {_HEXDOCS}
+    SELECT doc_id,
+           CAST((16 + n % 64) // 2 AS INT) AS out_width,
+           CAST((16 + (n * 7) % 64) // 2 AS INT) AS out_height,
+           CAST((n + 3) // 4 AS INT) AS out_n_bytes,
+           md5(substring(hx, 1, CAST(2 * ((n + 3) // 4) AS BIGINT))) AS out_md5
+    FROM p
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize stage (STUB codec): dims halved, payload
+    "downsampled" to the first quarter of its bytes; the md5 fingerprint of
+    the output payload lets the oracle verify the binary result without a
+    BLOB md5 (hash of the uppercase hex, identical in both engines)."""
+    return resize_images(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH {_HEXDOCS},
+    f AS (
+      SELECT doc_id, hx, n, unnest(range(0, 4)) AS j FROM p
+    )
+    SELECT doc_id, CAST(j AS INT) AS frame_no,
+           CAST(((j + 1) * n) // 4 - (j * n) // 4 AS INT) AS frame_n_bytes,
+           md5(substring(hx, CAST(2 * ((j * n) // 4) + 1 AS BIGINT),
+                         CAST(2 * (((j + 1) * n) // 4 - (j * n) // 4) AS BIGINT)))
+             AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame-sampling stage (video STUB): each payload split into 4
+    equal byte ranges inside one mapInPandas pass — the UDTF shape a real
+    frame sampler has (binary in, k typed rows out, no per-frame JVM
+    round-trip)."""
+    return sample_frames(attach_binary_payload(_docs(spark, sf_dir)), k=4)
+
+
+@register(
+    "multimodal_byte_histogram",
+    oracle=f"""
+    WITH {_HEXDOCS},
+    idx AS (
+      SELECT doc_id, n, hx, unnest(range(0, n)) AS i FROM p
+    ), nib AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(hx, CAST(2 * i + 1 AS BIGINT), 1)) AS INT)
+               AS bucket
+      FROM idx
+    ), cnt AS (
+      SELECT doc_id, bucket, count(*) AS c FROM nib GROUP BY 1, 2
+    ), grid AS (
+      SELECT p.doc_id, p.n, b.b
+      FROM p CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+    )
+    SELECT g.doc_id, CAST(g.b AS INT) AS bucket,
+           CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(g.n AS DOUBLE) AS frac
+    FROM grid g
+    LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.bucket = g.b
+    """,
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage (REAL, not stubbed): 16-bucket byte
+    histogram via one vectorized numpy.bincount per document — the batch
+    shape an embedding model UDF has. The oracle recomputes it
+    relationally from the hex encoding (high nibble = bucket)."""
+    return byte_histogram_features(attach_binary_payload(_docs(spark, sf_dir)))
