@@ -1,0 +1,87 @@
+"""Skew mitigation (SURVEY.md §7 "What's hard" #5: hot symbols at scale).
+
+AQE's skew-join splitting handles most cases at runtime
+(`spark.sql.adaptive.skewJoin.enabled`, on in session.py); these utilities
+are the explicit fallback for the cases AQE cannot see:
+
+- a broadcast-immune skewed *equi-join* (both sides too big to broadcast,
+  one key carries 10% of the rows) → `salted_join`: the big side gets a
+  deterministic salt derived from a high-cardinality column, the small
+  side is exploded `n_salts`× — the hot key's rows now land on `n_salts`
+  tasks instead of one.
+- a skewed *window / groupBy key* → `two_stage_agg`: partial aggregate on
+  (key, salt) first, final aggregate on key — the classic combiner split
+  for algebraic aggregates.
+
+Both are pure plan rewrites: results are row-identical to the unsalted
+form (tests/test_skew.py asserts equality), only the shuffle layout
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key shuffle split `n_salts` ways.
+
+    `big` rows get salt = pmod(hash(salt_source or whole-row), n_salts);
+    `small` rows are replicated once per salt via a tiny posexplode — its
+    shuffle volume grows n_salts×, which is the price of splitting the hot
+    key. Join keys become (on, salt). Use when BOTH sides are too big to
+    broadcast and AQE's post-shuffle splitting can't help (e.g. the skew
+    is inside an aggregation feeding the join).
+    """
+    salt_col = (
+        F.hash(F.col(salt_source)) if salt_source else F.hash(*[F.col(c) for c in big.columns])
+    )
+    b = big.withColumn("_salt", F.pmod(salt_col, F.lit(n_salts)))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = b.join(s, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def two_stage_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skew-safe sum/count aggregation: partial agg on (keys, salt), final
+    agg on keys. Decimal-exact for sums (order-independent), counts exact.
+    Returns one row per key with `sum_<col>` and `n_rows` columns."""
+    salt_col = (
+        F.hash(F.col(salt_source)) if salt_source else F.hash(*[F.col(c) for c in df.columns])
+    )
+    partial = (
+        df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salts)))
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[
+                F.sum(F.col(c).cast("decimal(38,6)")).alias(f"_p_{c}")
+                for c in sum_cols
+            ],
+            F.count(F.lit(1)).alias("_p_n"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            F.sum(F.col(f"_p_{c}")).cast("double").alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        F.sum("_p_n").alias("n_rows"),
+    )
