@@ -554,3 +554,49 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape an embedding model UDF has. The oracle recomputes it
     relationally from the hex encoding (high nibble = bucket)."""
     return byte_histogram_features(attach_binary_payload(_docs(spark, sf_dir)))
+
+
+# --- dedup clustering: pairs → connected components -------------------------------
+@register(
+    "dedup_clusters_ngram",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({oracle_word_shingles(n=3)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster step of the dedup pipeline: 3-gram Jaccard pairs ≥ 0.3 →
+    connected components (iterative min-label propagation, one shuffle per
+    round, O(cluster-diameter) rounds) → (doc_id, cluster_id = min doc in
+    component). Keeping min(cluster) and dropping the rest is the canonical
+    near-dup dedup policy. The oracle computes the same fixpoint with a
+    recursive CTE."""
+    from ..operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
