@@ -30,17 +30,21 @@ HEADLINE = [
     "impute_group_mean",
     "temporal_split_80_20",
     "sessionize_events",
+    "session_window_native",
     # relational core (TPC-H tables)
     "q1_pricing_summary",
     "revenue_by_region",
     "brand_heavy_lineitems",
     "top10_significant_lineitems",
+    "cube_pricing_totals",
+    "customer_set_ops",
     # LLM-pipeline (documents/embeddings)
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats_quality",
+    "multimodal_byte_histogram",
     "embedding_bruteforce_topk",
     "embedding_lsh_buckets",
     "embedding_ivf_cells",
