@@ -30,6 +30,19 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query needs regardless of who built the session.
+
+    The driver harness runs queries in ITS OWN SparkSession (not
+    session.py's), so anything correctness-critical must be set here, at
+    scan time, not at session build time. UTC matters because the fixture
+    timestamps are naive-UTC and the DuckDB oracle is timezone-less —
+    `date_trunc`/`to_date` in a non-UTC session would shift day boundaries
+    and hash-mismatch every time-bucketed query.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (OP-06 re-expressed).
 
@@ -39,6 +52,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _pin_session_confs(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -61,6 +75,7 @@ def load_events(spark: SparkSession, sf_dir: str, min_ts: str | None = None) -> 
 
     from pyspark.sql import functions as F
 
+    _pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if min_ts is not None:
