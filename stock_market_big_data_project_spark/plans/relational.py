@@ -455,14 +455,25 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_pricing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE aggregate: all 4 grouping-set combinations in one pass —
-    subtotals and grand total materialize from the same shuffle instead of
-    4 separate scans."""
+    """CUBE aggregate: all 4 grouping-set combinations in one pass.
+
+    Pre-aggregate on the full (returnflag, linestatus) key FIRST, then cube
+    the handful of partial rows: Catalyst's CUBE runs Expand (one copy of
+    every input row per grouping set) *before* the aggregate, so cubing the
+    raw fact table pushes 4× the rows through the shuffle. Cubing the
+    partials is exact for these algebraic aggregates (decimal sums
+    reassociate losslessly, counts sum) and shrinks the Expand input from
+    |lineitem| to |distinct keys| ≈ 12 rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        exact_sum(F.col("l_quantity")).alias("sum_qty"),
-        exact_sum(F.col("l_extendedprice")).alias("sum_price"),
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast(EXACT_DECIMAL)).alias("_q"),
+        F.sum(F.col("l_extendedprice").cast(EXACT_DECIMAL)).alias("_p"),
+    )
+    return partial.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n_items"),
+        F.sum("_q").cast("double").alias("sum_qty"),
+        F.sum("_p").cast("double").alias("sum_price"),
     )
 
 
