@@ -524,3 +524,148 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", F.lit("only_1996").alias("segment_tag"))
     )
     return both.unionByName(only94)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping priority: selective dim filter broadcast into the
+# fact-fact join, then deterministic top-10 (reference join shape of
+# integrate/main.py:105-107 at its most selective; OP-22/24/45/46).
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective customer filter is broadcast into orders (no shuffle for
+    the dim join however large orders grows); only the surviving orders shuffle
+    against lineitem on the join key. The final top-10 is TakeOrderedAndProject
+    — per-partition heaps + a driver merge, never a global sort. Ties broken by
+    unique l_orderkey so the limit is deterministic across engines."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum(rev, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6-shaped promo revenue: the pure scan-filter-agg plan — every
+# predicate pushes to the parquet reader, result is one row. The canonical
+# "does the filter reach the scan" probe (OP-15/OP-37 family).
+# --------------------------------------------------------------------------
+@register(
+    "q6_promo_revenue",
+    oracle=f"""
+    SELECT {oracle_exact_sum('l_extendedprice * l_discount')} AS promo_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four conjunctive predicates, all pushed to the vectorized parquet
+    reader (min/max row-group pruning on l_shipdate at scale), then a single
+    partial+final decimal sum — the minimal-IO plan for a 100 TB scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount"), "promo_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact order-statistic quantiles (percentile_disc semantics) per group.
+# Deterministic across engines because the quantile *selects* an existing
+# value (row_number on a total order) instead of interpolating — no float
+# arithmetic to diverge (OP-31/36 family; the distributed exact-percentile
+# pattern).
+# --------------------------------------------------------------------------
+@register(
+    "quantiles_by_priority",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50_totalprice,
+           max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN o_totalprice END) AS p90_totalprice,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99_totalprice,
+           max(n) AS n_orders
+    FROM t
+    GROUP BY o_orderpriority
+    """,
+)
+def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 as order statistics: one shuffle on the group key,
+    in-partition sort, row_number + count windows share the same sort order
+    (single Window physical node), then a hash agg picks the selected rows.
+    The tie-break on unique o_orderkey makes rank→value total and identical
+    in any engine. At 100 TB the same plan holds per group; for ungrouped
+    global quantiles use approx_quantile_sketch (the sketch twin below)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    t = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+
+    def pick(p: float, alias: str):
+        hit = F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(hit, F.col("o_totalprice"))).alias(alias)
+
+    return t.groupBy("o_orderpriority").agg(
+        pick(0.50, "p50_totalprice"),
+        pick(0.90, "p90_totalprice"),
+        pick(0.99, "p99_totalprice"),
+        F.max("n").alias("n_orders"),
+    )

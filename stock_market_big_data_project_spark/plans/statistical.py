@@ -211,3 +211,46 @@ def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         series, key_col="symbol", ts_col="hour_ts", val_col="value",
         n_lags=24, horizon=168, train_frac=0.8,
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregates — the 100 TB scale path for distinct-count and quantile.
+# No oracle (HLL++ / KLL internals are engine-specific); accuracy is bounded
+# against the exact answers in tests/test_sketches.py instead.
+# --------------------------------------------------------------------------
+@register("approx_distinct_sketch")  # no oracle: HLL estimate, rows-only check
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type (rsd 1%). Unlike exact
+    COUNT(DISTINCT) — whose Expand+double-shuffle plan moves every distinct
+    key — the sketch is a fixed ~4 KB state per group merged map-side, so
+    network cost is O(groups), not O(distinct keys): the only viable
+    distinct-count at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register("approx_quantile_sketch")  # no oracle: sketch estimate, rows-only check
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch) of event value per
+    event_type: p50/p90/p99 in one pass with bounded error (accuracy 10000 →
+    ±0.01%%-ile), vs the exact window plan in quantiles_by_priority which
+    must shuffle + sort every row. The exact twin is the correctness oracle;
+    this is what actually runs at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            q.getItem(0).alias("p50_value"),
+            q.getItem(1).alias("p90_value"),
+            q.getItem(2).alias("p99_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,50 @@
+"""Accuracy bounds for the sketch aggregates (approx_distinct_sketch /
+approx_quantile_sketch) against their exact counterparts — the rows-only
+queries still have to be *close*, not just runnable."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+from stock_market_big_data_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+load_all_plans()
+
+
+def test_approx_distinct_within_rsd(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct_sketch"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        # rsd=0.01 → 1% standard error; 5 sigma margin never flakes.
+        assert abs(approx[et] - n) <= max(5, 0.05 * n), (et, approx[et], n)
+
+
+def test_approx_quantiles_bracket_exact_rank(spark):
+    approx = QUERIES["approx_quantile_sketch"](spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    for row in approx:
+        vals = sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == row["event_type"])
+            .select("value")
+            .collect()
+        )
+        n = len(vals)
+        for p, col in ((0.5, "p50_value"), (0.9, "p90_value"), (0.99, "p99_value")):
+            # sketch answer must sit within ±1% of the target rank
+            lo = vals[max(0, int((p - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((p + 0.01) * n))]
+            assert lo <= row[col] <= hi, (row["event_type"], col, row[col], lo, hi)
