@@ -38,6 +38,11 @@ HEADLINE = [
     "top10_significant_lineitems",
     "cube_pricing_totals",
     "customer_set_ops",
+    "q3_shipping_priority",
+    "q6_promo_revenue",
+    "quantiles_by_priority",
+    "approx_distinct_sketch",
+    "approx_quantile_sketch",
     # LLM-pipeline (documents/embeddings)
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
