@@ -32,6 +32,7 @@ from ..operators.multimodal import (
 from ..operators.similarity import (
     cosine_topk,
     ivf_cells,
+    ivf_probe_topk,
     lsh_bucket,
     near_dup_pairs,
 )
@@ -600,3 +601,72 @@ def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH {_VECS},
+    cents AS (
+      SELECT c, d,
+             (CAST(('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 8)) AS c),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), cdots AS (
+      SELECT x.vec_id, ce.c,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * ce.comp
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v x JOIN cents ce ON ce.d = x.d
+      GROUP BY 1, 2
+    ), assign AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c) AS rn
+        FROM cdots WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id
+    ), pdots AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             CAST(sum(CAST(CAST(qa.val AS DOUBLE) * CAST(nb.val AS DOUBLE)
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM cand ca
+      JOIN v qa ON qa.vec_id = ca.query_id
+      JOIN v nb ON nb.vec_id = ca.neighbor_id AND nb.d = qa.d
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (sqrt(na.norm2) * sqrt(nb.norm2)) DESC,
+                        neighbor_id) AS rank
+      FROM pdots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 9) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN top-5 for the same 10 queries as the brute-force
+    baseline: probe the 2 best of 8 cells per query, exact-rescore only
+    those cells' vectors (~n/4 candidates vs n). Deterministic centroids +
+    decimal dots make even this *approximate* search bit-exact against the
+    oracle; at scale the corpus is partitionBy(cell) so the probe is
+    partition pruning (see operators/similarity.py::ivf_probe_topk)."""
+    emb = _emb(spark, sf_dir)
+    return ivf_probe_topk(emb, emb.filter(F.col("vec_id") < 10))

@@ -669,3 +669,28 @@ def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.99, "p99_totalprice"),
         F.max("n").alias("n_orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# The SQL entry point: one ANSI text, two engines. The engine's query
+# surface is equally reachable through spark.sql() over registered views —
+# this query's Spark side and its DuckDB oracle are the SAME string.
+# --------------------------------------------------------------------------
+_SQL_BOTH_ENGINES = """
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority, CAST(year(o_orderdate) AS INT)
+"""
+
+
+@register("sql_interface_revenue", oracle=_SQL_BOTH_ENGINES)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative parity proof: the literal oracle string is executed by
+    spark.sql() over a temp view — Catalyst plans it to the identical
+    scan→partial-agg→final-agg as the DataFrame API (SQL and DataFrame are
+    the same logical plan language)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_BOTH_ENGINES)

@@ -32,3 +32,25 @@ def test_tree_sum_depth_keeps_scale():
     # Spark's allowPrecisionLoss would silently drop the scale.
     depth = int(np.ceil(np.log2(64)))
     assert 18 + depth + 1 < 38
+
+
+def test_ivf_probe_recall_and_consistency(spark):
+    """IVF (probe 2/8 cells) vs brute force on the same 10 queries: recall
+    must beat the random-cell floor (n_probe/n_cells = 0.25, minus margin
+    for the tiny fixture), and any pair both searches return must carry the
+    identical exact-decimal cosine (the rescore path is shared)."""
+    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+
+    load_all_plans()
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in QUERIES["embedding_bruteforce_topk"](spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in QUERIES["embedding_ivf_topk"](spark, SF_DIR).collect()
+    }
+    common = set(bf) & set(ivf)
+    assert len(common) / len(bf) >= 0.2
+    for pair in common:
+        assert bf[pair] == ivf[pair], pair

@@ -9,8 +9,11 @@ what is shown (coalescing, skew splitting, dynamic broadcast).
 
 from __future__ import annotations
 
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
