@@ -814,3 +814,55 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OP-63 scale path: incremental MERGE/upsert instead of full recompute.
+# Snapshot = events before the cutoff; delta = events after it, where
+# low-value records are tombstones. One window over the union — O(delta),
+# not O(history) (operators/merge.py).
+# --------------------------------------------------------------------------
+@register(
+    "merge_upsert_snapshot",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_type, ts, value, event_id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END AS src,
+             (ts >= TIMESTAMP '2024-01-20 00:00:00' AND value < 1.0) AS del
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, src DESC, event_id DESC) AS rn
+      FROM tagged
+    )
+    SELECT user_id, event_type, ts, value, event_id
+    FROM ranked WHERE rn = 1 AND NOT del
+    """,
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a tombstone-carrying delta into the snapshot, latest version
+    per (user_id, event_type) wins, update beats snapshot on timestamp
+    ties, tombstoned keys drop out. The whole fold is one shuffle on the
+    merge key — at 100 TB it is sized by the delta plus touched snapshot
+    partitions, never by history (the reference recomputes history each
+    run: preprocess_function/main.py:14-39)."""
+    from ..operators.merge import merge_upsert
+
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    base = ev.filter(F.col("ts") < cutoff).withColumn("_tomb", F.lit(False))
+    updates = ev.filter(F.col("ts") >= cutoff).withColumn(
+        "_tomb", F.col("value") < 1.0
+    )
+    merged = merge_upsert(
+        base.select("user_id", "event_type", "ts", "value", "event_id", "_tomb"),
+        updates,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        delete_col="_tomb",
+        tiebreak=["event_id"],
+    )
+    return merged.select("user_id", "event_type", "ts", "value", "event_id")
