@@ -7,12 +7,12 @@ incremental form is O(delta): fold a batch of keyed updates (upserts +
 tombstones) into the previous snapshot, keeping the latest version per key
 — Delta Lake's MERGE semantics expressed as one window over the union.
 
-At 100 TB: one shuffle on the merge key, sized by |snapshot ∩ touched
-partitions| + |delta|, not by history. On a bucketed/partitioned snapshot
-the shuffle disappears for the snapshot side entirely (see
-tests/test_bucketing.py for the layout proof pattern); with
-partition-pruning on the delta's key range only touched partitions are
-even read.
+At 100 TB: one shuffle on the merge key, sized by what the caller feeds
+in. The O(delta) contract therefore depends on the CALLER restricting the
+snapshot side to the partitions the delta touches (partition-prune the
+snapshot scan on the delta's key/date range, rewrite only those
+partitions); the union window shuffles everything it is given, so feeding
+full history would forfeit the win.
 """
 
 from __future__ import annotations

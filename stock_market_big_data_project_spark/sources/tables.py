@@ -143,3 +143,50 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = (),
+) -> int:
+    """Compact a small-files parquet directory into ~target-sized files.
+
+    Streaming ingestion (one file per micro-batch per partition — OP-61)
+    degrades scans at scale: each tiny file costs a task, a footer read and
+    a driver listing entry, so 100 TB of 1 MB files is ~10⁸ scheduler units.
+    Compaction rewrites the directory into ⌈total/target⌉ files; with
+    `sort_cols` the rewrite is range-partitioned + sorted so min/max
+    row-group stats become selective (the pushed-filter pruning the
+    streaming writer destroyed). Returns the number of output files.
+
+    Scale notes: size is measured from the source footprint (no data
+    scan); the rewrite is one pass — `repartitionByRange` samples the sort
+    key, shuffles once, writes sorted runs. Run per partition-directory for
+    an incremental table so only fresh partitions are touched.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    summary = fs.getContentSummary(path)
+    n_files = max(1, math.ceil(summary.getLength() / target_file_bytes))
+
+    df = spark.read.parquet(src)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dest)
+    out = jvm.org.apache.hadoop.fs.Path(dest)
+    return sum(
+        1
+        for st in fs.listStatus(out)
+        if st.getPath().getName().endswith(".parquet")
+    )
