@@ -71,12 +71,27 @@ def main() -> None:
     # timings measure the queries, not the first-task compilation cost.
     from stock_market_big_data_project_spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "events").groupBy("event_type").count().write.format(
+    # Cover each engine path a headline query will hit first — hash agg,
+    # window/sort, broadcast join, explode — so the first *measured* query
+    # isn't also paying that machinery's first-use compilation.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.groupBy("event_type").count().write.format("noop").mode("overwrite").save()
+    li = load_table(spark, sf_dir, "lineitem")
+    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    w = Window.partitionBy("event_type").orderBy("ts")
+    ev.select(F.row_number().over(w).alias("rn"), F.lag("value").over(w)).write.format(
         "noop"
     ).mode("overwrite").save()
-    load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().write.format(
-        "noop"
-    ).mode("overwrite").save()
+    nation = load_table(spark, sf_dir, "nation")
+    li.join(F.broadcast(nation), li.l_suppkey % 25 == nation.n_nationkey).select(
+        "n_name"
+    ).write.format("noop").mode("overwrite").save()
+    ev.select(F.explode(F.sequence(F.lit(1), F.lit(2)))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
