@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_stats_quality",
+    "clean_corpus_pipeline",
     "multimodal_byte_histogram",
     "embedding_bruteforce_topk",
     "embedding_lsh_buckets",

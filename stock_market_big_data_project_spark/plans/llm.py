@@ -670,3 +670,103 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning (see operators/similarity.py::ivf_probe_topk)."""
     emb = _emb(spark, sf_dir)
     return ivf_probe_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+# --- deterministic stable sampling ----------------------------------------------
+@register(
+    "doc_sample_stable",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {oracle_md5_hash64("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+             AS bucket
+    FROM documents
+    WHERE {oracle_md5_hash64("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 10
+    """,
+)
+def doc_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% sample, stable by key: a document is in or out forever,
+    regardless of partitioning, cluster size, or reruns — unlike
+    df.sample(), whose membership changes with the split layout. Hash
+    sampling is how a training pipeline carves held-out sets at 100 TB:
+    a narrow map, no shuffle, and downstream joins on the sample stay
+    consistent across tables sampled with the same salt+key."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        md5_hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < 10)
+    )
+
+
+# --- the end-to-end C4-style cleaning chain -------------------------------------
+@register(
+    "clean_corpus_pipeline",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             {_lang_score_sql(LANG_MARKERS["en"])} AS s_en,
+             {_lang_score_sql(LANG_MARKERS["es"])} AS s_es,
+             {_lang_score_sql(LANG_MARKERS["zh"])} AS s_zh,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, text, n_tokens,
+             CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted_lang,
+             round(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                   + (1.0 - n_stop / n_tokens) * 0.5, 6) AS quality_score
+      FROM s
+    ), f AS (
+      SELECT * FROM scored
+      WHERE predicted_lang = 'en' AND quality_score >= 0.55
+    )
+    SELECT min(doc_id) AS doc_id,
+           min(n_tokens) AS n_tokens,
+           min(quality_score) AS quality_score,
+           count(*) AS n_copies
+    FROM f GROUP BY md5(text)
+    """,
+)
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style cleaning chain as ONE Catalyst DAG: language-ID →
+    quality scoring → threshold filter → exact dedup (keep lowest doc id).
+    Everything before the dedup is a narrow map over the scan; the single
+    shuffle is the dedup's hash aggregate on md5(text) — i.e. cleaning
+    100 TB costs one pass + one 128-bit-key shuffle of the survivors.
+    Duplicates share identical text, so min() over copies is exact."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    nt = F.col("n_tokens")
+    scored = d.select(
+        "doc_id",
+        "text",
+        predict_lang(F.col("text")).alias("predicted_lang"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+    ).select(
+        "doc_id",
+        "text",
+        "predicted_lang",
+        "n_tokens",
+        F.round(
+            F.least(nt / F.lit(50.0), F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - F.try_divide(F.col("n_stop"), nt)) * 0.5,
+            6,
+        ).alias("quality_score"),
+    )
+    f = scored.filter(
+        (F.col("predicted_lang") == "en") & (F.col("quality_score") >= 0.55)
+    )
+    return (
+        f.groupBy(F.md5("text"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality_score").alias("quality_score"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("md5(text)")
+    )
