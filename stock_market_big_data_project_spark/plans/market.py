@@ -866,3 +866,55 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["event_id"],
     )
     return merged.select("user_id", "event_type", "ts", "value", "event_id")
+
+
+# --------------------------------------------------------------------------
+# Interval (range) join: purchases ⋈ same-user clicks in the preceding hour
+# — the batch twin of streaming/ingest.py::interval_join_streams, and the
+# range-join family the as-of join (OP-26) generalizes.
+# --------------------------------------------------------------------------
+@register(
+    "interval_join_purchase_click",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           date_diff('microsecond', c.ts, p.ts) AS gap_micros
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on user_id with the interval as a post-join range filter:
+    one shuffle per side on the join key, never a time-cross-join. At 100 TB
+    both sides are additionally partition-pruned to overlapping time ranges
+    before the join; streaming twin (state-bounded) in streaming/ingest.py."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_micros"),
+        )
+    )

@@ -110,3 +110,52 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def interval_join_streams(
+    events_stream: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks in the preceding `within` window.
+
+    Both sides carry watermarks and the join condition bounds c.ts relative
+    to p.ts, so Spark can compute exactly how long a click must be buffered
+    (watermark + interval) and evicts state beyond it — the state-bounded
+    form of the batch range join registered as
+    ``interval_join_purchase_click``. Without the time bound the state
+    would grow forever; with it, per-key state is O(events within the
+    interval + watermark).
+    """
+    p = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    c = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {within}"
+            " AND c_ts <= p_ts"
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_micros"),
+    )

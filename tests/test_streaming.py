@@ -140,3 +140,27 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, events_stream_dir)
     want_s = want.sort_values(key).reset_index(drop=True)
     assert len(got_s) > 0
     pd.testing.assert_frame_equal(got_s, want_s[got_s.columns], check_like=True)
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir, events_stream_dir):
+    """Stream-stream interval join (purchases ⋈ preceding-hour clicks) over
+    the replayed fixture must produce exactly the batch range join's rows —
+    inner interval joins emit results as matches arrive, so even the final
+    watermark leaves nothing held back on a finite replay."""
+    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+    from stock_market_big_data_project_spark.streaming.ingest import (
+        interval_join_streams,
+    )
+
+    load_all_plans()
+    stream = read_events_stream(spark, events_stream_dir)
+    run_to_memory(interval_join_streams(stream), "ij_out")
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_micros"])
+        for r in spark.table("ij_out").collect()
+    }
+    want = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_micros"])
+        for r in QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
