@@ -128,3 +128,65 @@ def test_asof_join_empty_right(spark, how):
     got = asof_join(ldf, rdf, "k", "ts", ["rv"]).toPandas()
     assert len(got) == 2
     assert got["rv"].isna().all()
+
+
+# --- merge_upsert vs a pandas model ------------------------------------------
+
+# (key, minute-offset, value, tombstone) rows for both snapshot and delta;
+# duplicate (key, ts) pairs across and within sides exercise the tie rules.
+merge_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key
+        st.integers(min_value=0, max_value=30),       # minute offset
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.booleans(),                                # tombstone
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(base_rows=merge_rows_st, upd_rows=merge_rows_st)
+def test_merge_upsert_matches_pandas_model(spark, base_rows, upd_rows):
+    from stock_market_big_data_project_spark.operators.merge import merge_upsert
+
+    def pdf(rows, src):
+        return pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "ts": [BASE + pd.Timedelta(minutes=r[1]) for r in rows],
+                "v": [r[2] for r in rows],
+                "tomb": [r[3] for r in rows],
+                "rid": [src * 1000 + i for i in range(len(rows))],
+                "_src": src,
+            }
+        )
+
+    base_pd, upd_pd = pdf(base_rows, 0), pdf(upd_rows, 1)
+    cols = ["k", "ts", "v", "tomb", "rid"]
+    schema = "k long, ts timestamp, v double, tomb boolean, rid long"
+    got = {
+        (r["k"], r["rid"])
+        for r in merge_upsert(
+            spark.createDataFrame(base_pd[cols], schema=schema),
+            spark.createDataFrame(upd_pd[cols], schema=schema),
+            keys=["k"],
+            ts_col="ts",
+            delete_col="tomb",
+            tiebreak=["rid"],
+        ).collect()
+    }
+
+    allrows = pd.concat([base_pd, upd_pd])
+    want = set()
+    if len(allrows):
+        winners = (
+            allrows.sort_values(["ts", "_src", "rid"])
+            .groupby("k", as_index=False)
+            .last()
+        )
+        want = {
+            (r.k, r.rid) for r in winners.itertuples() if not r.tomb
+        }
+    assert got == want
