@@ -120,6 +120,13 @@ def main() -> None:
         read_events_stream,
     )
 
+    # State-store partitions are fixed at a stream's first checkpoint from
+    # spark.sql.shuffle.partitions — size them to state volume, not to the
+    # batch-side shuffle width: this stream keeps ~5 keys × hours of tiny
+    # window state, where 32 store instances are pure per-task overhead
+    # (measured 2.2 s @ 32 → 0.96 s @ 8 for the same replay).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     with tempfile.TemporaryDirectory() as td:
         shutil.copy(f"{sf_dir}/events.parquet", f"{td}/part-000.parquet")
         t0 = time.perf_counter()
@@ -137,6 +144,7 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     total = round(sum(timings.values()), 3)
     print(
