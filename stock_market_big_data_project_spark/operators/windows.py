@@ -26,12 +26,15 @@ def pct_change(
     df: DataFrame, key_col: str, ts_col: str, val_col: str, out: str = "ret_1h",
     tiebreak: str | None = None,
 ) -> DataFrame:
-    """OP-38 — ``c.pct_change()`` = (v - lag(v)) / lag(v) per key."""
+    """OP-38 — ``c.pct_change()`` per key. pandas computes it as
+    ``v / shift(v) − 1`` (divide-then-subtract), which differs from
+    ``(v − shift(v)) / shift(v)`` by an ulp — this uses pandas' exact form
+    so the differential tests match bitwise."""
     w = key_window(key_col, ts_col, tiebreak)
     prev = F.lag(val_col, 1).over(w)
     # try_divide: NULL on zero divisor regardless of ANSI mode — matches both
     # the DuckDB oracle and pandas' inf-free cleaned path.
-    return df.withColumn(out, F.try_divide(F.col(val_col) - prev, prev))
+    return df.withColumn(out, F.try_divide(F.col(val_col), prev) - 1)
 
 
 def lead_col(

@@ -140,7 +140,7 @@ WITH clean AS (
   FROM merged
 ), ret AS (
   SELECT *,
-         (c - lag(c) OVER w) / lag(c) OVER w AS ret_1h
+         c / lag(c) OVER w - 1 AS ret_1h
   FROM imputed
   WINDOW w AS (PARTITION BY symbol ORDER BY hour_ts)
 )

@@ -64,7 +64,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly
     )
     SELECT symbol, hour_ts AS last_ts, price AS last_price, prev_price,
-           (price - prev_price) / prev_price AS ret_1h
+           price / prev_price - 1 AS ret_1h
     FROM ret WHERE rn = 1
     """,
 )
@@ -86,7 +86,7 @@ def flagship_market_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_ts").alias("last_ts"),
         F.col("price").alias("last_price"),
         "prev_price",
-        F.try_divide(F.col("price") - F.col("prev_price"), F.col("prev_price")).alias(
+        (F.try_divide(F.col("price"), F.col("prev_price")) - 1).alias(
             "ret_1h"
         ),
     )
@@ -365,8 +365,8 @@ def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id AS symbol, ts,
-           (value - prev_value) / prev_value AS ret_1h,
-           lead((value - prev_value) / prev_value)
+           value / prev_value - 1 AS ret_1h,
+           lead(value / prev_value - 1)
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret_1h_next
     FROM r
     """,
@@ -511,7 +511,7 @@ def temporal_split_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "volatility_flag",
     oracle="""
     WITH r AS (
-      SELECT user_id, (value - lag(value) OVER w) / lag(value) OVER w AS ret
+      SELECT user_id, value / lag(value) OVER w - 1 AS ret
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
@@ -544,7 +544,7 @@ def volatility_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returns_histogram",
     oracle="""
     WITH r AS (
-      SELECT (value - lag(value) OVER w) / lag(value) OVER w AS ret
+      SELECT value / lag(value) OVER w - 1 AS ret
       FROM events WHERE user_id = 3
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), b AS (
