@@ -9,6 +9,8 @@ match the equivalent pandas program exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -39,8 +41,9 @@ series_st = st.lists(
     unique_by=lambda t: t[0],
 )
 
+# HYP_EXAMPLES=200 for a deep sweep; 12 keeps the default suite fast.
 SETTINGS = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("HYP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
