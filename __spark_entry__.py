@@ -11,9 +11,17 @@ just exposes the registry (plans/registry.py) in the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The driver may exec this file by path from any CWD; the package lives
+# next to it.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from stock_market_big_data_project_spark.plans import (
     ORACLES,
