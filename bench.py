@@ -31,6 +31,7 @@ HEADLINE = [
     "temporal_split_80_20",
     "sessionize_events",
     "session_window_native",
+    "hourly_ohlc_bars",
     # relational core (TPC-H tables)
     "q1_pricing_summary",
     "revenue_by_region",

@@ -918,3 +918,45 @@ def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hourly OHLC bars — the canonical market resample implied by the OHLCV
+# source (OP-02): open/close are positional firsts/lasts in the bar,
+# high/low plain extrema. All four are *selected* values (no arithmetic),
+# so the bars are bit-exact on any engine or partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "hourly_ohlc_bars",
+    oracle="""
+    SELECT user_id AS symbol,
+           date_trunc('hour', ts) AS hour_ts,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY ts, event_id) AS close,
+           count(*) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash aggregate with map-side combine: min_by/max_by over the
+    (ts, event_id) total order give open/close without any window or sort,
+    so the whole bar build is a single shuffle keyed (symbol, hour) — the
+    same plan at 100 TB, with partial bars merged associatively."""
+    ev = load_events(spark, sf_dir)
+    order_key = F.struct("ts", "event_id")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+        )
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
