@@ -42,7 +42,18 @@ def salted_join(
     key. Join keys become (on, salt). Use when BOTH sides are too big to
     broadcast and AQE's post-shuffle splitting can't help (e.g. the skew
     is inside an aggregation feeding the join).
+
+    Only ``inner`` and ``left`` preserve row-identity with the unsalted
+    join: the small side is replicated ``n_salts``×, so a right/full outer
+    join would emit each UNMATCHED small-side row once per salt. Those
+    modes are rejected rather than silently wrong.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "outer modes would duplicate unmatched small-side rows "
+            "n_salts times"
+        )
     salt_col = (
         F.hash(F.col(salt_source)) if salt_source else F.hash(*[F.col(c) for c in big.columns])
     )

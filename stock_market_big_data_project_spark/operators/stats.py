@@ -139,6 +139,7 @@ def granger_causality(
     target_col: str,
     predictor_cols: list[str],
     maxlag: int = 5,
+    ts_col: str = "hour_ts",
 ) -> DataFrame:
     """OP-65 — per (symbol, predictor): p-values for lags 1..maxlag.
 
@@ -146,12 +147,13 @@ def granger_causality(
     with the target, min-rows guard ``len < maxlag + 2`` emits an error row
     (predictor, NULL lag, NaN p, message), p-values rounded to 5 dp
     (analysis_part/main.py:68). applyInPandas keyed by symbol — Arrow
-    batches, all symbols in parallel.
+    batches, all symbols in parallel. ``ts_col`` names the chronological
+    sort column inside each group (the input need not be pre-sorted).
     """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         sym = pdf[key_col].iloc[0]
-        pdf = pdf.sort_values("hour_ts")
+        pdf = pdf.sort_values(ts_col)
         rows: list[tuple] = []
         for pred in predictor_cols:
             sub = pdf[[target_col, pred]].dropna()

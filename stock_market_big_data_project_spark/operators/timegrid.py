@@ -99,17 +99,18 @@ def resample_ffill(
         ),
     )
     out = expanded.select(key_col, F.col("_grid_h").alias(ts_col), *val_cols)
-    if len(val_cols) > 1:
-        # pandas ffill is per-column independent: a column unobserved at this
-        # observation hour still carries ITS last value — one more window on
-        # the same key partitioning (no extra shuffle).
-        wff = (
-            Window.partitionBy(key_col)
-            .orderBy(ts_col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        for v in val_cols:
-            out = out.withColumn(v, F.last(v, ignorenulls=True).over(wff))
+    # pandas ffill is per-column independent: a column unobserved (NULL) at
+    # this observation hour still carries ITS last non-null value — one more
+    # window on the same key partitioning (no extra shuffle). Applied
+    # unconditionally: even with a single value column, a NULL observation
+    # must fill from the previous non-null, matching resample().ffill().
+    wff = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for v in val_cols:
+        out = out.withColumn(v, F.last(v, ignorenulls=True).over(wff))
     return out
 
 

@@ -81,8 +81,8 @@ def temporal_split_flag(
     tiebreak: str | None = None, out: str = "is_train",
 ) -> DataFrame:
     """OP-44 — 80/20 positional split on time-sorted rows per key
-    (analysis_part/main.py:91-93): first ceil(0.8*n) rows are train, exactly
-    pandas' ``iloc[:int(len*0.8)]`` boundary.
+    (analysis_part/main.py:91-93): first floor(0.8*n) rows are train (int
+    truncation), exactly pandas' ``iloc[:int(len*0.8)]`` boundary.
     """
     w = key_window(key_col, ts_col, tiebreak)
     cnt = Window.partitionBy(key_col)

@@ -124,6 +124,26 @@ def test_asof_join_matches_merge_asof(spark, left_obs, right_obs):
     )
 
 
+def test_resample_ffill_single_col_null_obs(spark):
+    # A NULL observed value must fill from the previous non-null hour even
+    # with a single value column (the ffill window applies unconditionally).
+    pdf = pd.DataFrame(
+        {
+            "k": 0,
+            "ts": [BASE, BASE + pd.Timedelta(hours=2)],
+            "v": [5.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        resample_ffill(df, "k", "ts", ["v"])
+        .toPandas()
+        .sort_values("ts")["v"]
+        .tolist()
+    )
+    assert got == [5.0, 5.0, 5.0]
+
+
 @pytest.mark.parametrize("how", ["empty_right"])
 def test_asof_join_empty_right(spark, how):
     ldf, _ = _spark_df(spark, [(0, 1.0), (60, 2.0)])

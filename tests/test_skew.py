@@ -36,6 +36,25 @@ def test_salted_join_matches_plain(spark, skewed):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_salted_join_left_matches_plain(spark, skewed):
+    big, small = skewed
+    # left join with a small side missing some keys: unmatched big rows kept once
+    part = small.filter(F.col("k") < 25)
+    plain = big.join(part, "k", "left").select("row_id", "name")
+    salted = salted_join(
+        big, part, "k", n_salts=8, salt_source="row_id", how="left"
+    ).select("row_id", "name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_rejects_outer_modes(spark, skewed):
+    big, small = skewed
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(big, small, "k", how=how)
+
+
 def test_two_stage_agg_matches_plain(spark, skewed):
     big, _ = skewed
     plain = (
