@@ -48,7 +48,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     "text_stats_quality",
     "clean_corpus_pipeline",
     "multimodal_byte_histogram",

@@ -140,6 +140,72 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str = "simhash",
+    bits: int = 60,
+    bands: int = 4,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via a banded hamming join.
+
+    The 60-bit fingerprint is split into ``bands`` disjoint prefixes
+    (4×15 bits). By pigeonhole, two fingerprints within hamming distance
+    ``max_dist`` < ``bands`` agree on at least one whole band, so an
+    equi-join on (band, band_key) finds EVERY qualifying pair — recall is
+    exact, not probabilistic — while candidates meet in hash buckets
+    instead of an O(n²) cross join. Survivors are verified with
+    ``bit_count(a XOR b) <= max_dist``.
+
+    The differential oracle is the brute-force all-pairs hamming join —
+    equality proves the banding loses nothing.
+    """
+    if max_dist >= bands:
+        raise ValueError(
+            f"pigeonhole completeness needs max_dist < bands, got "
+            f"{max_dist} >= {bands}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col(id_col),
+        F.col(fp_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftright(F.col(fp_col), t * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for t in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "_fp", "bk.band", "bk.band_key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_fp").alias("_fp_a"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_fp").alias("_fp_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can collide in several bands — dedup before the verify
+        .select("id_a", "id_b", "_fp_a", "_fp_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b"))).cast("int")
+    return (
+        cand.withColumn("hamming_dist", dist)
+        .filter(F.col("hamming_dist") <= max_dist)
+        .select("id_a", "id_b", "hamming_dist")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 60
 ) -> DataFrame:

@@ -21,6 +21,7 @@ from ..operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    simhash_hamming_pairs,
 )
 from ..operators.multimodal import (
     attach_binary_payload,
@@ -134,7 +135,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash -----------------------------------------------------------------
 @register(
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {oracle_md5_hash64("unnest(" + _TOKS + ")")} AS h
@@ -145,18 +146,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, j,
              sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM votes GROUP BY 1, 2
+    ), fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bit_sums GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM bit_sums GROUP BY doc_id
+    -- brute-force all-pairs hamming join: the exact semantics the banded
+    -- Spark plan must reproduce (pigeonhole completeness, dist<=3 < 4 bands)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming_dist
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprints (near-dups differ in ≤3 bits; the pair
-    scan over fingerprints is a follow-up hamming join on band prefixes)."""
-    out = simhash_fingerprints(_docs(spark, sf_dir), "doc_id", "text", bits=60)
-    return out.select("doc_id", "simhash")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints + banded hamming pair join: 4×15-bit
+    prefixes, equi-join on any shared band, verify bit_count(xor) <= 3.
+    Recall is exact by pigeonhole (3 < 4 bands); the oracle is the
+    brute-force all-pairs join, so a hash-match proves the banded plan
+    loses nothing while never materializing O(n²)."""
+    fps = simhash_fingerprints(_docs(spark, sf_dir), "doc_id", "text", bits=60)
+    return simhash_hamming_pairs(
+        fps, "doc_id", bits=60, bands=4, max_dist=3
+    )
 
 
 # --- text stats / quality scoring ---------------------------------------------
