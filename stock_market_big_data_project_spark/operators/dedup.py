@@ -34,7 +34,12 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
 
@@ -45,11 +50,31 @@ def ngram_jaccard_pairs(
     count (reusing the doc-partitioned exchange the shingling itself needs),
     so n_a/n_b ride through the candidate join and the old sizes-table
     branch — a third full recompute of the shingle pipeline plus two extra
-    joins — disappears. Hot shingles (common phrases) are the skew risk —
-    AQE skew-join handles them, or drop top-frequency shingles as
-    stop-shingles.
+    joins — disappears.
+
+    Hot shingles (common phrases) are the skew risk: a shingle shared by m
+    docs makes an m² candidate bucket in the self-join. ``max_doc_frac``
+    drops shingles whose document frequency exceeds that fraction of the
+    corpus BEFORE the join (stop-shingle cut): one extra map-side-combined
+    agg on shingle_hash plus a broadcast anti-join against the (by
+    construction tiny) hot list — no window sort, no extra big shuffle.
+    Jaccard is then computed over the filtered shingle sets (both numerator
+    and denominators), so the semantics stay a true set Jaccard. On a
+    corpus with no hot shingles the output is row-identical to the
+    unfiltered form (tests/test_skew.py).
     """
-    sh = word_shingles(df, id_col, text_col, n).withColumn(
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_doc_frac is not None:
+        ndocs = df.select(F.count(F.lit(1)).alias("_ndocs"))
+        hot = (
+            sh.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(ndocs))
+            .filter(F.col("_df") > F.col("_ndocs") * F.lit(max_doc_frac))
+            .select("shingle_hash")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle_hash", "left_anti")
+    sh = sh.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
     a = sh.select(

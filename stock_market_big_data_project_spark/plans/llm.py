@@ -78,7 +78,15 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({oracle_word_shingles(n=3)}),
+    WITH sh0 AS ({oracle_word_shingles(n=3)}),
+    hot AS (
+      SELECT shingle_hash FROM sh0 GROUP BY shingle_hash
+      HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ),
+    sh AS (
+      SELECT * FROM sh0
+      WHERE shingle_hash NOT IN (SELECT shingle_hash FROM hot)
+    ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     shared AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -96,9 +104,13 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.3 via inverted shingle index — the
-    candidate join is keyed on a 60-bit shingle hash (16-byte shuffle rows)."""
+    candidate join is keyed on a 60-bit shingle hash (16-byte shuffle rows).
+    Stop-shingles (doc frequency > 5% of the corpus) are cut before the
+    self-join so a common phrase can never make a quadratic bucket; the
+    oracle mirrors the cut."""
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3,
+        max_doc_frac=0.05,
     )
 
 

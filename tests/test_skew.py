@@ -55,6 +55,55 @@ def test_salted_join_rejects_outer_modes(spark, skewed):
             salted_join(big, small, "k", how=how)
 
 
+def test_ngram_stop_shingle_cut_identity_when_no_hot(spark):
+    # No shingle crosses the doc-frequency threshold -> filtered output is
+    # row-identical to the unfiltered one.
+    from stock_market_big_data_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "one two three four five six"),
+            (4, "one two three four five seven"),
+            (5, "totally unrelated words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    cut = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_doc_frac=0.9
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, cut.collect()))
+    assert plain.count() > 0  # non-vacuous
+
+
+def test_ngram_stop_shingle_cut_kills_hot_bucket(spark):
+    # Every doc shares one hot phrase; otherwise all-unique. Unfiltered, the
+    # hot shingle makes a quadratic candidate bucket (C(n,2) pairs at
+    # threshold 0); with the cut the bucket disappears entirely.
+    from stock_market_big_data_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    n_docs = 20
+    docs = spark.createDataFrame(
+        [
+            (i, f"common hot phrase unique{i}a unique{i}b unique{i}c")
+            for i in range(n_docs)
+        ],
+        "doc_id long, text string",
+    )
+    unfiltered = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    assert unfiltered.count() == n_docs * (n_docs - 1) // 2
+    cut = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_doc_frac=0.5
+    )
+    assert cut.count() == 0
+
+
 def test_two_stage_agg_matches_plain(spark, skewed):
     big, _ = skewed
     plain = (
