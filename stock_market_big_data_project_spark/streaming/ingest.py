@@ -22,18 +22,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Schema as stored on disk: ts is int64 nanoseconds (see sources/tables.py —
-# Spark cannot read parquet TIMESTAMP(NANOS) natively).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Schema as stored on disk under pyspark ≤ 4.1.1: ts is int64 nanoseconds
+# (legacy nanosAsLong read — see sources/tables.py::load_events for the
+# two-runtime story).
+EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
@@ -41,14 +46,22 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
 
     In production this is Kafka/Kinesis; a parquet directory source has the
     same incremental-execution semantics (new files = new micro-batch).
+
+    The fixture's ts is parquet TIMESTAMP(NANOS); a one-file batch probe
+    (footer read only) decides whether this runtime surfaces it as raw
+    int64 nanos (≤ 4.1.1 + legacy conf) or native timestamp_ntz (≥ 4.1.2),
+    and the stream schema follows suit.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe_type = spark.read.parquet(dir_path).schema["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(probe_type))
         .format("parquet")
         .load(dir_path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probe_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_tumbling_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
