@@ -101,6 +101,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_on_candidates(
+    sh: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-Jaccard restricted to a candidate pair list — the verify
+    step of the LSH dedup chain (candidates → exact rescore → clusters).
+
+    ``sh`` is the inverted shingle index (id, shingle_hash; distinct per
+    doc), ``cand`` the (id_a, id_b) candidates. Unlike the full self-join in
+    `ngram_jaccard_pairs`, the work here is proportional to the CANDIDATE
+    volume (two equi-joins keyed on doc id / (doc id, shingle)), not to the
+    corpus pair space — at 100 TB the banded-LSH candidate list is the only
+    thing that ever meets the shingle stream. Pairs with zero shared
+    shingles drop out of the join — Jaccard 0, below any threshold.
+    """
+    sized = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_hash"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle_hash"
+    )
+    shared = (
+        cand.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.try_divide(
+        F.col("shared"), F.col("n_a") + F.col("n_b") - F.col("shared")
+    )
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, k: int = 32
 ) -> DataFrame:

@@ -201,12 +201,15 @@ def near_dup_pairs(
     emb_col: str = "embedding",
     threshold: float = 0.95,
     n_dims: int | None = 64,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """All embedding pairs (a<b) with cosine ≥ threshold — the
-    embedding-cosine near-dup detector. Brute force O(n²) baseline; the LSH
-    bucket variant below is the scale path (this one collects/broadcasts
-    the full corpus as its comparison matrix, exactly as the cross-join
-    formulation would broadcast it).
+    embedding-cosine near-dup detector. Brute force O(n²) baseline with
+    **exact recall**; `lsh_near_dup_pairs` is the scale path (this one
+    collects/broadcasts the full corpus as its comparison matrix, exactly
+    as the cross-join formulation would broadcast it, so it is gated by
+    ``max_rows`` — O(corpus) driver memory is a scale-killer, acceptable
+    only as a small-corpus oracle baseline).
 
     Phase 1 — candidates: each corpus Arrow batch computes one
     `batch @ corpusᵀ` matmul and keeps pairs with approximate cosine ≥
@@ -216,6 +219,13 @@ def near_dup_pairs(
     own formula — makes the final ≥ threshold call. Bit-exact output on
     any partitioning.
     """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"near_dup_pairs is the brute-force baseline: it materializes "
+            f"the full corpus ({n} rows > max_rows={max_rows}) on the "
+            f"driver. Use lsh_near_dup_pairs for large corpora."
+        )
     id_t = df.schema[id_col].dataType.simpleString()
     b_ids, b_mat = _collect_matrix(df, id_col, emb_col)
     b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
@@ -292,6 +302,82 @@ def lsh_bucket(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
         bit = F.when(proj(p) > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
     return df.select(id_col, bucket.alias("bucket"))
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded hyperplane-LSH candidates
+    → exact decimal rescore. No driver-side collect anywhere — this is the
+    100 TB path the brute-force `near_dup_pairs` baseline is gated against.
+
+    The `n_planes`-bit sign bucket (see `lsh_bucket`) is split into
+    ``bands`` disjoint prefixes; two vectors are candidates when they agree
+    on ANY whole band (the OR-of-ANDs LSH amplification — the same banding
+    scheme MinHash-LSH uses on Jaccard). Candidates meet in (band, key)
+    hash buckets via equi-join — the O(n²) cross join never exists — and
+    the survivors get the exact DECIMAL(18,15) cosine, so the emitted
+    pairs are bit-deterministic on any partitioning. Recall is the
+    standard banded-LSH curve (rows/band trade candidate volume against
+    recall near the threshold); every emitted pair is exact, and the
+    deterministic md5 hyperplanes mean the DuckDB oracle reproduces the
+    identical candidate set, so even the approximate recall is
+    hash-checkable, not hand-waved.
+    """
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    buckets = lsh_bucket(df, id_col, emb_col, n_planes, n_dims)
+    banded = buckets.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftright(F.col("bucket"), t * rows)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for t in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can agree on several bands — dedup before the rescore
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = with_norm(df, emb_col, n_dims).select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("_ea"),
+        F.col("_norm2").alias("_na"),
+    )
+    b = with_norm(df, emb_col, n_dims).select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("_eb"),
+        F.col("_norm2").alias("_nb"),
+    )
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    cos = F.try_divide(
+        _exact_dot(F.col("_ea"), F.col("_eb"), n_dims),
+        F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")),
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+    )
 
 
 def ivf_cells(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     MOD,
     exact_dedup_groups,
+    jaccard_on_candidates,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -35,6 +36,7 @@ from ..operators.similarity import (
     ivf_cells,
     ivf_probe_topk,
     lsh_bucket,
+    lsh_near_dup_pairs,
     near_dup_pairs,
 )
 from ..operators.text import (
@@ -45,9 +47,10 @@ from ..operators.text import (
     oracle_word_shingles,
     predict_lang,
     tokens,
+    word_shingles,
 )
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, register_local
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
@@ -143,6 +146,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline deterministic (same buckets on any cluster)."""
     sig = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n=3, k=16)
     return lsh_candidate_pairs(sig, "doc_id", bands=4, rows=4)
+
+
+# --- the full scale dedup chain: LSH candidates → verify → clusters ----------
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({oracle_word_shingles(n=3)}),
+    idx AS (SELECT unnest(range(0, 16)) AS i),
+    sig AS (
+      SELECT doc_id, i,
+             min(((2*i + 1) * (shingle_hash % {MOD}) + 7919*i) % {MOD}) AS mh
+      FROM sh CROSS JOIN idx GROUP BY doc_id, i
+    ), banded AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             sum(mh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                 WHEN 2 THEN 961 ELSE 29791 END) AS band_hash
+      FROM sig GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END scale dedup chain a 100 TB corpus runs: MinHash-LSH
+    banded candidates (equi-join buckets, never all-pairs) → exact Jaccard
+    rescore on the candidates only (`jaccard_on_candidates` — work ∝
+    candidate volume) → connected components (iterative min-label
+    propagation) → (doc_id, cluster_id = min doc in component). Keep the
+    cluster id, drop the rest — the canonical near-dup policy. The oracle
+    recomputes the identical banded candidates and fixpoint with a
+    recursive CTE, so the whole chain — candidate recall included — is
+    hash-checked."""
+    from ..operators.graph import connected_components
+
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs, "doc_id", "text", n=3, k=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=4, rows=4)
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    pairs = jaccard_on_candidates(sh, cand, "doc_id", threshold=0.3)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -381,8 +451,81 @@ def embedding_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+# Shared bucket CTE: 16 md5-derived hyperplanes → 16-bit sign bucket —
+# identical values to operators/similarity.py::lsh_bucket.
+_LSH_BUCKETS_SQL = """
+    planes AS (
+      SELECT p, d,
+             (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 16)) AS p),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), proj AS (
+      SELECT e.vec_id, pl.p,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * pl.comp
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   unnest(range(0, len(embedding))) AS d
+            FROM embeddings) x
+      JOIN embeddings e ON e.vec_id = x.vec_id
+      JOIN planes pl ON pl.d = x.d
+      GROUP BY e.vec_id, pl.p
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    )
+"""
+
+
 @register(
     "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH {_VECS},
+    {_LSH_BUCKETS_SQL},
+    banded AS (
+      SELECT vec_id, t.band,
+             (bucket >> CAST(t.band * 4 AS INT)) & 15 AS band_key
+      FROM buckets CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    ), dots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * CAST(y.val AS DOUBLE)
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN v x ON x.vec_id = c.id_a
+      JOIN v y ON y.vec_id = c.id_b AND y.d = x.d
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 9) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.4 via the SCALE path: banded
+    hyperplane-LSH candidates (16 planes, 4×4-bit bands, equi-join buckets)
+    → exact decimal rescore. Nothing touches the driver — no collect, no
+    full-corpus broadcast (the r01 brute-force form is now the size-gated
+    local baseline `embedding_near_dup_bruteforce`). The oracle recomputes
+    the identical md5 hyperplane buckets, so the candidate set — not just
+    the rescore — is hash-checked."""
+    return lsh_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=16, bands=4
+    )
+
+
+@register_local(
+    "embedding_near_dup_bruteforce",
     oracle=f"""
     WITH {_VECS},
     dots AS (
@@ -400,44 +543,27 @@ def embedding_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4
     """,
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.4 for this corpus's
-    cosine range) — the brute-force baseline; `embedding_lsh_buckets` is the
-    bucketed scale path."""
+def embedding_near_dup_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall brute-force near-dup baseline (size-gated: collects the
+    corpus as its comparison matrix). Local-only: the registered scale path
+    is `embedding_near_dup_pairs`; tests assert the LSH output is a subset
+    of this exact answer."""
     return near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
-@register(
+@register_local(
     "embedding_lsh_buckets",
     oracle=f"""
-    WITH planes AS (
-      SELECT p, d,
-             (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ',' ||
-                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
-              % 1000000) / 1000000.0 - 0.5 AS comp
-      FROM (SELECT unnest(range(0, 16)) AS p),
-           (SELECT unnest(range(0, 64)) AS d)
-    ), proj AS (
-      SELECT e.vec_id, pl.p,
-             CAST(sum(CAST(CAST(x.val AS DOUBLE) * pl.comp
-                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
-      FROM (SELECT vec_id, unnest(embedding) AS val,
-                   unnest(range(0, len(embedding))) AS d
-            FROM embeddings) x
-      JOIN embeddings e ON e.vec_id = x.vec_id
-      JOIN planes pl ON pl.d = x.d
-      GROUP BY e.vec_id, pl.p
-    )
-    SELECT vec_id,
-           CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
-                AS BIGINT) AS bucket
-    FROM proj GROUP BY vec_id
+    WITH {_LSH_BUCKETS_SQL}
+    SELECT vec_id, bucket FROM buckets
     """,
 )
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket ids (16 md5-derived planes): the ANN scale path
     — candidates meet in equal buckets via equi-join, no cross join. The
-    oracle recomputes the identical md5 hyperplanes in SQL."""
+    oracle recomputes the identical md5 hyperplanes in SQL. Local-only: the
+    registered `embedding_near_dup_pairs` exercises this bucketing
+    end-to-end."""
     return lsh_bucket(_emb(spark, sf_dir), n_planes=16)
 
 
@@ -462,7 +588,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- IVF coarse quantizer (the inverted-file ANN layout) --------------------------
-@register(
+@register_local(
     "embedding_ivf_cells",
     oracle=f"""
     WITH {_VECS},
@@ -494,7 +620,9 @@ def embedding_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     product criterion): the inverted-file ANN layout — a search probes only
     the matching cell(s), and at rest the table is partitionBy(cell) so
     probing is partition pruning. Exact decimal dots → the argmax (ties to
-    the lowest cell id) matches the oracle bit for bit."""
+    the lowest cell id) matches the oracle bit for bit. Local-only: the
+    registered `embedding_ivf_topk` runs this same assignment expression
+    inline as its write-path half."""
     return ivf_cells(_emb(spark, sf_dir), n_cells=8)
 
 
@@ -583,7 +711,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- dedup clustering: pairs → connected components -------------------------------
-@register(
+@register_local(
     "dedup_clusters_ngram",
     oracle=f"""
     WITH RECURSIVE sh AS ({oracle_word_shingles(n=3)}),
@@ -617,7 +745,8 @@ def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, O(cluster-diameter) rounds) → (doc_id, cluster_id = min doc in
     component). Keeping min(cluster) and dropping the rest is the canonical
     near-dup dedup policy. The oracle computes the same fixpoint with a
-    recursive CTE."""
+    recursive CTE. Local-only: the registered `dedup_minhash_verified`
+    exercises the same clustering inside the full LSH chain."""
     from ..operators.graph import connected_components
 
     pairs = ngram_jaccard_pairs(

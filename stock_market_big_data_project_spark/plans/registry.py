@@ -25,6 +25,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Local-only tier: the driver caps CORRECTNESS at 50 queries, so narrow
+# single-operator queries that a registered bundle already covers live here
+# instead — still oracle-checked by tests/test_oracle_parity.py at sf0.001
+# and benchable by name, but not exported through __spark_entry__.queries().
+LOCAL_QUERIES: dict[str, QueryFn] = {}
+LOCAL_ORACLES: dict[str, str] = {}
+
 _PLAN_MODULES = (
     "market",
     "relational",
@@ -35,11 +42,28 @@ _PLAN_MODULES = (
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in QUERIES:
+        if name in QUERIES or name in LOCAL_QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def register_local(
+    name: str, oracle: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Register into the local-only tier (oracle-parity-tested + benchable,
+    NOT sent to the driver — see LOCAL_QUERIES)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES or name in LOCAL_QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        LOCAL_QUERIES[name] = fn
+        if oracle is not None:
+            LOCAL_ORACLES[name] = oracle
         return fn
 
     return deco

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..operators.cleaning import hour_floor
 from ..operators.stats import corr_pairs_exact, granger_causality, recursive_forecast
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, register_local
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -61,7 +61,7 @@ def daily_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pairs AS (
       SELECT a.symbol, a.feature AS f1, b.feature AS f2, a.value AS x, b.value AS y
       FROM long a JOIN long b
-        ON a.symbol = b.symbol AND a.day_ts = b.day_ts AND a.feature < b.feature
+        ON a.symbol = b.symbol AND a.day_ts = b.day_ts
     ), m AS (
       SELECT symbol, f1, f2, count(*) AS n,
              CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
@@ -70,49 +70,8 @@ def daily_long(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
              CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
       FROM pairs GROUP BY 1, 2, 3
-    )
-    SELECT symbol, f1, f2, n,
-           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN round((n * sxy - sx * sy)
-                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
-           END AS corr
-    FROM m WHERE n >= 3
-    """,
-)
-def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-30/OP-67 (analysis_part/main.py:51-55) — per-symbol pairwise
-    Pearson over the daily feature series, set-based: melt → per-day
-    self-join (pairwise-complete observations, pandas corr semantics) →
-    decimal-exact moments → closed form, degenerate pairs (n<3 or zero
-    variance) excluded/NULL. The whole matrix for every symbol is ONE plan —
-    no per-symbol loop."""
-    return corr_pairs_exact(
-        daily_long(spark, sf_dir), "symbol", "day_ts", "feature", "value",
-        min_n=3,
-    )
-
-
-@register(
-    "correlation_square_matrix",
-    oracle="""
-    WITH long AS (
-      SELECT user_id AS symbol, date_trunc('day', ts) AS day_ts,
-             event_type AS feature,
-             last(value ORDER BY ts, event_id) AS value
-      FROM events WHERE user_id = 3 GROUP BY 1, 2, 3
-    ), pairs AS (
-      SELECT a.feature AS f1, b.feature AS f2, a.value AS x, b.value AS y
-      FROM long a JOIN long b ON a.day_ts = b.day_ts
-    ), m AS (
-      SELECT f1, f2, count(*) AS n,
-             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
-      FROM pairs GROUP BY 1, 2
     ), c AS (
-      SELECT f1, f2,
+      SELECT symbol, f1, f2,
              CASE WHEN n < 3 THEN NULL
                   WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
                   THEN round((n * sxy - sx * sy)
@@ -120,26 +79,33 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 * sqrt(n * syy - sy * sy)), 9) END AS corr
       FROM m
     )
-    SELECT f1 AS feature,
+    SELECT symbol, f1 AS feature,
            max(CASE WHEN f2 = 'click' THEN corr END) AS click,
            max(CASE WHEN f2 = 'error' THEN corr END) AS error,
            max(CASE WHEN f2 = 'purchase' THEN corr END) AS purchase,
            max(CASE WHEN f2 = 'signup' THEN corr END) AS signup,
            max(CASE WHEN f2 = 'view' THEN corr END) AS view
-    FROM c GROUP BY f1
+    FROM c GROUP BY 1, 2
     """,
 )
-def correlation_square_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-30/OP-67 artifact shape — the square correlation matrix CSV the
-    reference writes per symbol (analysis_part/main.py:51-55, header =
-    feature names): the long pairwise form pivoted to a matrix for one
-    symbol, diagonal included (corr(f,f) = 1 where variance > 0)."""
-    long = daily_long(spark, sf_dir).filter(F.col("symbol") == 3)
-    a = long.select(F.col("feature").alias("f1"), "day_ts", F.col("value").alias("x"))
-    b = long.select(F.col("feature").alias("f2"), "day_ts", F.col("value").alias("y"))
-    pairs = a.join(b, "day_ts")
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-30/OP-67 (analysis_part/main.py:51-55) — one square Pearson
+    correlation matrix PER SYMBOL (the reference writes one CSV artifact
+    per symbol; here all of them are ONE plan, no per-symbol loop): melt →
+    per-(symbol, day) self-join (pairwise-complete observations, pandas
+    corr semantics) → decimal-exact moments → closed form → pivot to the
+    square artifact shape, diagonal included (corr(f,f) = 1 where variance
+    > 0, NULL on degenerate pairs)."""
+    long = daily_long(spark, sf_dir)
+    a = long.select(
+        "symbol", F.col("feature").alias("f1"), "day_ts", F.col("value").alias("x")
+    )
+    b = long.select(
+        "symbol", F.col("feature").alias("f2"), "day_ts", F.col("value").alias("y")
+    )
+    pairs = a.join(b, ["symbol", "day_ts"])
     dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
-    m = pairs.groupBy("f1", "f2").agg(
+    m = pairs.groupBy("symbol", "f1", "f2").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("x"))).cast("double").alias("sx"),
         F.sum(dec(F.col("y"))).cast("double").alias("sy"),
@@ -158,11 +124,50 @@ def correlation_square_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ),
     )
-    c = m.select("f1", "f2", corr.alias("corr"))
+    c = m.select("symbol", "f1", "f2", corr.alias("corr"))
     return (
-        c.groupBy(F.col("f1").alias("feature"))
+        c.groupBy("symbol", F.col("f1").alias("feature"))
         .pivot("f2", EVENT_TYPES)
         .agg(F.max("corr"))
+    )
+
+
+@register_local(
+    "correlation_pairs_long",
+    oracle="""
+    WITH long AS (
+      SELECT user_id AS symbol, date_trunc('day', ts) AS day_ts,
+             event_type AS feature,
+             last(value ORDER BY ts, event_id) AS value
+      FROM events GROUP BY 1, 2, 3
+    ), pairs AS (
+      SELECT a.symbol, a.feature AS f1, b.feature AS f2, a.value AS x, b.value AS y
+      FROM long a JOIN long b
+        ON a.symbol = b.symbol AND a.day_ts = b.day_ts AND a.feature < b.feature
+    ), m AS (
+      SELECT symbol, f1, f2, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT symbol, f1, f2, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+           END AS corr
+    FROM m WHERE n >= 3
+    """,
+)
+def correlation_pairs_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The long (symbol, f1, f2, n, corr) pairwise form via the reusable
+    `corr_pairs_exact` operator. Local-only: the registered
+    `correlation_matrix` covers the same moments in artifact shape."""
+    return corr_pairs_exact(
+        daily_long(spark, sf_dir), "symbol", "day_ts", "feature", "value",
+        min_n=3,
     )
 
 

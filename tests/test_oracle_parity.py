@@ -5,12 +5,23 @@ from __future__ import annotations
 
 import pytest
 
-from stock_market_big_data_project_spark.plans import ORACLES, QUERIES, load_all_plans
+from stock_market_big_data_project_spark.plans import (
+    LOCAL_ORACLES,
+    LOCAL_QUERIES,
+    ORACLES,
+    QUERIES,
+    load_all_plans,
+)
 
 from .conftest import SF_DIR
 from .oracle_utils import compare, duckdb_conn
 
 load_all_plans()
+
+# Driver-facing and local-only tiers get the identical parity check — the
+# local tier exists only because the driver caps CORRECTNESS at 50 queries.
+ALL_QUERIES = {**QUERIES, **LOCAL_QUERIES}
+ALL_ORACLES = {**ORACLES, **LOCAL_ORACLES}
 
 
 @pytest.fixture(scope="module")
@@ -20,16 +31,16 @@ def oracle_con():
     con.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_oracle_parity(name, spark, oracle_con):
-    spark_df = QUERIES[name](spark, SF_DIR)
-    oracle_pdf = oracle_con.execute(ORACLES[name]).fetchdf()
+    spark_df = ALL_QUERIES[name](spark, SF_DIR)
+    oracle_pdf = oracle_con.execute(ALL_ORACLES[name]).fetchdf()
     errs = compare(spark_df, oracle_pdf, name)
     assert not errs, "\n".join(errs)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
 def test_rows_only(name, spark):
-    df = QUERIES[name](spark, SF_DIR)
+    df = ALL_QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0

@@ -54,3 +54,46 @@ def test_ivf_probe_recall_and_consistency(spark):
     assert len(common) / len(bf) >= 0.2
     for pair in common:
         assert bf[pair] == ivf[pair], pair
+
+
+def test_lsh_near_dup_subset_of_bruteforce(spark):
+    """The banded-LSH near-dup pairs must be a strict subset of the exact
+    brute-force answer with identical cosines (the rescore is shared), and
+    must recover a non-trivial fraction of it on the fixture corpus."""
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        QUERIES,
+        load_all_plans,
+    )
+
+    load_all_plans()
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in LOCAL_QUERIES["embedding_near_dup_bruteforce"](
+            spark, SF_DIR
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in QUERIES["embedding_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert len(lsh) > 0
+    assert len(lsh) / len(exact) >= 0.3  # banded-LSH recall floor, 0.4 thresh
+    for pair, cos in lsh.items():
+        assert exact[pair] == cos, pair
+
+
+def test_near_dup_bruteforce_size_gate(spark):
+    """The brute-force baseline must refuse a corpus larger than its
+    driver-collect gate instead of silently materializing it."""
+    import pytest as _pytest
+
+    from stock_market_big_data_project_spark.operators.similarity import (
+        near_dup_pairs,
+    )
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="lsh_near_dup_pairs"):
+        near_dup_pairs(emb, max_rows=10)
