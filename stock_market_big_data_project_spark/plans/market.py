@@ -921,6 +921,60 @@ def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# OP-61..OP-63 under the driver: batch ≡ streaming as a checkable query.
+# --------------------------------------------------------------------------
+@register(
+    "streaming_batch_parity",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, user_id AS symbol,
+             last(value ORDER BY ts, event_id) AS price,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_ts, symbol, price, n_events
+    FROM agg, mx
+    WHERE hour_ts + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+    """,
+)
+def streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-61/62/63 proven under the driver, not just pytest: the events
+    fixture replayed through the REAL Structured Streaming path (file
+    source → watermark → tumbling hourly max_by aggregate → append-mode
+    memory sink, AvailableNow trigger), returned as the final table. The
+    oracle is the batch tumbling SQL restricted to closed windows — append
+    mode only emits a window once the 2 h watermark passes its end, so
+    emitted ≡ {windows with end ≤ max(ts) − 2 h}, and a hash match proves
+    the incremental execution (state store, watermark bookkeeping,
+    late-data semantics) agrees with the batch plan row for row."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.ingest import (
+        hourly_tumbling_agg,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    name = f"stream_parity_{uuid.uuid4().hex[:8]}"
+    td = tempfile.mkdtemp(prefix="stream_parity_")
+    try:
+        shutil.copy(
+            _os.path.join(sf_dir, "events.parquet"),
+            _os.path.join(td, "part-000.parquet"),
+        )
+        # memory sink materializes on the driver at run time, so the temp
+        # source dir can be deleted as soon as the stream terminates
+        run_to_memory(hourly_tumbling_agg(read_events_stream(spark, td)), name)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
 # Hourly OHLC bars — the canonical market resample implied by the OHLCV
 # source (OP-02): open/close are positional firsts/lasts in the bar,
 # high/low plain extrema. All four are *selected* values (no arithmetic),

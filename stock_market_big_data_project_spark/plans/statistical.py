@@ -223,7 +223,29 @@ def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # No oracle (HLL++ / KLL internals are engine-specific); accuracy is bounded
 # against the exact answers in tests/test_sketches.py instead.
 # --------------------------------------------------------------------------
-@register("approx_distinct_sketch")  # no oracle: HLL estimate, rows-only check
+@register("approx_sketch_bundle")  # no oracle: sketch estimates, rows-only check
+def approx_sketch_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch twins in ONE pass: HyperLogLog++ distinct users (rsd 1%)
+    and KLL-style p50/p90/p99 value quantiles per event_type. One groupBy,
+    both sketch states merged map-side — the 100 TB shape for
+    distinct-count and quantile (exact twins: `distinct_segments`,
+    `quantiles_by_priority`). Accuracy is bounded against exact answers in
+    tests/test_sketches.py; sketch internals are engine-specific, so this
+    registers rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        q.getItem(0).alias("p50_value"),
+        q.getItem(1).alias("p90_value"),
+        q.getItem(2).alias("p99_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register_local("approx_distinct_sketch")  # no oracle: HLL estimate, rows-only
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event_type (rsd 1%). Unlike exact
     COUNT(DISTINCT) — whose Expand+double-shuffle plan moves every distinct
@@ -242,7 +264,7 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_quantile_sketch")  # no oracle: sketch estimate, rows-only check
+@register_local("approx_quantile_sketch")  # no oracle: sketch estimate, rows-only
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style mergeable sketch) of event value per
     event_type: p50/p90/p99 in one pass with bounded error (accuracy 10000 →
