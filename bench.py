@@ -15,10 +15,16 @@ import re
 import sys
 import time
 
-from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+from stock_market_big_data_project_spark.plans import (
+    LOCAL_QUERIES,
+    QUERIES,
+    load_all_plans,
+)
 from stock_market_big_data_project_spark.session import get_spark
 
-# Headline set: one per operator family; extend as coverage widens.
+# Headline set: kept IDENTICAL to the round-1 breakdown so per-query
+# timings stay comparable round over round (names that consolidated into
+# driver-facing bundles still run here from the local tier — same plans).
 HEADLINE = [
     # market pipeline (events)
     "flagship_market_overview",
@@ -61,6 +67,20 @@ HEADLINE = [
     "recursive_forecast",
 ]
 
+# New scale-path queries added after round 1 — timed separately (the
+# "extra" dict) so the headline total stays comparable to the r01 line.
+EXTRA = [
+    "preprocess_integrate_chain",
+    "lag_lead_features",
+    "per_symbol_snapshot",
+    "semi_anti_customers",
+    "dedup_minhash_verified",
+    "embedding_near_dup_pairs",
+    "text_analysis_bundle",
+    "multimodal_pipeline_stub",
+    "approx_sketch_bundle",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -95,19 +115,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        df = QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        # GC between queries: Spark's ContextCleaner is GC-triggered — without
-        # this, orphaned shuffle/broadcast state from prior queries accumulates
-        # and later timings measure cleanup debt, not the query.
-        spark.sparkContext._jvm.System.gc()
+    all_queries = {**LOCAL_QUERIES, **QUERIES}
+
+    def run_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            if name not in all_queries:
+                continue
+            df = all_queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+            print(f"  {name}: {out[name]}s", file=sys.stderr, flush=True)
+            # GC between queries: Spark's ContextCleaner is GC-triggered —
+            # without this, orphaned shuffle/broadcast state from prior
+            # queries accumulates and later timings measure cleanup debt,
+            # not the query.
+            spark.sparkContext._jvm.System.gc()
+        return out
+
+    timings = run_set(HEADLINE)
+    extra = run_set(EXTRA)
 
     # Streaming replay: the whole events fixture as one AvailableNow
     # micro-batch through the watermarked hourly aggregate — measures the
@@ -155,6 +183,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # round-2+ scale-path queries, timed outside the headline
+                # total so `value` stays comparable to the r01 reference line
+                "extra": extra,
                 "sf": sf,
             }
         )

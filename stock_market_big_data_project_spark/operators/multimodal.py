@@ -149,6 +149,66 @@ def sample_frames(df: DataFrame, k: int = 4) -> DataFrame:
     return df.mapInPandas(frames, schema=FRAMES_SCHEMA)
 
 
+PIPELINE_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes int, width int, height int, "
+    "out_width int, out_height int, out_n_bytes int, out_md5 string, "
+    "frame_no int, frame_n_bytes int, frame_md5 string"
+)
+
+
+def multimodal_pipeline(df: DataFrame, k: int = 4) -> DataFrame:
+    """Decode → resize → frame-sample FUSED into ONE mapInPandas pass
+    (STUB codecs, real plumbing): per input payload, k rows carrying the
+    decode metadata, the resized-output fingerprint, and one frame each.
+
+    This is the shape a production multimodal pipeline wants at 100 TB:
+    the binary payload is read ONCE per row inside a single Arrow batch
+    stage — chaining the three stages as separate operators would either
+    re-attach and re-ship the payload per stage or join three outputs on
+    doc_id (two shuffles for data that never needed to leave the task).
+    Swap the `_fake_decode`/truncation/byte-range stubs for PIL/ffmpeg
+    calls; schema, batching, and the 1→k UDTF shape stay as-is.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                c: [] for c in (
+                    "doc_id", "mime", "n_bytes", "width", "height",
+                    "out_width", "out_height", "out_n_bytes", "out_md5",
+                    "frame_no", "frame_n_bytes", "frame_md5",
+                )
+            }
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = _fake_decode(payload)
+                out = payload[: (len(payload) + 3) // 4]
+                out_md5 = hashlib.md5(out.hex().upper().encode()).hexdigest()
+                n = len(payload)
+                for j in range(k):
+                    lo, hi = j * n // k, (j + 1) * n // k
+                    chunk = payload[lo:hi]
+                    rows["doc_id"].append(doc_id)
+                    rows["mime"].append(meta["mime"])
+                    rows["n_bytes"].append(meta["n_bytes"])
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["out_width"].append(w // 2)
+                    rows["out_height"].append(h // 2)
+                    rows["out_n_bytes"].append(len(out))
+                    rows["out_md5"].append(out_md5)
+                    rows["frame_no"].append(j)
+                    rows["frame_n_bytes"].append(len(chunk))
+                    rows["frame_md5"].append(
+                        hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PIPELINE_SCHEMA)
+
+
 FEATURES_SCHEMA = "doc_id bigint, bucket int, frac double"
 
 

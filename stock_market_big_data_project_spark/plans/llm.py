@@ -258,7 +258,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
-@register(
+@register_local(
     "text_stats_quality",
     oracle=f"""
     WITH t AS (
@@ -310,7 +310,98 @@ def _lang_score_sql(markers: tuple[str, ...]) -> str:
     return f"len(list_filter({_TOKS}, x -> x IN ({lst})))"
 
 
+# --------------------------------------------------------------------------
+# Text-analysis bundle: every per-document text operator — quality stats,
+# language ID, both token counts, content fingerprints, stable sample
+# bucket — in ONE narrow map over the scan (no UDF, no shuffle). The
+# single-operator forms live in the local tier around this bundle.
+# --------------------------------------------------------------------------
 @register(
+    "text_analysis_bundle",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, n_chars,
+             len({_TOKS}) AS n_tokens,
+             length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop,
+             {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+             {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+             {_lang_score_sql(LANG_MARKERS['zh'])} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted_lang,
+           n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS n_tokens_re,
+           n_chars,
+           round(n_nonspace / n_tokens, 6) AS avg_token_len,
+           round(n_stop / n_tokens, 6) AS stopword_ratio,
+           round(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                 + (1.0 - n_stop / n_tokens) * 0.5, 6) AS quality_score,
+           md5(text) AS text_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform({_TOKS},
+                                         x -> {oracle_md5_hash64("x")} % {MOD})),
+             (acc, x) -> (acc * 131 + x) % {MOD}) AS rolling_hash,
+           {oracle_md5_hash64("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+             AS sample_bucket
+    FROM t
+    """,
+)
+def text_analysis_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis surface as one projection: token
+    counts (whitespace + BPE-ish regex), mean token length, stopword ratio,
+    composite quality score, marker-based language ID, md5 + rolling-hash
+    fingerprints, and the stable hash-sample bucket. All pure Catalyst
+    expressions — at 100 TB this is a single pass over the text column with
+    nothing shuffled."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nonspace"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    nt = F.col("n_tokens")
+    th = F.transform(tokens(F.col("text")), lambda x: md5_hash64(x) % MOD)
+    rolling = F.aggregate(
+        th, F.lit(0).cast("bigint"), lambda acc, x: (acc * 131 + x) % MOD
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        predict_lang(F.col("text")).alias("predicted_lang"),
+        "n_tokens",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_tokens_re"),
+        "n_chars",
+        F.round(F.try_divide(F.col("n_nonspace"), nt), 6).alias("avg_token_len"),
+        F.round(F.try_divide(F.col("n_stop"), nt), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(nt / F.lit(50.0), F.lit(1.0)) * 0.5
+            + (F.lit(1.0) - F.try_divide(F.col("n_stop"), nt)) * 0.5,
+            6,
+        ).alias("quality_score"),
+        F.md5("text").alias("text_md5"),
+        rolling.alias("rolling_hash"),
+        (
+            md5_hash64(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+            % 100
+        ).alias("sample_bucket"),
+    )
+
+
+@register_local(
     "lang_id_heuristic",
     oracle=f"""
     WITH s AS (
@@ -337,7 +428,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- token counting (regex / BPE-ish) -------------------------------------------
-@register(
+@register_local(
     "token_count_regex",
     oracle=f"""
     SELECT doc_id,
@@ -365,7 +456,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- document fingerprinting ------------------------------------------------------
-@register(
+@register_local(
     "doc_fingerprint",
     oracle=f"""
     WITH t AS (
@@ -568,7 +659,7 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- multimodal plumbing ----------------------------------------------------------
-@register(
+@register_local(
     "multimodal_decode_stub",
     oracle="""
     SELECT doc_id, 'image/fake' AS mime,
@@ -636,7 +727,7 @@ _HEXDOCS = """
 """
 
 
-@register(
+@register_local(
     "multimodal_resize_stub",
     oracle=f"""
     WITH {_HEXDOCS}
@@ -656,7 +747,7 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(attach_binary_payload(_docs(spark, sf_dir)))
 
 
-@register(
+@register_local(
     "multimodal_frame_sample",
     oracle=f"""
     WITH {_HEXDOCS},
@@ -677,6 +768,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame sampler has (binary in, k typed rows out, no per-frame JVM
     round-trip)."""
     return sample_frames(attach_binary_payload(_docs(spark, sf_dir)), k=4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal bundle: decode → resize → frame-sample FUSED into one
+# mapInPandas pass (payload read once; chaining the stage operators would
+# join three outputs on doc_id — two shuffles for task-local data). The
+# per-stage forms live in the local tier.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_pipeline_stub",
+    oracle=f"""
+    WITH {_HEXDOCS},
+    f AS (
+      SELECT doc_id, hx, n, unnest(range(0, 4)) AS j FROM p
+    )
+    SELECT doc_id, 'image/fake' AS mime, CAST(n AS INT) AS n_bytes,
+           CAST(16 + n % 64 AS INT) AS width,
+           CAST(16 + (n * 7) % 64 AS INT) AS height,
+           CAST((16 + n % 64) // 2 AS INT) AS out_width,
+           CAST((16 + (n * 7) % 64) // 2 AS INT) AS out_height,
+           CAST((n + 3) // 4 AS INT) AS out_n_bytes,
+           md5(substring(hx, 1, CAST(2 * ((n + 3) // 4) AS BIGINT))) AS out_md5,
+           CAST(j AS INT) AS frame_no,
+           CAST(((j + 1) * n) // 4 - (j * n) // 4 AS INT) AS frame_n_bytes,
+           md5(substring(hx, CAST(2 * ((j * n) // 4) + 1 AS BIGINT),
+                         CAST(2 * (((j + 1) * n) // 4 - (j * n) // 4) AS BIGINT)))
+             AS frame_md5
+    FROM f
+    """,
+)
+def multimodal_pipeline_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary multimodal column through the fused decode→resize→frame-sample
+    mapInPandas stage (operators/multimodal.py::multimodal_pipeline): per
+    payload, 4 frame rows carrying decode metadata + resized fingerprint.
+    Codecs are STUBS (no image libs in this container, deterministic fakes
+    from the bytes); the Spark plumbing — binary column, Arrow batching,
+    1→k UDTF shape, single-pass fusion — is the real contract."""
+    from ..operators.multimodal import multimodal_pipeline
+
+    return multimodal_pipeline(
+        attach_binary_payload(_docs(spark, sf_dir)), k=4
+    )
 
 
 @register(
@@ -827,7 +960,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- deterministic stable sampling ----------------------------------------------
-@register(
+@register_local(
     "doc_sample_stable",
     oracle=f"""
     SELECT doc_id, lang,

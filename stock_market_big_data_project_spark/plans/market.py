@@ -30,7 +30,7 @@ from ..operators.windows import (
     temporal_split_flag,
 )
 from ..sources.tables import load_events, load_table
-from .registry import register
+from .registry import register, register_local
 
 CUTOFF = "2024-01-05 00:00:00"
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -107,8 +107,65 @@ def _register_pipeline() -> None:
 _register_pipeline()
 
 
-# --- OP-11: to_datetime(errors='coerce') — invalid strings → NULL ----------
+# --------------------------------------------------------------------------
+# The reference's whole preprocess→integrate filter chain as ONE DAG
+# (preprocess_function/main.py:13-15 → integrate/main.py:60-67, 97, 110):
+# pushed cutoff (OP-15) → symbol + not-null filters (OP-16/17) → coerce
+# timestamps (OP-11) → drop any-null rows (OP-14) → exact dedup (OP-13).
+# The single-operator forms live in the local tier below.
+# --------------------------------------------------------------------------
 @register(
+    "preprocess_integrate_chain",
+    oracle=f"""
+    WITH f AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '{CUTOFF}' AND user_id IN (3, 7)
+        AND value IS NOT NULL
+    ), c AS (
+      SELECT user_id, event_type,
+             TRY_CAST(CASE WHEN event_type = 'error' THEN 'not-a-timestamp'
+                           ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
+                      AS TIMESTAMP) AS parsed_ts,
+             NULLIF(props, '{{"k": 0}}') AS props_n
+      FROM f
+    )
+    SELECT DISTINCT user_id AS symbol, event_type,
+           date_trunc('day', parsed_ts) AS day_ts
+    FROM c WHERE parsed_ts IS NOT NULL AND props_n IS NOT NULL
+    """,
+)
+def preprocess_integrate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-11/13/14/15/16/17 in the exact order the reference runs them.
+    The cutoff reaches the parquet reader as a pushed filter (load_events
+    min_ts), symbol/not-null prune before any expression work, the coerce
+    turns bad timestamps into NULLs that the any-null drop removes, and
+    the dedup is one map-side-combined hash aggregate on the projection."""
+    ev = load_events(spark, sf_dir, min_ts=CUTOFF)
+    ev = ev.filter(F.col("user_id").isin(3, 7) & F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "ts_str",
+        F.when(F.col("event_type") == "error", F.lit("not-a-timestamp")).otherwise(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ),
+    )
+    c = normalize_timestamp(ev, "ts_str", out="parsed_ts").select(
+        "user_id",
+        "event_type",
+        "parsed_ts",
+        F.nullif(F.col("props"), F.lit('{"k": 0}')).alias("props_n"),
+    )
+    cleaned = c.na.drop("any")
+    return dedup_exact(
+        cleaned.select(
+            F.col("user_id").alias("symbol"),
+            "event_type",
+            F.date_trunc("day", "parsed_ts").alias("day_ts"),
+        )
+    )
+
+
+# --- OP-11: to_datetime(errors='coerce') — invalid strings → NULL ----------
+@register_local(
     "ts_normalize_coerce",
     oracle="""
     SELECT event_id,
@@ -130,7 +187,7 @@ def ts_normalize_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-13: exact dedup on a projection that actually has duplicates -------
-@register(
+@register_local(
     "dedup_exact_rows",
     oracle="""
     SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day_ts
@@ -146,7 +203,7 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-14: dropna(how='any') ----------------------------------------------
-@register(
+@register_local(
     "dropna_any",
     oracle="""
     WITH t AS (
@@ -172,7 +229,7 @@ def dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-15: cutoff predicate (pushed to the parquet scan) -------------------
-@register(
+@register_local(
     "cutoff_filter",
     oracle=f"""
     SELECT event_id, ts, user_id AS symbol, value
@@ -188,7 +245,7 @@ def cutoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-16 + OP-17: symbol equi-filter + not-null ---------------------------
-@register(
+@register_local(
     "symbol_filter",
     oracle="""
     SELECT event_id, ts, value FROM events
@@ -355,7 +412,7 @@ def impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-38/OP-39: pct_change + next-period label -----------------------------
-@register(
+@register_local(
     "returns_lag_lead",
     oracle="""
     WITH r AS (
@@ -388,7 +445,7 @@ _LAG_COLS = ",\n           ".join(
 )
 
 
-@register(
+@register_local(
     "lag_features_24",
     oracle=f"""
     WITH t AS (
@@ -420,7 +477,7 @@ def lag_features_24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-32/OP-41: latest full row per key ------------------------------------
-@register(
+@register_local(
     "latest_per_key",
     oracle="""
     SELECT user_id AS symbol,
@@ -442,7 +499,7 @@ def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-42: prev-day lookup with fallback ------------------------------------
-@register(
+@register_local(
     "prev_day_lookup",
     oracle="""
     WITH keyed AS (
@@ -507,7 +564,7 @@ def temporal_split_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-33/OP-34: volatility (stddev) + min/max ------------------------------
-@register(
+@register_local(
     "volatility_flag",
     oracle="""
     WITH r AS (
@@ -598,7 +655,7 @@ def returns_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-21: struct/JSON flatten ----------------------------------------------
-@register(
+@register_local(
     "struct_flatten",
     oracle="""
     SELECT event_id,
@@ -629,7 +686,7 @@ def struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-05/OP-68: array-of-struct build + explode (the tweets shape) ---------
-@register(
+@register_local(
     "explode_array_structs",
     oracle="""
     SELECT user_id AS symbol, ts, event_type AS content, value AS score
@@ -659,7 +716,7 @@ def explode_array_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-47: melt (wide → long) ----------------------------------------------
-@register(
+@register_local(
     "melt_wide_to_long",
     oracle="""
     WITH wide AS (
@@ -696,7 +753,7 @@ def melt_wide_to_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-48: union-all by name -------------------------------------------------
-@register(
+@register_local(
     "union_by_name",
     oracle="""
     SELECT user_id AS symbol, ts, value, 'purchase' AS src
@@ -717,6 +774,215 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("click").alias("src"), "ts", F.col("user_id").alias("symbol"), "value"
     )
     return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# Window-function bundle: pct_change (OP-38) + next-period label (OP-39) +
+# 24-lag fan-out (OP-40) from ONE window spec — single shuffle + single
+# per-key sort for all 27 derived columns. Single-operator forms: local tier.
+# --------------------------------------------------------------------------
+@register(
+    "lag_lead_features",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_id, user_id, ts, value,
+             lag(value) OVER w AS prev_value,
+             {_LAG_COLS}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), t AS (
+      SELECT event_id, user_id, value,
+             value / prev_value - 1 AS ret_1h,
+             lead(value / prev_value - 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret_1h_next,
+             value_lag1, value_lag6, value_lag12, value_lag24
+      FROM r
+    )
+    SELECT event_id, user_id AS symbol, value, ret_1h, ret_1h_next,
+           value_lag1, value_lag6, value_lag12, value_lag24
+    FROM t WHERE value_lag24 IS NOT NULL
+    """,
+)
+def lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:119-121 + analysis_part/main.py:83-85 — the full
+    feature frame the forecaster consumes: 1-period return, next-period
+    label, 24 lag features, warm-up rows dropped. Catalyst shares the one
+    (user_id | ts, event_id) sort across every window expression."""
+    ev = _events(spark, sf_dir)
+    ret = pct_change(ev, "user_id", "ts", "value", out="ret_1h", tiebreak="event_id")
+    ret = lead_col(ret, "user_id", "ts", "ret_1h", out="ret_1h_next", tiebreak="event_id")
+    feats = lag_features(ret, "user_id", "ts", "value", n_lags=24, tiebreak="event_id")
+    return feats.select(
+        "event_id",
+        F.col("user_id").alias("symbol"),
+        "value",
+        "ret_1h",
+        "ret_1h_next",
+        "value_lag1",
+        "value_lag6",
+        "value_lag12",
+        "value_lag24",
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-symbol snapshot bundle: latest row (OP-32/41), prev-day lookup with
+# fallback (OP-42), volatility + min/max (OP-33/34) — ONE aggregate pass
+# over one shuffle key. Single-operator forms: local tier.
+# --------------------------------------------------------------------------
+@register(
+    "per_symbol_snapshot",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             value / lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) - 1 AS ret,
+             date_trunc('day', ts) AS d,
+             max(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS max_d
+      FROM events
+    )
+    SELECT user_id AS symbol,
+           max(ts) AS last_ts,
+           last(value ORDER BY ts, event_id) AS last_value,
+           last(event_type ORDER BY ts, event_id) AS last_event_type,
+           COALESCE(last(value ORDER BY ts, event_id)
+                      FILTER (WHERE d = max_d - INTERVAL 1 DAY),
+                    last(value ORDER BY ts, event_id)) AS prev_day_value,
+           round(stddev_samp(ret), 6) AS volatility,
+           CASE WHEN stddev_samp(ret) < 2.0 THEN 'stable' ELSE 'unstable' END
+             AS stability,
+           round(min(ret), 6) AS min_ret,
+           round(max(ret), 6) AS max_ret
+    FROM r GROUP BY user_id
+    """,
+)
+def per_symbol_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dashboard/app.py:73-86, :17-30, :342-343 in one plan: the market-
+    overview page's per-symbol row — latest value, previous-day value with
+    latest-value fallback, return volatility with stability flag, return
+    extrema. One window pass for returns + one hash aggregate; max_by with
+    a (ts, event_id) struct gives every 'latest' without a second sort."""
+    ev = _events(spark, sf_dir)
+    r = pct_change(ev, "user_id", "ts", "value", out="ret", tiebreak="event_id")
+    r = r.withColumn("d", F.date_trunc("day", "ts")).withColumn(
+        "max_d", F.max("d").over(Window.partitionBy("user_id"))
+    )
+    order = F.struct("ts", "event_id")
+    prev_cond = F.col("d") == F.col("max_d") - F.expr("INTERVAL 1 DAY")
+    agg = r.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", order).alias("last_value"),
+        F.max_by("event_type", order).alias("last_event_type"),
+        F.max_by(F.when(prev_cond, F.col("value")), F.when(prev_cond, order)).alias(
+            "_prev"
+        ),
+        F.round(F.stddev_samp("ret"), 6).alias("volatility"),
+        F.when(F.stddev_samp("ret") < 2.0, "stable")
+        .otherwise("unstable")
+        .alias("stability"),
+        F.round(F.min("ret"), 6).alias("min_ret"),
+        F.round(F.max("ret"), 6).alias("max_ret"),
+    )
+    return agg.select(
+        F.col("user_id").alias("symbol"),
+        "last_ts",
+        "last_value",
+        "last_event_type",
+        F.coalesce("_prev", "last_value").alias("prev_day_value"),
+        "volatility",
+        "stability",
+        "min_ret",
+        "max_ret",
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested-shape bundle: the tweets array<struct> round trip (OP-05/68) + the
+# implied struct/JSON flatten (OP-21) on the exploded rows. Single-operator
+# forms: local tier.
+# --------------------------------------------------------------------------
+@register(
+    "nested_flatten_explode",
+    oracle="""
+    SELECT user_id AS symbol, ts, event_type AS content,
+           value AS c, round(value * 1.01, 6) AS h, round(value * 0.99, 6) AS l,
+           CAST(json_extract(props, '$.k') AS INT) AS k
+    FROM events WHERE event_type IN ('click', 'view')
+    """,
+)
+def nested_flatten_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """twitter/main.py:18-27 + finnhub/main.py:19-23 — pack each symbol's
+    events into a sorted array of structs (the stored tweets shape), explode
+    back to rows, rebuild the nested quote struct + JSON payload, and
+    flatten with select('data.*'). The oracle is the flat projection — the
+    whole nested round trip must be lossless, and Catalyst collapses the
+    construct+flatten pair to a no-op."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isin("click", "view"))
+    packed = ev.groupBy(F.col("user_id").alias("symbol")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value", "props"))
+        ).alias("tweets")
+    )
+    t = packed.select("symbol", F.explode("tweets").alias("t"))
+    nested = t.select(
+        "symbol",
+        F.col("t.ts").alias("ts"),
+        F.col("t.event_type").alias("content"),
+        F.struct(
+            F.col("t.value").alias("c"),
+            F.round(F.col("t.value") * 1.01, 6).alias("h"),
+            F.round(F.col("t.value") * 0.99, 6).alias("l"),
+        ).alias("data"),
+        F.from_json(F.col("t.props"), "k INT").alias("doc"),
+    )
+    return nested.select("symbol", "ts", "content", "data.*", F.col("doc.k").alias("k"))
+
+
+# --------------------------------------------------------------------------
+# Reshape bundle: the trends melt IS a union-all of per-column projections
+# (integrate/main.py:82-87 melts by project+concat) — so one query exercises
+# melt (OP-47) and unionByName (OP-48) with deliberately misordered branch
+# columns. Single-operator forms: local tier.
+# --------------------------------------------------------------------------
+@register(
+    "melt_union_trends",
+    oracle="""
+    WITH wide AS (
+      SELECT date_trunc('hour', ts) AS hour_ts,
+             last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'click') AS click,
+             last(value ORDER BY ts, event_id) FILTER (WHERE event_type = 'purchase') AS purchase
+      FROM events GROUP BY 1
+    )
+    SELECT hour_ts, 'click' AS series, click AS trend_score FROM wide
+      WHERE click IS NOT NULL
+    UNION ALL
+    SELECT hour_ts, 'purchase' AS series, purchase AS trend_score FROM wide
+      WHERE purchase IS NOT NULL
+    """,
+)
+def melt_union_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """integrate/main.py:82-87 — wide trend columns → long rows exactly the
+    way the reference does it: per-column project + concat, i.e. a
+    unionByName whose branches list columns in different orders (name
+    alignment, not positional)."""
+    ev = _events(spark, sf_dir).withColumn("hour_ts", hour_floor("ts"))
+    wide = pivot_last(
+        ev.select("hour_ts", "event_type", "value", "ts", "event_id"),
+        ts_col="hour_ts",
+        key_col="event_type",
+        val_col="value",
+        keys=["click", "purchase"],
+        order_col="struct(ts, event_id)",
+    )
+    a = wide.select(
+        "hour_ts", F.lit("click").alias("series"), F.col("click").alias("trend_score")
+    )
+    b = wide.select(
+        F.col("purchase").alias("trend_score"),
+        F.lit("purchase").alias("series"),
+        "hour_ts",
+    )
+    return a.unionByName(b).filter(F.col("trend_score").isNotNull())
 
 
 # --- Sessionization (gaps-and-islands) ---------------------------------------
@@ -773,7 +1039,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-62 family: native session windows ------------------------------------
-@register(
+@register_local(
     "session_window_native",
     oracle="""
     WITH flagged AS (

@@ -24,7 +24,7 @@ from ..functions.scalar import (
 )
 from ..operators.cleaning import hour_floor
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, register_local
 
 
 # --------------------------------------------------------------------------
@@ -249,7 +249,7 @@ def trend_column_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-31: group-min aggregate ----------------------------------------------
-@register(
+@register_local(
     "priority_price_stats",
     oracle="""
     SELECT o_orderpriority,
@@ -319,7 +319,49 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- semi/anti joins (declared surface beyond reference parity, SURVEY §2.3) --
+# One bundle drives both join types through the driver gate; the
+# single-operator forms live in the local tier.
 @register(
+    "semi_anti_customers",
+    oracle="""
+    SELECT c_mktsegment, 'active' AS activity, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'inactive' AS activity, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti against the same filtered orders build — the
+    EXISTS / NOT EXISTS pair as one result with an activity tag. Both
+    branches share the scan + filter subtree; each join ships only the key
+    column of the build side (semi/anti never materialize right columns)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    active = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("c_mktsegment", F.lit("active").alias("activity"), "n_customers")
+    )
+    inactive = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("c_mktsegment", F.lit("inactive").alias("activity"), "n_customers")
+    )
+    return active.unionByName(inactive)
+
+
+@register_local(
     "semi_join_active_customers",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_customers
@@ -341,7 +383,7 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "anti_join_inactive_customers",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_customers
@@ -636,6 +678,8 @@ def q6_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50_totalprice,
            max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN o_totalprice END) AS p90_totalprice,
            max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99_totalprice,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
            max(n) AS n_orders
     FROM t
     GROUP BY o_orderpriority
@@ -667,6 +711,8 @@ def quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.50, "p50_totalprice"),
         pick(0.90, "p90_totalprice"),
         pick(0.99, "p99_totalprice"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
         F.max("n").alias("n_orders"),
     )
 
@@ -686,7 +732,7 @@ _SQL_BOTH_ENGINES = """
 """
 
 
-@register("sql_interface_revenue", oracle=_SQL_BOTH_ENGINES)
+@register_local("sql_interface_revenue", oracle=_SQL_BOTH_ENGINES)
 def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative parity proof: the literal oracle string is executed by
     spark.sql() over a temp view — Catalyst plans it to the identical

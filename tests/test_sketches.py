@@ -6,7 +6,10 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+from stock_market_big_data_project_spark.plans import (
+    LOCAL_QUERIES,
+    load_all_plans,
+)
 from stock_market_big_data_project_spark.sources.tables import load_table
 
 from .conftest import SF_DIR
@@ -17,7 +20,7 @@ load_all_plans()
 def test_approx_distinct_within_rsd(spark):
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in QUERIES["approx_distinct_sketch"](spark, SF_DIR).collect()
+        for r in LOCAL_QUERIES["approx_distinct_sketch"](spark, SF_DIR).collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -33,7 +36,7 @@ def test_approx_distinct_within_rsd(spark):
 
 
 def test_approx_quantiles_bracket_exact_rank(spark):
-    approx = QUERIES["approx_quantile_sketch"](spark, SF_DIR).collect()
+    approx = LOCAL_QUERIES["approx_quantile_sketch"](spark, SF_DIR).collect()
     ev = load_table(spark, SF_DIR, "events")
     for row in approx:
         vals = sorted(

@@ -17,13 +17,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+from stock_market_big_data_project_spark.plans import (
+    LOCAL_QUERIES,
+    QUERIES,
+    load_all_plans,
+)
 
 SF = "/root/testdata/sf0.1"
 
 
 def audit(spark: SparkSession, name: str) -> str:
-    df = QUERIES[name](spark, SF)
+    df = {**LOCAL_QUERIES, **QUERIES}[name](spark, SF)
     jvm = df._sc._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     txt = df._jdf.queryExecution().explainString(mode)
@@ -64,9 +68,9 @@ def main() -> None:
     if len(sys.argv) > 1:
         names = sys.argv[1:]
     else:
-        from bench import HEADLINE
+        from bench import EXTRA, HEADLINE
 
-        names = HEADLINE
+        names = HEADLINE + EXTRA
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.adaptive.enabled", "false")
