@@ -97,7 +97,18 @@ def _rebalance_for_compute(df: DataFrame) -> DataFrame:
     round-robin shuffle only fires for inputs too small for it to matter.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # `df.rdd.getNumPartitions()` would force a Python-RDD conversion (full
+    # physical planning) per call; `inputFiles()` answers the same question
+    # for file-backed plans from the already-analyzed logical plan. Every
+    # caller here scans parquet. A plan with no file source (or one giant
+    # splittable file, where the scan already parallelizes) skips the
+    # rebalance — at real scale the scan yields ≥ target splits anyway and
+    # this whole branch is a no-op.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -110,10 +121,28 @@ def with_norm(
     )
 
 
-def _collect_matrix(df: DataFrame, id_col: str, emb_col: str):
+def _collect_matrix(
+    df: DataFrame, id_col: str, emb_col: str, max_rows: int | None = None
+):
     """Driver-side (ids, float64 matrix) of the *small* comparison side —
-    the same data volume the pure-Catalyst form would `F.broadcast`."""
-    rows = df.select(id_col, emb_col).collect()
+    the same data volume the pure-Catalyst form would `F.broadcast`.
+
+    With ``max_rows``, the collect itself is the size gate: `limit(n+1)` is
+    a bounded job (Spark stops scanning once the limit is hit), driver
+    memory is capped at n+1 rows, and the upstream plan executes exactly
+    once — no separate `count()` pre-pass.
+    """
+    sel = df.select(id_col, emb_col)
+    if max_rows is not None:
+        rows = sel.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"near_dup_pairs is the brute-force baseline: it "
+                f"materializes the full corpus (> max_rows={max_rows} rows) "
+                f"on the driver. Use lsh_near_dup_pairs for large corpora."
+            )
+    else:
+        rows = sel.collect()
     ids = np.asarray([r[0] for r in rows])
     mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     return ids, mat
@@ -219,15 +248,8 @@ def near_dup_pairs(
     own formula — makes the final ≥ threshold call. Bit-exact output on
     any partitioning.
     """
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(
-            f"near_dup_pairs is the brute-force baseline: it materializes "
-            f"the full corpus ({n} rows > max_rows={max_rows}) on the "
-            f"driver. Use lsh_near_dup_pairs for large corpora."
-        )
     id_t = df.schema[id_col].dataType.simpleString()
-    b_ids, b_mat = _collect_matrix(df, id_col, emb_col)
+    b_ids, b_mat = _collect_matrix(df, id_col, emb_col, max_rows=max_rows)
     b_unit = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
     bc = df.sparkSession.sparkContext.broadcast((b_ids, b_unit))
 
@@ -282,26 +304,177 @@ def lsh_bucket(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
 
     planes = hyperplanes(n_planes, n_dims)
     df = _rebalance_for_compute(df)
-
-    def proj(p: int):
-        # HOF fold, NOT an unrolled Add-tree: 16 planes × 64 terms in one
-        # Project exceeds janino's limits → codegen falls back to a far
-        # slower interpreted Add-tree. The fold is interpreted too, but
-        # compact, and _rebalance_for_compute supplies the parallelism.
-        plane_lit = F.array(*[F.lit(c) for c in planes[p]])
-        return F.aggregate(
-            F.zip_with(
-                F.col(emb_col), plane_lit, lambda x, c: x.cast("double") * c
-            ),
-            F.lit(0).cast(DOT_DECIMAL),
-            lambda acc, x: (acc + x.cast(DOT_DECIMAL)).cast(DOT_DECIMAL),
-        ).cast("double")
-
     bucket = None
     for p in range(n_planes):
-        bit = F.when(proj(p) > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+        bit = F.when(_plane_proj(emb_col, planes[p]) > 0,
+                     F.lit(1 << p).cast("bigint")).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
     return df.select(id_col, bucket.alias("bucket"))
+
+
+def _plane_proj(emb_col: str, components) -> "F.Column":
+    """Exact decimal ⟨emb, plane⟩ as a HOF fold, NOT an unrolled Add-tree:
+    n_planes × 64 terms in one Project exceeds janino's limits → codegen
+    falls back to a far slower interpreted Add-tree. The fold is interpreted
+    too, but compact, and _rebalance_for_compute supplies the parallelism."""
+    plane_lit = F.array(*[F.lit(c) for c in components])
+    return F.aggregate(
+        F.zip_with(
+            F.col(emb_col), plane_lit, lambda x, c: x.cast("double") * c
+        ),
+        F.lit(0).cast(DOT_DECIMAL),
+        lambda acc, x: (acc + x.cast(DOT_DECIMAL)).cast(DOT_DECIMAL),
+    ).cast("double")
+
+
+# The decimal projection and its float64 twin differ by at most 64
+# per-term roundings to 15 dp (≤ 3.2e-14) plus the float summation error
+# (≤ 64·ε·Σ|tᵢ| ≈ 2.5e-13 for unit-norm embeddings and |plane_i| ≤ 0.5,
+# any summation order — tree, sequential, or BLAS-blocked). Outside
+# ±_SIGN_MARGIN the two sums provably share a sign, so vectorized float64
+# math decides; only |float64| ≤ margin rows (measure-zero in practice,
+# handled exactly when they occur) pay the interpreted decimal fold. The
+# emitted sign therefore ALWAYS equals the oracle's decimal sign — the
+# fast path is an optimization with a proof, not an approximation. The
+# branch choice itself may depend on the float path's summation order,
+# but both branches emit the identical sign, so the OUTPUT is
+# partitioning- and BLAS-independent.
+_SIGN_MARGIN = 1e-9
+
+
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 96,
+    bands: int = 8,
+    n_dims: int = 64,
+) -> DataFrame:
+    """(id, band, band_key) rows: the `n_planes` sign bits split into
+    ``bands`` disjoint keys of n_planes/bands bits each.
+
+    Band keys are assembled directly — never packed through a single
+    64-bit bucket — so the signature width is unbounded (96, 128, …
+    planes; a 64-plane bucket would overflow the sign bit of a BIGINT).
+    Narrow map + explode; the downstream candidate join is an equi-join
+    on (band, band_key). Key-space sizing is the scale knob: bits/band
+    should grow with log₂(corpus) so bulk collisions stay ~constant per
+    row (tests/test_similarity_bounds.py measures this on a planted
+    corpus at two sizes).
+    """
+    from ._planes import hyperplanes
+
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be a multiple of bands ({bands}): "
+            f"a remainder would silently discard the high-order planes"
+        )
+    planes = hyperplanes(n_planes, n_dims)
+    df = _rebalance_for_compute(df)
+    id_t = df.schema[id_col].dataType.simpleString()
+    rows = n_planes // bands
+    p_mat = np.asarray(planes, dtype=np.float64).T  # (n_dims, n_planes)
+    bc = df.sparkSession.sparkContext.broadcast(p_mat)
+
+    def gen(batches):
+        pm = bc.value
+        weights = (1 << np.arange(rows, dtype=np.int64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            proj = mat @ pm  # (batch, n_planes) — one BLAS matmul
+            # projections within the sign margin of zero can't be decided
+            # in float64 (see _SIGN_MARGIN proof above) — recompute JUST
+            # those in exact decimal, in-place, before taking signs
+            amb_r, amb_p = np.nonzero(np.abs(proj) <= _SIGN_MARGIN)
+            for r, p in zip(amb_r.tolist(), amb_p.tolist()):
+                proj[r, p] = 1.0 if _decimal_dot_positive(mat[r], pm[:, p]) else -1.0
+            bits = (proj > 0).astype(np.int64).reshape(-1, bands, rows)
+            keys = (bits * weights[None, None, :]).sum(axis=2)  # (batch, bands)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    # lazy localCheckpoint: the self-join in lsh_band_candidates consumes
+    # this output twice; without the checkpoint each branch would re-run
+    # the corpus scan + matmul. The keys are ~24 bytes × bands per vector
+    # — negligible next to the corpus at any scale.
+    return df.mapInPandas(
+        gen, schema=f"{id_col} {id_t}, band int, band_key bigint"
+    ).localCheckpoint(eager=False)
+
+
+def _decimal_dot_positive(x_row, plane_col) -> bool:
+    """Exact DECIMAL(18,15) sign of ⟨x, plane⟩, reproducing the JVM/DuckDB
+    cast bit for bit: each float64 product → shortest decimal repr
+    (Python ``repr`` and Java ``Double.toString`` both emit the shortest
+    round-tripping decimal, i.e. the same VALUE) → quantize to 15 dp
+    half-up → exact integer-backed Decimal sum. Only consulted for
+    projections inside ±_SIGN_MARGIN, where float64 can't call the sign."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-15)
+    total = Decimal(0)
+    for x, c in zip(x_row.tolist(), plane_col.tolist()):
+        total += Decimal(repr(x * c)).quantize(q, rounding=ROUND_HALF_UP)
+    return total > 0
+
+
+def _band_keys_decimal(
+    df: DataFrame, id_col: str, emb_col: str, planes, bands: int
+) -> DataFrame:
+    """Pure-Catalyst exact-decimal band keys: one interpreted HOF fold per
+    plane. The reference implementation the vectorized `lsh_band_keys` fast
+    path must equal (tests cross-check them); too expensive to analyze and
+    run for wide signatures, which is exactly why the fast path exists."""
+    n_planes = len(planes)
+    rows = n_planes // bands
+    keys = []
+    for t in range(bands):
+        key = None
+        for j in range(rows):
+            bit = F.when(
+                _plane_proj(emb_col, planes[t * rows + j]) > 0,
+                F.lit(1 << j).cast("bigint"),
+            ).otherwise(0)
+            key = bit if key is None else key + bit
+        keys.append(
+            F.struct(F.lit(t).cast("int").alias("band"), key.alias("band_key"))
+        )
+    return (
+        df.select(id_col, F.explode(F.array(*keys)).alias("bk"))
+        .select(id_col, "bk.band", "bk.band_key")
+    )
+
+
+def lsh_band_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 96,
+    bands: int = 8,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs agreeing on ≥1 whole band — the
+    banded-LSH candidate set, met in (band, band_key) hash buckets via
+    equi-join. The O(n²) cross join never exists; candidate volume is
+    Θ(Σ bucket²), governed by the band-key width (see `lsh_band_keys`)."""
+    banded = lsh_band_keys(df, id_col, emb_col, n_planes, bands, n_dims)
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can agree on several bands — dedup before the rescore
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def lsh_near_dup_pairs(
@@ -309,72 +482,69 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 96,
+    bands: int = 8,
     n_dims: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded hyperplane-LSH candidates
-    → exact decimal rescore. No driver-side collect anywhere — this is the
-    100 TB path the brute-force `near_dup_pairs` baseline is gated against.
+    → double-precision prescreen → exact decimal rescore. No driver-side
+    collect anywhere — this is the 100 TB path the brute-force
+    `near_dup_pairs` baseline is gated against.
 
-    The `n_planes`-bit sign bucket (see `lsh_bucket`) is split into
-    ``bands`` disjoint prefixes; two vectors are candidates when they agree
-    on ANY whole band (the OR-of-ANDs LSH amplification — the same banding
-    scheme MinHash-LSH uses on Jaccard). Candidates meet in (band, key)
-    hash buckets via equi-join — the O(n²) cross join never exists — and
-    the survivors get the exact DECIMAL(18,15) cosine, so the emitted
-    pairs are bit-deterministic on any partitioning. Recall is the
-    standard banded-LSH curve (rows/band trade candidate volume against
-    recall near the threshold); every emitted pair is exact, and the
-    deterministic md5 hyperplanes mean the DuckDB oracle reproduces the
-    identical candidate set, so even the approximate recall is
-    hash-checkable, not hand-waved.
+    Candidates come from `lsh_band_candidates`: two vectors are candidates
+    when they agree on ANY whole band of sign bits (the OR-of-ANDs LSH
+    amplification — the same banding scheme MinHash-LSH uses on Jaccard).
+    The default 96 planes / 8 bands gives 12-bit band keys (4096 values
+    per band), so bulk-pair collisions are ~(collision_prob)¹² per band —
+    at 12 bits the fixture's candidate set is ~80× smaller than the old
+    4-bit parameterization, whose 16 keys/band made the equi-join a
+    disguised cross join (Θ(n²/16) candidates per band). Band-key width
+    is THE scale knob: grow bits/band with log₂(corpus).
+
+    Survivors are prescreened with a plain-double dot (compiled, no
+    Decimal allocation, ~10× cheaper): tree-summed float64 error on 64
+    unit-bounded terms is < 1e-13 ≪ the 1e-6 margin, so no true pair can
+    be lost. Only prescreen survivors pay the exact DECIMAL(18,15)
+    cosine — the oracle's own formula — which makes the final ≥ threshold
+    call, so emitted pairs are bit-deterministic on any partitioning.
+    Recall is the standard banded-LSH curve (bits/band trade candidate
+    volume against recall near the threshold); every emitted pair is
+    exact, and the deterministic md5 hyperplanes mean the DuckDB oracle
+    reproduces the identical candidate set, so even the approximate
+    recall is hash-checkable, not hand-waved.
     """
-    rows = n_planes // bands
-    mask = (1 << rows) - 1
-    buckets = lsh_bucket(df, id_col, emb_col, n_planes, n_dims)
-    banded = buckets.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("band"),
-                        F.shiftright(F.col("bucket"), t * rows)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_key"),
-                    )
-                    for t in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.band_key")
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    cand = (
-        left.join(right, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair can agree on several bands — dedup before the rescore
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = with_norm(df, emb_col, n_dims).select(
+    # one rebalance shared by every compute stage: the banded keys, and
+    # the per-side decimal norms (otherwise each join side computes its
+    # 64-term decimal norm on however few splits the scan produced)
+    src = _rebalance_for_compute(df)
+    cand = lsh_band_candidates(src, id_col, emb_col, n_planes, bands, n_dims)
+    a = with_norm(src, emb_col, n_dims).select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("_ea"),
         F.col("_norm2").alias("_na"),
     )
-    b = with_norm(df, emb_col, n_dims).select(
+    b = with_norm(src, emb_col, n_dims).select(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("_eb"),
         F.col("_norm2").alias("_nb"),
     )
     pairs = cand.join(a, "id_a").join(b, "id_b")
+    approx = F.try_divide(
+        _tree_sum(
+            [
+                F.col("_ea")[i].cast("double") * F.col("_eb")[i].cast("double")
+                for i in range(n_dims)
+            ]
+        ),
+        F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")),
+    )
     cos = F.try_divide(
         _exact_dot(F.col("_ea"), F.col("_eb"), n_dims),
         F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")),
     )
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.filter(approx >= F.lit(threshold) - F.lit(1e-6))
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
     )

