@@ -91,44 +91,109 @@ def daily_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-30/OP-67 (analysis_part/main.py:51-55) — one square Pearson
     correlation matrix PER SYMBOL (the reference writes one CSV artifact
-    per symbol; here all of them are ONE plan, no per-symbol loop): melt →
-    per-(symbol, day) self-join (pairwise-complete observations, pandas
-    corr semantics) → decimal-exact moments → closed form → pivot to the
-    square artifact shape, diagonal included (corr(f,f) = 1 where variance
-    > 0, NULL on degenerate pairs)."""
-    long = daily_long(spark, sf_dir)
-    a = long.select(
-        "symbol", F.col("feature").alias("f1"), "day_ts", F.col("value").alias("x")
+    per symbol; here all of them are ONE plan, no per-symbol loop).
+
+    The fixed 5-feature schema means the 15 distinct pairwise moment sets
+    are computable from ONE wide aggregate — no per-(symbol, day)
+    self-join (the r02 plan paid two extra shuffles and 25 pair-rows per
+    grid cell for the same numbers): pivot days wide (shuffle 1), then a
+    single groupBy(symbol) computing every pair's decimal-exact moments
+    as conditional sums (shuffle 2, map-side combined), then the closed
+    form assembled into the square artifact rows with explode — pure
+    expressions, no further exchange. Pairwise-complete semantics (pandas
+    `corr`) are preserved exactly: each cell carries an observation-count
+    flag, so "both features present that day" means row existence — not
+    value non-nullness — matching the oracle's self-join, and a feature
+    never observed for a symbol emits no row, also matching. Diagonal
+    included (corr(f,f) = 1 where variance > 0, NULL on degenerate
+    pairs); moments accumulate in DECIMAL(38,6) — order-independent,
+    bit-equal to the oracle on any partitioning."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_ts", F.date_trunc("day", "ts")
     )
-    b = long.select(
-        "symbol", F.col("feature").alias("f2"), "day_ts", F.col("value").alias("y")
+    wide = (
+        ev.groupBy(F.col("user_id").alias("symbol"), "day_ts")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.expr("max_by(value, struct(ts, event_id))").alias("v"),
+            F.count(F.lit(1)).alias("c"),
+        )
     )
-    pairs = a.join(b, ["symbol", "day_ts"])
-    dec = lambda c: c.cast("decimal(38,6)")  # noqa: E731
-    m = pairs.groupBy("symbol", "f1", "f2").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
-        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+
+    # The moment + closed-form layers are GENERATED SQL, not Column
+    # algebra: 150 aggregates × ~10 Py4J calls each made plan *construction*
+    # the dominant cost (~6 s of driver round-trips); one SQL string is a
+    # single JVM parse. Semantics identical to the column form.
+    # Pearson is symmetric under (x ↔ y), so only the 15 unordered pairs
+    # (a ≤ b) carry moment state — 75 aggregate buffers, not 150; the
+    # (b, a) cell reads the (a, b) moments with x/y roles swapped.
+    def aggs(a: str, b: str) -> list[str]:
+        both = f"{a}_c IS NOT NULL AND {b}_c IS NOT NULL"
+        s = lambda e, n: (  # noqa: E731
+            f"CAST(sum(CASE WHEN {both} THEN CAST({e} AS DECIMAL(38,6)) END)"
+            f" AS DOUBLE) AS {n}_{a}_{b}"
+        )
+        out = [
+            f"count(CASE WHEN {both} THEN 1 END) AS n_{a}_{b}",
+            s(f"{a}_v", "sx"),
+            s(f"{a}_v * {a}_v", "sxx"),
+        ]
+        if a != b:
+            out += [
+                s(f"{b}_v", "sy"),
+                s(f"{a}_v * {b}_v", "sxy"),
+                s(f"{b}_v * {b}_v", "syy"),
+            ]
+        return out
+
+    def corr(a: str, b: str) -> str:
+        lo, hi = (a, b) if a <= b else (b, a)
+        n = f"CAST(n_{lo}_{hi} AS DOUBLE)"
+        if a == b:
+            sx, sy = f"sx_{lo}_{hi}", f"sx_{lo}_{hi}"
+            sxy = sxx = syy = f"sxx_{lo}_{hi}"
+        elif a < b:
+            sx, sy = f"sx_{lo}_{hi}", f"sy_{lo}_{hi}"
+            sxy, sxx, syy = f"sxy_{lo}_{hi}", f"sxx_{lo}_{hi}", f"syy_{lo}_{hi}"
+        else:  # mirrored: x/y swap
+            sx, sy = f"sy_{lo}_{hi}", f"sx_{lo}_{hi}"
+            sxy, sxx, syy = f"sxy_{lo}_{hi}", f"syy_{lo}_{hi}", f"sxx_{lo}_{hi}"
+        vx = f"({n} * {sxx} - {sx} * {sx})"
+        vy = f"({n} * {syy} - {sy} * {sy})"
+        return (
+            f"CASE WHEN n_{lo}_{hi} >= 3 AND {vx} > 0 AND {vy} > 0 THEN "
+            f"round(try_divide({n} * {sxy} - {sx} * {sy}, "
+            f"sqrt({vx}) * sqrt({vy})), 9) END"
+        )
+
+    all_aggs = ",\n           ".join(
+        s
+        for i, a in enumerate(EVENT_TYPES)
+        for b in EVENT_TYPES[i:]
+        for s in aggs(a, b)
     )
-    n = F.col("n").cast("double")
-    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = F.when(
-        (F.col("n") >= 3) & (vx > 0) & (vy > 0),
-        F.round(
-            F.try_divide(n * F.col("sxy") - F.col("sx") * F.col("sy"),
-                         F.sqrt(vx) * F.sqrt(vy)),
-            9,
-        ),
+    structs = ",\n             ".join(
+        "struct('%s' AS feature, %s, n_%s_%s > 0 AS _present)"
+        % (
+            a,
+            ", ".join(f"{corr(a, b)} AS {b}" for b in EVENT_TYPES),
+            a,
+            a,
+        )
+        for a in EVENT_TYPES
     )
-    c = m.select("symbol", "f1", "f2", corr.alias("corr"))
-    return (
-        c.groupBy("symbol", F.col("f1").alias("feature"))
-        .pivot("f2", EVENT_TYPES)
-        .agg(F.max("corr"))
+    cols = ", ".join(EVENT_TYPES)
+    return spark.sql(
+        f"""
+        WITH m AS (
+          SELECT symbol, {all_aggs}
+          FROM {{wide}} GROUP BY symbol
+        )
+        SELECT symbol, feature, {cols}
+        FROM (SELECT symbol, inline(array({structs})) FROM m)
+        WHERE _present
+        """,
+        wide=wide,
     )
 
 
