@@ -84,6 +84,9 @@ EXTRA = [
     "text_analysis_bundle",
     "multimodal_pipeline_stub",
     "approx_sketch_bundle",
+    # round-3 driver additions
+    "streaming_stateful_ffill_parity",
+    "granger_structure",
 ]
 
 

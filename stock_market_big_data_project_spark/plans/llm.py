@@ -810,7 +810,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join three outputs on doc_id — two shuffles for task-local data). The
 # per-stage forms live in the local tier.
 # --------------------------------------------------------------------------
-@register(
+@register_local(  # local tier as of r03: the REAL-computation twin
+    # `multimodal_byte_histogram` keeps the driver slot (50-query cap);
+    # this stub pipeline stays bitwise-checked at sf0.001/sf0.01 by
+    # tests/test_oracle_parity.py
     "multimodal_pipeline_stub",
     oracle=f"""
     WITH {_HEXDOCS},

@@ -1240,6 +1240,123 @@ def streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "streaming_stateful_ffill_parity",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS tmin,
+             date_trunc('hour', max(ts)) AS tmax
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    ), inds AS (
+      SELECT DISTINCT event_type AS indicator FROM events
+    ), hourly AS (
+      SELECT event_type AS indicator, date_trunc('hour', ts) AS ts,
+             last(value ORDER BY ts, event_id) AS value
+      FROM events GROUP BY 1, 2
+    ), cells AS (
+      SELECT i.indicator, g.ts, h.value
+      FROM inds i CROSS JOIN grid g
+      LEFT JOIN hourly h ON h.indicator = i.indicator AND h.ts = g.ts
+    )
+    SELECT indicator, ts,
+           LAST_VALUE(value IGNORE NULLS) OVER (
+             PARTITION BY indicator ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           value IS NULL AS filled
+    FROM cells
+    """,
+)
+def streaming_stateful_ffill_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-64 proven under the driver, not just pytest: the FRED-style
+    carry-forward (integrate/main.py:72 ``resample('1H').ffill()``) run
+    through the REAL incremental path — ``applyInPandasWithState`` keeping
+    one float of state per indicator — and hash-matched against the batch
+    unbounded-preceding window the oracle computes.
+
+    Harness: the gappy hourly macro grid (indicator × global hour grid,
+    NULL where no observation) is built in batch, written as THREE
+    time-ordered parquet chunks with strictly increasing mtimes, and
+    replayed with ``maxFilesPerTrigger=1`` — so the stream executes three
+    micro-batches and every fill that crosses a chunk boundary must come
+    out of the state store, not the in-batch sort. A hash match therefore
+    proves cross-batch state carry, not just per-batch ffill. (The
+    driver-side chunk write is harness scaffolding, same as
+    `streaming_batch_parity`'s file copy — the measured operator is the
+    stream.)"""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming.ingest import run_to_memory
+    from ..streaming.stateful import stateful_ffill
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.col("event_type").alias("indicator"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.expr("max_by(value, struct(ts, event_id))").alias("value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("tmin"),
+        F.date_trunc("hour", F.max("ts")).alias("tmax"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("tmin", "tmax", F.expr("interval 1 hour"))).alias("hour")
+    )
+    inds = ev.select(F.col("event_type").alias("indicator")).distinct()
+    cells = (
+        inds.crossJoin(grid)
+        .join(hourly, ["indicator", "hour"], "left")
+        .select("indicator", F.col("hour").alias("ts"), "value")
+    )
+    pdf = cells.toPandas().sort_values(["ts", "indicator"]).reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+    pdf["value"] = pdf["value"].astype("float64")
+
+    name = f"stateful_ffill_{uuid.uuid4().hex[:8]}"
+    td = tempfile.mkdtemp(prefix="stateful_ffill_")
+    try:
+        n = len(pdf)
+        now = _time.time()
+        # µs timestamps explicitly: pandas datetime64[ns] would write
+        # TIMESTAMP(NANOS), which Spark's TimestampType reader rejects
+        schema = pa.schema(
+            [
+                ("indicator", pa.string()),
+                ("ts", pa.timestamp("us", tz="UTC")),
+                ("value", pa.float64()),
+            ]
+        )
+        for k, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3),
+                                      (2 * n // 3, n))):
+            path = _os.path.join(td, f"chunk-{k:03d}.parquet")
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pdf.iloc[lo:hi], schema=schema, preserve_index=False
+                ),
+                path,
+            )
+            # strictly increasing mtimes: the file source processes oldest
+            # first, pinning micro-batch order to time order
+            _os.utime(path, (now - 20 + 10 * k, now - 20 + 10 * k))
+        stream = (
+            spark.readStream.schema("indicator string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(td)
+        )
+        run_to_memory(stateful_ffill(stream), name)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # Hourly OHLC bars — the canonical market resample implied by the OHLCV
 # source (OP-02): open/close are positional firsts/lasts in the bar,

@@ -267,6 +267,76 @@ def granger_causality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "granger_structure",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id AS symbol, date_trunc('hour', ts) AS hour_ts, event_type,
+             last(value ORDER BY ts, event_id) AS value
+      FROM events GROUP BY 1, 2, 3
+    ), wide AS (
+      SELECT symbol, hour_ts,
+             max(CASE WHEN event_type = 'click' THEN value END) AS click,
+             max(CASE WHEN event_type = 'error' THEN value END) AS error,
+             max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+             max(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+             max(CASE WHEN event_type = 'view' THEN value END) AS view
+      FROM cells GROUP BY 1, 2
+    ), ff AS (
+      SELECT symbol, hour_ts,
+             LAST_VALUE(click IGNORE NULLS) OVER w AS click,
+             LAST_VALUE(error IGNORE NULLS) OVER w AS error,
+             LAST_VALUE(purchase IGNORE NULLS) OVER w AS purchase,
+             LAST_VALUE(signup IGNORE NULLS) OVER w AS signup,
+             LAST_VALUE(view IGNORE NULLS) OVER w AS view
+      FROM wide
+      WINDOW w AS (PARTITION BY symbol ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), long AS (
+      SELECT symbol, pr.predictor, click,
+             CASE pr.predictor WHEN 'error' THEN error
+                               WHEN 'purchase' THEN purchase
+                               WHEN 'signup' THEN signup
+                               WHEN 'view' THEN view END AS pval
+      FROM ff CROSS JOIN (
+        SELECT unnest(['error', 'purchase', 'signup', 'view']) AS predictor
+      ) pr
+    ), counts AS (
+      SELECT symbol, predictor,
+             count(*) FILTER (WHERE click IS NOT NULL AND pval IS NOT NULL)
+               AS n_pair
+      FROM long GROUP BY 1, 2
+    )
+    SELECT symbol, predictor, CAST(NULL AS INT) AS lag,
+           FALSE AS has_p, TRUE AS is_error
+    FROM counts WHERE n_pair < 7
+    UNION ALL
+    SELECT symbol, predictor, CAST(l.lag AS INT) AS lag,
+           (n_pair - 3 * l.lag - 1 > 0) AS has_p, FALSE AS is_error
+    FROM counts CROSS JOIN (SELECT unnest(range(1, 6)) AS lag) l
+    WHERE n_pair >= 7
+    """,
+)
+def granger_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible projection of the Granger UDTF (OP-65),
+    hash-checked: row structure per (symbol, predictor, lag 1..5), the
+    reference's min-rows guard (`len < maxlag+2` ⇒ single error row with
+    NULL lag, analysis_part/main.py:64-65), and p-value computability
+    (`has_p` ⇔ the F-test dof n − 3·lag − 1 > 0 on the pairwise-complete
+    series). The oracle re-derives all of it relationally from the same
+    ffilled hourly wide table, so the UDTF's branching — not its
+    numerics — gets a bitwise driver check; the p-values themselves stay
+    under tests/test_stats.py tolerances (not SQL-expressible)."""
+    g = granger_causality_q(spark, sf_dir)
+    return g.select(
+        "symbol",
+        "predictor",
+        "lag",
+        (F.col("p_value").isNotNull() & ~F.isnan("p_value")).alias("has_p"),
+        F.col("error").isNotNull().alias("is_error"),
+    )
+
+
 @register("recursive_forecast")  # no oracle: recursive prediction, rows-only check
 def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-66 (analysis_part/main.py:81-125) — per symbol: 24 lag features,

@@ -53,7 +53,23 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     and the stream schema follows suit.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe_type = spark.read.parquet(dir_path).schema["ts"].dataType
+    try:
+        probe_type = spark.read.parquet(dir_path).schema["ts"].dataType
+    except Exception:
+        # Empty source directory — a normal initial state for a file-source
+        # stream (files arrive later). Fall back by runtime: ≥ 4.1.2 reads
+        # TIMESTAMP(NANOS) natively as timestamp_ntz, older runtimes
+        # surface int64 nanos under the legacy conf.
+        import re as _re
+
+        import pyspark as _ps
+
+        ver = tuple(
+            int(x) for x in _re.findall(r"\d+", _ps.__version__)[:3]
+        )
+        probe_type = (
+            T.TimestampNTZType() if ver >= (4, 1, 2) else T.LongType()
+        )
     raw = (
         spark.readStream.schema(_events_raw_schema(probe_type))
         .format("parquet")
