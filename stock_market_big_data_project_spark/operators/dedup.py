@@ -128,7 +128,12 @@ def jaccard_on_candidates(
         F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle_hash"
     )
     shared = (
+        # distinct is a correctness precondition, enforced here rather than
+        # assumed: a duplicated (id_a, id_b) row would multiply `shared`
+        # while n_a/n_b stay fixed — Jaccard > 1 and false-positive pairs.
+        # Cheap relative to the shingle joins it feeds.
         cand.select("id_a", "id_b")
+        .distinct()
         .join(a, "id_a")
         .join(b, ["id_b", "shingle_hash"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
@@ -179,8 +184,54 @@ def minhash_signatures(
     )
 
 
+def band_bucket_histogram(
+    banded: DataFrame, bucket_cols: list[str]
+) -> DataFrame:
+    """Bucket-occupancy histogram for any banded candidate structure:
+    (bucket_size, n_buckets, candidate_pairs = n_buckets·size·(size−1)/2).
+
+    THE pre-flight skew check for every LSH family here (MinHash bands,
+    SimHash bands, embedding hyperplane bands): candidate volume is
+    Σ size² over buckets, so one hot bucket is quadratic before any join
+    runs. This aggregate costs one map-side-combined groupBy over the
+    banded rows — run it (or assert on it, tests/test_skew.py) BEFORE
+    paying the self-join, and pick `max_bucket` from its tail.
+    """
+    sizes = banded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .withColumn(
+            "candidate_pairs",
+            F.col("n_buckets")
+            * (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint"),
+        )
+        .orderBy(F.desc("bucket_size"))
+    )
+
+
+def _drop_hot_buckets(
+    banded: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Drop rows of buckets with > max_bucket members: the same
+    broadcast-anti-join shape as the stop-shingle cut — one
+    map-side-combined agg builds the (by construction tiny) hot-bucket
+    list, so the bound costs no extra big shuffle."""
+    hot = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") > max_bucket)
+        .select(*bucket_cols)
+    )
+    return banded.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, bands: int = 8, rows: int = 4
+    sig: DataFrame,
+    id_col: str,
+    bands: int = 8,
+    rows: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and equi-join on (band, band_hash).
 
@@ -188,6 +239,18 @@ def lsh_candidate_pairs(
     — exact in int64 since mh < 1e9+7 and 31³ < 3e4). Pairs sharing ≥1 band
     come out with their shared-band count; this equi-join IS the scale story:
     candidates meet in hash buckets, never in a cross join.
+
+    ``max_bucket`` is the skew guardrail: a band bucket holding m docs (an
+    m-way exact-duplicate cluster, or a degenerate band) contributes m²/2
+    candidates — quadratic before the join emits a row. With the cap, hot
+    buckets are dropped via a broadcast anti-join (candidates then bounded
+    by buckets·max_bucket²/2 — tests/test_skew.py exercises an adversarial
+    corpus). Dropping a bucket can only lose candidate RECALL for pairs
+    whose every agreeing band is hot — exact duplicates are better served
+    by `exact_dedup_groups` first, which is why the cap is sane. Off by
+    default: the oracle-checked queries keep the uncapped semantics;
+    `band_bucket_histogram` makes the tail visible so the cap can be
+    chosen from data.
     """
     # positional weights as an exact integer CASE (libm pow is not exact)
     weight = F.when(F.col("i") % rows == 0, 1)
@@ -196,6 +259,8 @@ def lsh_candidate_pairs(
     banded = sig.groupBy(id_col, (F.col("i") / rows).cast("int").alias("band")).agg(
         F.sum(F.col("mh") * weight.cast("bigint")).alias("band_hash")
     )
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, ["band", "band_hash"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -215,6 +280,7 @@ def simhash_hamming_pairs(
     bits: int = 60,
     bands: int = 4,
     max_dist: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints via a banded hamming join.
 
@@ -228,6 +294,13 @@ def simhash_hamming_pairs(
 
     The differential oracle is the brute-force all-pairs hamming join —
     equality proves the banding loses nothing.
+
+    ``max_bucket`` (off by default) is the skew guardrail: m identical
+    fingerprints — an exact-duplicate cluster — put m rows in each of
+    their 4 buckets, m²/2 candidates. The cap drops hot buckets via a
+    broadcast anti-join, bounding candidates at the cost of the
+    pigeonhole exactness for pairs whose every agreeing band is hot (run
+    `exact_dedup_groups` first; `band_bucket_histogram` shows the tail).
     """
     if max_dist >= bands:
         raise ValueError(
@@ -253,6 +326,8 @@ def simhash_hamming_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "_fp", "bk.band", "bk.band_key")
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, ["band", "band_key"], max_bucket)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("_fp").alias("_fp_a"), "band", "band_key"
     )

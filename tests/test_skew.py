@@ -116,3 +116,73 @@ def test_two_stage_agg_matches_plain(spark, skewed):
     )
     salted = two_stage_agg(big, ["k"], ["v"], n_salts=8, salt_source="row_id").collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def _dup_heavy_docs(spark, n_dups=40, n_unique=20):
+    """Adversarial dedup corpus: one text duplicated n_dups times (every
+    banded scheme puts all copies in the same buckets) + unique docs."""
+    rows = [(i, "the exact same duplicated text payload here") for i in range(n_dups)]
+    rows += [
+        (n_dups + i, f"unique doc {i} with its own words alpha{i} beta{i} gamma{i}")
+        for i in range(n_unique)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    from stock_market_big_data_project_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _dup_heavy_docs(spark)
+    sig = minhash_signatures(docs, "doc_id", "text", n=3, k=32)
+    uncapped = lsh_candidate_pairs(sig, "doc_id").count()
+    assert uncapped >= 40 * 39 // 2  # the dup cluster alone is quadratic
+    capped = lsh_candidate_pairs(sig, "doc_id", max_bucket=10).count()
+    # hot buckets dropped -> the m^2 cluster never reaches the join
+    assert capped <= 8 * 10 * 10  # bands x max_bucket^2 coarse bound
+    assert capped < uncapped / 4
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    from stock_market_big_data_project_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_hamming_pairs,
+    )
+
+    docs = _dup_heavy_docs(spark)
+    fp = simhash_fingerprints(docs, "doc_id", "text")
+    uncapped = simhash_hamming_pairs(fp, "doc_id").count()
+    assert uncapped >= 40 * 39 // 2
+    capped = simhash_hamming_pairs(fp, "doc_id", max_bucket=10).count()
+    assert capped <= 4 * 10 * 10
+    assert capped < uncapped / 4
+
+
+def test_band_bucket_histogram_exposes_hot_bucket(spark):
+    """The histogram must price the skew BEFORE the join: the dup cluster
+    shows up as a bucket of size 40 whose candidate_pairs column says
+    40*39/2 — visible for the cost of one aggregate."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from stock_market_big_data_project_spark.operators.dedup import (
+        band_bucket_histogram,
+        minhash_signatures,
+    )
+
+    docs = _dup_heavy_docs(spark)
+    sig = minhash_signatures(docs, "doc_id", "text", n=3, k=32)
+    rows = 4
+    weight = F.when(F.col("i") % rows == 0, 1)
+    for r in range(1, rows):
+        weight = weight.when(F.col("i") % rows == r, 31**r)
+    banded = sig.groupBy(
+        "doc_id", (F.col("i") / rows).cast("int").alias("band")
+    ).agg(F.sum(F.col("mh") * weight.cast("bigint")).alias("band_hash"))
+    hist = band_bucket_histogram(banded, ["band", "band_hash"]).collect()
+    top = hist[0]
+    # the dup cluster fills one size-40 bucket in each of the 8 bands;
+    # the histogram prices them at 8 x C(40,2) raw candidate slots
+    assert top.bucket_size == 40
+    assert top.n_buckets == 8
+    assert top.candidate_pairs == 8 * (40 * 39 // 2)
