@@ -1,0 +1,126 @@
+"""Physical-plan fact extraction — shared by `tools/plan_audit.py` (which
+regenerates PLANS.md at sf0.1) and `tests/test_plan_audit.py` (the red-flag
+gate that fails the suite when any registered query plans a cartesian
+product, an unexpected Python stage, or an exchange blow-up).
+
+The round-2 lesson this encodes: the one query that shipped with a
+quadratic plan (44 s `embedding_near_dup_pairs`) was exactly the one with
+no audited plan. Every name in the registry gets a section and a gate now.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# Queries whose *registered callable* executes a streaming job at build
+# time and returns a memory-sink table: their physical plan is the trivial
+# memory scan, and building them costs a full stream replay — audited via
+# their batch twins + tests/test_streaming.py instead.
+STREAMING_HARNESS = {
+    "streaming_batch_parity",
+    "streaming_stateful_ffill_parity",
+}
+
+# Queries whose plan legitimately contains Arrow/Python stages: every one
+# is an Arrow-batched mapInPandas/applyInPandas where no JVM primitive
+# expresses the semantics (vector matmul prescreens, per-group OLS/ridge,
+# stateful carry, codec plumbing). Per-row Python UDFs are NEVER on this
+# list — a PythonUDF node in any other query is a red flag.
+PYTHON_STAGE_OK = {
+    "embedding_bruteforce_topk",     # matmul candidate prescreen
+    "embedding_near_dup_bruteforce", # matmul candidate prescreen
+    "embedding_near_dup_pairs",      # band keys via BLAS matmul
+    "granger_causality",             # per-symbol OLS UDTF
+    "granger_structure",             # projection of the Granger UDTF
+    "recursive_forecast",            # per-symbol trainer/forecaster
+    "multimodal_pipeline_stub",      # fused decode→resize→sample UDTF
+    "multimodal_decode_stub",        # codec plumbing
+    "multimodal_resize_stub",        # codec plumbing
+    "multimodal_frame_sample",       # codec plumbing
+    "multimodal_byte_histogram",     # vectorized bincount features
+}
+
+# Queries that deliberately cross-join a ≤1-row (or few-row) broadcast
+# bound/dimension — Spark plans those as BroadcastNestedLoopJoin; with a
+# single-row build side that is O(n), not O(n²).
+TINY_CROSS_OK = {
+    "dedup_ngram_jaccard",        # corpus-size scalar for the stop-shingle cut
+    "dedup_minhash_verified",     # same cut inside the verified chain
+    "temporal_split_80_20",       # per-key split threshold scalar
+    "returns_histogram",          # global min/max bin bounds scalar
+    "resample_ffill_hourly",      # global grid bounds scalar
+    "trend_column_matcher",       # metadata theta-join: column catalog ×
+                                  # symbol list, both driver-size, never
+                                  # the fact table
+}
+
+# Exchange ceiling: the widest audited legitimate plan (the verified dedup
+# chain: index + sizes + candidates + verify + CC iterations) sits at 14;
+# anything above this is a restructuring smell, not a tuning knob.
+MAX_EXCHANGES = 16
+
+
+def plan_facts(df: DataFrame) -> dict:
+    """Counted facts from the FORMATTED explain of a DataFrame."""
+    jvm = df._sc._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    txt = df._jdf.queryExecution().explainString(mode)
+    tree = txt.split("\n\n")[0]
+
+    def n(pat: str) -> int:
+        return len(re.findall(rf"\b{pat}\b", tree))
+
+    return {
+        "broadcast_hash_joins": n("BroadcastHashJoin"),
+        "sort_merge_joins": n("SortMergeJoin"),
+        "broadcast_nested_loop_joins": n("BroadcastNestedLoopJoin"),
+        "cartesian_products": n("CartesianProduct"),
+        "exchanges": n("Exchange") + n("BroadcastExchange"),
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", txt))),
+        "python_stages": (
+            n("ArrowEvalPython")
+            + n("FlatMapGroupsInPandas")
+            + n("MapInPandas")
+            + n("FlatMapGroupsInPandasWithState")
+            + n("BatchEvalPython")
+        ),
+        "row_python_udfs": n("BatchEvalPython"),
+        "pushed_filters": sorted(
+            set(
+                m.strip()
+                for m in re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
+            )
+            - {""}
+        ),
+        "scanned_columns": sorted(
+            set(
+                c
+                for m in re.findall(r"ReadSchema: struct<([^>\n]*)", txt)
+                for c in re.findall(r"(\w+):", m)
+            )
+        ),
+    }
+
+
+def red_flags(name: str, facts: dict) -> list[str]:
+    """The gate: empty list == plan is shippable."""
+    flags: list[str] = []
+    if facts["cartesian_products"]:
+        flags.append(f"{name}: CartesianProduct in plan")
+    if facts["broadcast_nested_loop_joins"] and name not in TINY_CROSS_OK:
+        flags.append(
+            f"{name}: BroadcastNestedLoopJoin not on the tiny-cross allowlist"
+        )
+    if facts["row_python_udfs"]:
+        flags.append(f"{name}: row-at-a-time Python UDF (BatchEvalPython)")
+    if facts["python_stages"] and name not in PYTHON_STAGE_OK:
+        flags.append(
+            f"{name}: Python stage not on the Arrow-batched allowlist"
+        )
+    if facts["exchanges"] > MAX_EXCHANGES:
+        flags.append(
+            f"{name}: {facts['exchanges']} exchanges > {MAX_EXCHANGES}"
+        )
+    return flags

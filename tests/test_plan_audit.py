@@ -1,0 +1,58 @@
+"""Red-flag gate over every registered query's physical plan.
+
+The r02 lesson: the one query that shipped with a quadratic plan was the
+one without an audited plan. This test builds the plan (no execution) for
+every name in both registry tiers and fails on:
+
+- any CartesianProduct
+- any BroadcastNestedLoopJoin not on the documented tiny-cross allowlist
+- any row-at-a-time Python UDF (BatchEvalPython) anywhere
+- any Arrow/Python stage outside the documented mapInPandas allowlist
+- exchange count above the audited ceiling
+
+Plan build only — a few seconds per query at the test scale factor; the
+sf0.1 numbers live in PLANS.md via tools/plan_audit.py.
+"""
+
+from __future__ import annotations
+
+from .conftest import SF_DIR
+
+
+def test_no_red_flag_plans(spark):
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        QUERIES,
+        load_all_plans,
+    )
+    from stock_market_big_data_project_spark.plans.audit import (
+        STREAMING_HARNESS,
+        plan_facts,
+        red_flags,
+    )
+
+    load_all_plans()
+    all_queries = {**LOCAL_QUERIES, **QUERIES}
+    flags: list[str] = []
+    audited = 0
+    for name, fn in sorted(all_queries.items()):
+        if name in STREAMING_HARNESS:
+            continue
+        facts = plan_facts(fn(spark, SF_DIR))
+        flags += red_flags(name, facts)
+        audited += 1
+    assert audited >= 50
+    assert not flags, "\n".join(flags)
+
+
+def test_streaming_harness_list_is_current(spark):
+    """Every registered query skipped by the audit must actually be a
+    streaming-harness query (guards against the skip list rotting into a
+    blanket exemption)."""
+    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+    from stock_market_big_data_project_spark.plans.audit import STREAMING_HARNESS
+
+    load_all_plans()
+    assert STREAMING_HARNESS <= set(QUERIES)
+    for name in STREAMING_HARNESS:
+        assert "streaming" in name
