@@ -87,6 +87,10 @@ EXTRA = [
     # round-3 driver additions
     "streaming_stateful_ffill_parity",
     "granger_structure",
+    # round-3 local-tier training-data ops
+    "token_shard_packing",
+    "contamination_ngram_overlap",
+    "pii_redact_bundle",
 ]
 
 

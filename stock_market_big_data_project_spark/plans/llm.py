@@ -1094,3 +1094,150 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("md5(text)")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 training-data-pipeline additions (local tier — the driver's
+# 50-query cap is taken; all three are bitwise-parity-tested):
+# shard packing (distributed prefix sum), benchmark contamination
+# (cross-corpus n-gram overlap), PII redaction.
+# --------------------------------------------------------------------------
+@register_local(
+    "token_shard_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST((cum_tokens - n_tokens) // 4096 AS INT) AS shard_id
+    FROM c
+    """,
+)
+def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 4096-token shards in doc_id order — the
+    training-data write side. The cumulative sum is the DISTRIBUTED
+    two-pass prefix sum (operators/packing.py): range partition → interior
+    cumsum per partition (parallel) → tiny per-partition offsets window +
+    broadcast-join back. The oracle is the single-window form — the hash
+    match proves the telescoped distributed sum equals the serial one
+    under any (sampled, nondeterministic) range boundaries."""
+    from ..operators.packing import pack_token_shards
+
+    d = _docs(spark, sf_dir)
+    counts = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_token_shards(counts, "doc_id", "n_tokens", budget=4096).select(
+        "doc_id", "n_tokens", "cum_tokens", "shard_id"
+    )
+
+
+@register_local(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS ({oracle_word_shingles(5)}),
+    b AS (SELECT DISTINCT shingle_hash FROM sh WHERE doc_id % 50 = 0),
+    e AS (SELECT doc_id, shingle_hash FROM sh WHERE doc_id % 50 != 0),
+    hits AS (
+      SELECT e.doc_id, count(*) AS n_shared
+      FROM e JOIN b USING (shingle_hash) GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the GPT-3/C4 n-gram-overlap recipe):
+    flag every training document sharing ≥1 word 5-gram with the held-out
+    benchmark set (stand-in: doc_id % 50 == 0). Shape at 100 TB: the
+    benchmark's distinct shingles are MBs — broadcast them and the corpus
+    shingle stream never shuffles; per-doc hit counts come from one
+    map-side-combinable aggregate. `word_shingles` already dedups per doc,
+    so count(*) after the join is exact distinct-shared-shingles."""
+    d = _docs(spark, sf_dir)
+    sh = word_shingles(d, "doc_id", "text", 5)
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle_hash").distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % 50 != 0)
+    hits = (
+        ev.join(F.broadcast(bench), "shingle_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# Deterministic synthetic PII: the fixture corpus is clean, so each doc is
+# suffixed with a reproducible email + IPv4 before redaction — the operator
+# (regex scrub + counts) is what's under test, and both engines build the
+# identical input.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+
+@register_local(
+    "pii_redact_bundle",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_IPV4}', '<IP>', 'g')) AS redacted_md5
+    FROM w
+    """,
+)
+def pii_redact_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training corpus: count + redact emails and IPv4
+    addresses (regexp_replace — pure codegen expressions, a narrow map at
+    any scale; the redacted text is fingerprinted with md5 so the oracle
+    checks the exact output bytes without hauling strings). The fixture has
+    no PII, so a deterministic synthetic suffix is injected identically on
+    both engines — the redaction logic, not the corpus, is what's checked."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+        F.lit(_PII_IPV4),
+        F.lit("<IP>"),
+    )
+    return w.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -186,3 +186,30 @@ def test_band_bucket_histogram_exposes_hot_bucket(spark):
     assert top.bucket_size == 40
     assert top.n_buckets == 8
     assert top.candidate_pairs == 8 * (40 * 39 // 2)
+
+
+def test_distributed_prefix_sum_boundary_invariant(spark):
+    """The two-pass prefix sum must equal the serial cumsum under ANY
+    partition count (range boundaries are sampled, i.e. nondeterministic —
+    the telescoping must hide that entirely)."""
+    from pyspark.sql import Window
+    from stock_market_big_data_project_spark.operators.packing import prefix_sum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), ((F.col("id") * 7919) % 101).alias("v")
+    )
+    serial = {
+        r.k: r.cum
+        for r in df.withColumn(
+            "cum",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    for n_parts in (1, 7, 32):
+        dist = {
+            r.k: r.cum
+            for r in prefix_sum(df, "k", "v", num_partitions=n_parts).collect()
+        }
+        assert dist == serial, n_parts
