@@ -77,6 +77,12 @@ def ngram_jaccard_pairs(
     sh = sh.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
     )
+    # lazy localCheckpoint: the a/b join branches below would otherwise
+    # each re-run the whole shingle pipeline (explode → lead window →
+    # distinct → stop-shingle cut → size window). The materialized index
+    # is (id, n_sh, hash) ≈ 24 bytes/shingle — building the inverted
+    # index once is what any real dedup system does.
+    sh = sh.localCheckpoint(eager=False)
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_hash"
     )

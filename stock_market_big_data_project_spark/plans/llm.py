@@ -576,6 +576,27 @@ _LSH_BUCKETS_SQL = """
 # Band keys are assembled directly from the per-plane signs (p // rows,
 # 1 << (p % rows)) — never packed through one 64-bit bucket, so the width
 # is unbounded. Mirrors operators/similarity.py::lsh_band_keys bit for bit.
+# Shared candidate + exact-decimal-dot CTEs over the banded keys —
+# composed by the pairs oracle and the clusters oracle so the two can
+# never drift apart.
+_EMB_CAND_DOTS = """
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    ), dots AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * CAST(y.val AS DOUBLE)
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN v x ON x.vec_id = c.id_a
+      JOIN v y ON y.vec_id = c.id_b AND y.d = x.d
+      GROUP BY 1, 2
+    )
+"""
+
+
 def _lsh_banded_sql(n_planes: int, bands: int) -> str:
     rows = n_planes // bands
     return f"""
@@ -607,20 +628,7 @@ def _lsh_banded_sql(n_planes: int, bands: int) -> str:
     oracle=f"""
     WITH {_VECS},
     {_lsh_banded_sql(96, 8)},
-    cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_key = b.band_key
-       AND a.vec_id < b.vec_id
-    ), dots AS (
-      SELECT c.id_a, c.id_b,
-             CAST(sum(CAST(CAST(x.val AS DOUBLE) * CAST(y.val AS DOUBLE)
-                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
-      FROM cand c
-      JOIN v x ON x.vec_id = c.id_a
-      JOIN v y ON y.vec_id = c.id_b AND y.d = x.d
-      GROUP BY 1, 2
-    )
+    {_EMB_CAND_DOTS}
     SELECT id_a, id_b,
            round(dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 9) AS cosine
     FROM dots
@@ -1240,4 +1248,49 @@ def pii_redact_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register_local(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_VECS},
+    {_lsh_banded_sql(96, 8)},
+    {_EMB_CAND_DOTS},
+    pairs AS (
+      SELECT id_a, id_b
+      FROM dots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.4
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.v
+    )
+    SELECT node AS vec_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-cosine twin of `dedup_minhash_verified`'s end-to-end
+    chain: banded hyperplane-LSH candidates → exact decimal rescore
+    (`lsh_near_dup_pairs`) → connected components (iterative min-label
+    propagation) → (vec_id, cluster_id = min vec in component). Completes
+    the keep-one-per-cluster policy for the embedding dedup path; the
+    oracle recomputes the identical pairs and fixpoint with a recursive
+    CTE, so candidate recall, rescore, and clustering are all
+    hash-checked."""
+    from ..operators.graph import connected_components
+
+    pairs = lsh_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=96, bands=8
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
