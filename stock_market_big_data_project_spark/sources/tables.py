@@ -203,3 +203,30 @@ def compact_parquet(
         for st in fs.listStatus(out)
         if st.getPath().getName().endswith(".parquet")
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines source — the de-facto interchange format for training
+    corpora (one document object per line). Explicit schema strongly
+    preferred: schema inference reads the data TWICE and types drift with
+    sampling; at 100 TB that is both a full extra scan and a correctness
+    hazard. With a schema the reader is a single streaming pass, splittable
+    per line, and malformed rows land in `_corrupt_record` (PERMISSIVE)
+    instead of killing the job.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-Lines sink. Compressed by default: JSONL is ~4-10× larger than
+    parquet for the same rows, and gzip parts keep the export shippable;
+    pass compression=None for line-seekable plain text. Not a storage
+    format — an interchange/export step at the pipeline edge (parquet
+    remains the at-rest format)."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
