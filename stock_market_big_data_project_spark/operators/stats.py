@@ -175,7 +175,18 @@ def granger_causality(
             rows, columns=[key_col, "predictor", "lag", "p_value", "error"]
         )
 
-    return wide.groupBy(key_col).applyInPandas(fn, schema=GRANGER_SCHEMA)
+    # Explicit hash repartition BY NUM before the groupBy: it already
+    # satisfies the UDTF's ClusteredDistribution(key), so Spark inserts no
+    # second exchange — and unlike the implicit groupBy shuffle it is NOT
+    # AQE-coalescible. Without this, AQE sizes the exchange by shuffle
+    # BYTES (tiny here) and folds 1000+ symbol groups onto 2 partitions,
+    # serializing a compute-bound stage (measured 10 s → 1.4 s at sf0.1).
+    target = wide.sparkSession.sparkContext.defaultParallelism
+    return (
+        wide.repartition(target, key_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, schema=GRANGER_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------

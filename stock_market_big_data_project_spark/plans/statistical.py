@@ -251,6 +251,17 @@ def granger_causality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     wide = hourly_wide(spark, sf_dir)
+    # Non-coalescible hash repartition BEFORE the ffill windows: it
+    # satisfies both the windows' and the UDTF's ClusteredDistribution on
+    # symbol, so it is the ONLY exchange in the chain — and, being
+    # REPARTITION_BY_NUM, AQE cannot fold it down to 2 partitions the way
+    # it folds the implicit window shuffle (it sizes by shuffle BYTES,
+    # which are tiny, while the per-symbol OLS work is compute-bound:
+    # measured 10 s → ~1.5 s at sf0.1). A repartition placed after the
+    # window is eliminated as redundant; before it, it wins.
+    wide = wide.repartition(
+        spark.sparkContext.defaultParallelism, "symbol"
+    )
     w = (
         Window.partitionBy("symbol")
         .orderBy("hour_ts")
