@@ -84,8 +84,11 @@ EXTRA = [
     "text_analysis_bundle",
     "multimodal_pipeline_stub",
     "approx_sketch_bundle",
-    # round-3 driver additions
-    "streaming_stateful_ffill_parity",
+    # round-3 driver additions. streaming_stateful_ffill_parity is NOT
+    # here: it is a streaming harness that replays its stream at CALL time
+    # and returns a memory-sink table, so the timed noop save would record
+    # only the table scan (a misleading ~0.05 s); its incremental path is
+    # timed by streaming_replay_hourly above.
     "granger_structure",
     # round-3 local-tier training-data ops
     "token_shard_packing",
