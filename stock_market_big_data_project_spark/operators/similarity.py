@@ -302,6 +302,12 @@ def lsh_bucket(df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
     """
     from ._planes import hyperplanes
 
+    if n_planes > 62:
+        raise ValueError(
+            f"lsh_bucket packs all sign bits into one BIGINT — {n_planes} "
+            f"planes would overflow it. Use lsh_band_keys, which assembles "
+            f"band keys directly and has no width limit."
+        )
     planes = hyperplanes(n_planes, n_dims)
     df = _rebalance_for_compute(df)
     bucket = None

@@ -48,3 +48,29 @@ def test_pruned_scan_matches_partition_dir(spark, partitioned_events):
     # partition directory yields the identical row set
     direct = spark.read.parquet(f"{partitioned_events}/day=2024-01-02")
     assert one_day.count() == direct.count() > 0
+
+
+def test_ivf_cell_partitioned_probe_prunes(spark, tmp_path):
+    """The IVF at-rest story end to end: write embeddings partitioned by
+    their coarse-quantizer cell, probe a 2-cell read, and prove the
+    unprobed ~6/8 of the corpus is pruned at the FILE level (PartitionFilters),
+    with the probed rows identical to the in-memory cell assignment."""
+    from stock_market_big_data_project_spark.operators.similarity import ivf_cells
+    from stock_market_big_data_project_spark.sources.tables import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cells = ivf_cells(emb).select("vec_id", "cell")
+    at_rest = emb.join(cells, "vec_id")
+    path = str(tmp_path / "emb_by_cell")
+    at_rest.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(0, 3))
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [cell" in plan or "PartitionFilters: [isnotnull(cell" in plan, plan
+    expected = {r.vec_id for r in cells.filter(F.col("cell").isin(0, 3)).collect()}
+    got = {r.vec_id for r in probed.select("vec_id").collect()}
+    assert got == expected
+    assert 0 < len(got) < emb.count()  # pruning is non-vacuous
