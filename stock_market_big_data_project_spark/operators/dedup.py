@@ -230,6 +230,23 @@ def _drop_hot_buckets(
     return banded.join(F.broadcast(hot), bucket_cols, "left_anti")
 
 
+def minhash_banded(
+    sig: DataFrame, id_col: str, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """(id, band, band_hash): the banded MinHash signature. band_hash
+    folds the band's `rows` minima positionally (Σ mh·31^(i mod r) — exact
+    in int64 since mh < 1e9+7 and 31³ < 3e4); the positional weights are
+    an exact integer CASE (libm pow is not exact). Shared by
+    `lsh_candidate_pairs` and the bucket-histogram tests so the banding
+    scheme has exactly one definition."""
+    weight = F.when(F.col("i") % rows == 0, 1)
+    for r in range(1, rows):
+        weight = weight.when(F.col("i") % rows == r, 31**r)
+    return sig.groupBy(
+        id_col, (F.col("i") / rows).cast("int").alias("band")
+    ).agg(F.sum(F.col("mh") * weight.cast("bigint")).alias("band_hash"))
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -256,13 +273,7 @@ def lsh_candidate_pairs(
     `band_bucket_histogram` makes the tail visible so the cap can be
     chosen from data.
     """
-    # positional weights as an exact integer CASE (libm pow is not exact)
-    weight = F.when(F.col("i") % rows == 0, 1)
-    for r in range(1, rows):
-        weight = weight.when(F.col("i") % rows == r, 31**r)
-    banded = sig.groupBy(id_col, (F.col("i") / rows).cast("int").alias("band")).agg(
-        F.sum(F.col("mh") * weight.cast("bigint")).alias("band_hash")
-    )
+    banded = minhash_banded(sig, id_col, bands, rows)
     if max_bucket is not None:
         banded = _drop_hot_buckets(banded, ["band", "band_hash"], max_bucket)
     a = banded.alias("a")

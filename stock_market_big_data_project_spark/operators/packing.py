@@ -9,26 +9,37 @@ The interesting part is the prefix sum. The naive form — one global
 works at sf0.1 and dies at 100 TB. This module does the classic
 distributed two-pass prefix sum instead:
 
-1. range-partition by the order key (so partition p holds a contiguous
-   key range, and partition order == key order);
-2. per-partition interior cumsum — an ordinary partitioned window, fully
-   parallel;
-3. per-partition totals (one tiny row per partition) get their own
-   cumulative offsets via a single window over ≤ thousands of rows, and
-   broadcast-join back.
+1. range-partition by the order key (partition p holds a contiguous key
+   range, partition order == key order) and PIN that partitioning with a
+   lazy localCheckpoint — the range boundaries come from sampling, so
+   every downstream consumer must observe the SAME boundaries (relying on
+   ReuseExchange to dedup the sampled shuffle would silently misalign the
+   offsets if plan canonicalization ever diverged);
+2. per-partition interior cumsum — one Arrow `mapInPandas` pass, sorted
+   and summed inside each partition, no shuffle, no cross-partition
+   window;
+3. per-partition totals (one tiny row per partition) get their cumulative
+   offsets via a single window over ≤ thousands of rows and broadcast-join
+   back.
 
-Total cost: one range shuffle + one map-side agg + one broadcast — no
-row ever leaves its range partition for the sum itself. The range
-partitioner samples, so PARTITION BOUNDARIES are nondeterministic — but
-offset + interior sum telescopes to the true prefix sum under any
-boundary placement, so the OUTPUT is bit-deterministic (asserted against
-the single-window oracle).
+Total cost: one range shuffle (materialized once by the checkpoint) + one
+narrow Arrow pass + a partition-count-sized aggregate + one broadcast.
+No row leaves its range partition after the initial shuffle, and the
+telescoped offset + interior sum equals the serial cumsum under ANY
+boundary placement (tests assert this at 1/7/32 partitions).
+
+`val_col` must be an integral type: int64 accumulation is exact and
+order-independent, so the distributed sum is bit-equal to the serial one.
+A float column is rejected loudly rather than silently reassociated.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def prefix_sum(
@@ -40,24 +51,50 @@ def prefix_sum(
 ) -> DataFrame:
     """Inclusive prefix sum of `val_col` in `order_col` order, distributed
     via the two-pass scheme above. `order_col` values must be unique (they
-    define the total order)."""
+    define the total order); `val_col` must be integral (see module
+    docstring)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import TaskContext
+
+    if not isinstance(df.schema[val_col].dataType, _INTEGRAL):
+        raise TypeError(
+            f"prefix_sum requires an integral val_col for exact, "
+            f"order-independent accumulation; got "
+            f"{df.schema[val_col].dataType.simpleString()!r}. Rescale to "
+            f"integers (or build a decimal variant) instead of silently "
+            f"reassociating float additions."
+        )
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
-        "_part", F.spark_partition_id()
+    cols = df.columns
+    # pin the sampled range boundaries: both consumers below must see the
+    # identical partitioning
+    parted = df.repartitionByRange(n_parts, F.col(order_col)).localCheckpoint(
+        eager=False
     )
-    interior = parted.withColumn(
-        "_cum_in",
-        F.sum(val_col).over(
-            Window.partitionBy("_part")
-            .orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema]
+        + ["_cum_in bigint", "_part int"]
     )
-    # one row per partition; the window below runs over ≤ a few thousand
-    # rows no matter the corpus size
+
+    # The whole partition is buffered to sort + cumsum it — the same
+    # working set a sort-based task holds; range partitions are sized by
+    # num_partitions for exactly this.
+    def interior_cumsum(batches):
+        pid = TaskContext.get().partitionId()
+        rows = [pdf for pdf in batches if not pdf.empty]
+        if not rows:
+            return
+        pdf = pd.concat(rows).sort_values(order_col).reset_index(drop=True)
+        pdf["_cum_in"] = np.cumsum(pdf[val_col].to_numpy(dtype="int64"))
+        pdf["_part"] = pid
+        yield pdf
+
+    interior = parted.mapInPandas(interior_cumsum, schema=schema)
     offsets = (
-        parted.groupBy("_part")
-        .agg(F.sum(val_col).alias("_part_sum"))
+        interior.groupBy("_part")
+        .agg(F.sum(val_col).cast("bigint").alias("_part_sum"))
         .withColumn(
             "_offset",
             F.coalesce(
@@ -74,7 +111,7 @@ def prefix_sum(
     return (
         interior.join(F.broadcast(offsets), "_part")
         .withColumn(out_col, (F.col("_offset") + F.col("_cum_in")).cast("bigint"))
-        .drop("_part", "_cum_in", "_offset")
+        .select(*cols, out_col)
     )
 
 

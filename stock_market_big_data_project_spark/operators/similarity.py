@@ -97,18 +97,21 @@ def _rebalance_for_compute(df: DataFrame) -> DataFrame:
     round-robin shuffle only fires for inputs too small for it to matter.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    # `df.rdd.getNumPartitions()` would force a Python-RDD conversion (full
-    # physical planning) per call; `inputFiles()` answers the same question
-    # for file-backed plans from the already-analyzed logical plan. Every
-    # caller here scans parquet. A plan with no file source (or one giant
-    # splittable file, where the scan already parallelizes) skips the
-    # rebalance — at real scale the scan yields ≥ target splits anyway and
-    # this whole branch is a no-op.
+    # Two-tier check. Fast path: `inputFiles()` (logical-plan file index,
+    # no physical planning) — with ≥ target files the scan parallelizes
+    # and NOTHING else is computed; at real scale this is the only branch
+    # taken. Only when the file count is low (or the plan has no file
+    # source) consult `df.rdd.getNumPartitions()`, which plans physically
+    # (~tens of ms) but is exact — it keeps a single giant SPLITTABLE file
+    # (which already scans as many partitions) from being pointlessly
+    # shuffled, the case a files-only heuristic gets wrong.
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if 0 < n_files < target:
+    if n_files >= target:
+        return df
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

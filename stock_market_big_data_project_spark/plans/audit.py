@@ -40,6 +40,7 @@ PYTHON_STAGE_OK = {
     "multimodal_resize_stub",        # codec plumbing
     "multimodal_frame_sample",       # codec plumbing
     "multimodal_byte_histogram",     # vectorized bincount features
+    "token_shard_packing",           # per-range-partition Arrow cumsum
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

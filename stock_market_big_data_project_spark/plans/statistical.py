@@ -337,7 +337,16 @@ def granger_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     series). The oracle re-derives all of it relationally from the same
     ffilled hourly wide table, so the UDTF's branching — not its
     numerics — gets a bitwise driver check; the p-values themselves stay
-    under tests/test_stats.py tolerances (not SQL-expressible)."""
+    under tests/test_stats.py tolerances (not SQL-expressible).
+
+    Oracle precondition: the dof rule predicts `has_p` only when the
+    regression is non-degenerate — a perfectly-fit series (rss_u = 0,
+    e.g. a constant target over the pairwise-complete window) or an
+    lstsq failure would make the UDTF emit NaN/error where the oracle
+    predicts a p-value. Neither occurs on real-valued noisy series;
+    verified bitwise at sf0.001/0.01/0.1 on the fixtures. If a future
+    corpus trips it, the honest fix is extending the oracle's CASE, not
+    loosening the UDTF."""
     g = granger_causality_q(spark, sf_dir)
     return g.select(
         "symbol",

@@ -18,6 +18,7 @@ batch ≡ streaming on the same input (tests/test_streaming.py).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,11 +56,16 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         probe_type = spark.read.parquet(dir_path).schema["ts"].dataType
-    except Exception:
-        # Empty source directory — a normal initial state for a file-source
-        # stream (files arrive later). Fall back by runtime: ≥ 4.1.2 reads
-        # TIMESTAMP(NANOS) natively as timestamp_ntz, older runtimes
-        # surface int64 nanos under the legacy conf.
+    except AnalysisException as exc:
+        # ONLY the empty-directory case falls back (a normal initial state
+        # for a file-source stream — files arrive later): the runtime
+        # version decides how TIMESTAMP(NANOS) will surface once they do
+        # (≥ 4.1.2 native timestamp_ntz, older int64 under the legacy
+        # conf). Any other analysis failure — wrong path, corrupt footer,
+        # permissions — re-raises: guessing a schema there would just
+        # defer the error to an obscure stream-time mismatch.
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
         import re as _re
 
         import pyspark as _ps

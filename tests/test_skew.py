@@ -164,21 +164,15 @@ def test_band_bucket_histogram_exposes_hot_bucket(spark):
     """The histogram must price the skew BEFORE the join: the dup cluster
     shows up as a bucket of size 40 whose candidate_pairs column says
     40*39/2 — visible for the cost of one aggregate."""
-    from pyspark.sql import functions as F  # noqa: F811
     from stock_market_big_data_project_spark.operators.dedup import (
         band_bucket_histogram,
+        minhash_banded,
         minhash_signatures,
     )
 
     docs = _dup_heavy_docs(spark)
     sig = minhash_signatures(docs, "doc_id", "text", n=3, k=32)
-    rows = 4
-    weight = F.when(F.col("i") % rows == 0, 1)
-    for r in range(1, rows):
-        weight = weight.when(F.col("i") % rows == r, 31**r)
-    banded = sig.groupBy(
-        "doc_id", (F.col("i") / rows).cast("int").alias("band")
-    ).agg(F.sum(F.col("mh") * weight.cast("bigint")).alias("band_hash"))
+    banded = minhash_banded(sig, "doc_id", bands=8, rows=4)
     hist = band_bucket_histogram(banded, ["band", "band_hash"]).collect()
     top = hist[0]
     # the dup cluster fills one size-40 bucket in each of the 8 bands;
