@@ -207,3 +207,15 @@ def test_distributed_prefix_sum_boundary_invariant(spark):
             for r in prefix_sum(df, "k", "v", num_partitions=n_parts).collect()
         }
         assert dist == serial, n_parts
+
+
+def test_prefix_sum_rejects_float_values(spark):
+    """Float accumulation reorders under distribution — the operator must
+    refuse it loudly, not silently truncate or reassociate."""
+    from stock_market_big_data_project_spark.operators.packing import prefix_sum
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 0.5).alias("v")
+    )
+    with pytest.raises(TypeError, match="integral"):
+        prefix_sum(df, "k", "v")
