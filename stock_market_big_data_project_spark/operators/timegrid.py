@@ -26,7 +26,7 @@ from .cleaning import hour_floor
 
 def pivot_last(
     df: DataFrame,
-    ts_col: str,
+    ts_col: str | list[str],
     key_col: str,
     val_col: str,
     keys: list[str] | None = None,
@@ -38,9 +38,13 @@ def pivot_last(
     order*; Spark's ``last()`` is shuffle-order-sensitive, so we use
     ``max_by(value, order)`` — deterministic and shuffle-safe. ``keys``
     (explicit pivot values) avoids the extra distinct-collect job.
+    ``ts_col`` may be a list for composite group keys (e.g. (symbol, hour)),
+    in which case the pivot replaces N per-key aggregates + (N−1) joins with
+    ONE shuffle — the integrate chain's long→wide at scale.
     """
-    order = order_col or ts_col
-    grouped = df.groupBy(ts_col)
+    group_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    order = order_col or group_cols[-1]
+    grouped = df.groupBy(*group_cols)
     pivoted = grouped.pivot(key_col, keys) if keys else grouped.pivot(key_col)
     return pivoted.agg(F.expr(f"max_by({val_col}, {order})"))
 

@@ -27,18 +27,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.cleaning import dedup_exact, hour_floor
+from .operators.timegrid import pivot_last
 from .operators.windows import lead_col, pct_change
 from .sources.tables import load_events
 
 CUTOFF = "2024-01-05 00:00:00"
-
-
-def _hourly_last(ev: DataFrame, etype: str, out: str) -> DataFrame:
-    return (
-        ev.filter(F.col("event_type") == etype)
-        .groupBy(F.col("user_id").alias("symbol"), F.col("hour_ts"))
-        .agg(F.max_by("value", F.struct("ts", "event_id")).alias(out))
-    )
 
 
 def build_integrated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,9 +40,27 @@ def build_integrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_ts", hour_floor("ts")
     )
 
-    quotes = _hourly_last(ev, "click", "c")
-    yahoo = _hourly_last(ev, "view", "close")
-    trends = _hourly_last(ev, "signup", "trend_score")
+    # The reference's long→wide (integrate/main.py:70-71) as ONE pivot over
+    # the composite (symbol, hour) key — one shuffle replaces three per-source
+    # aggregates plus two (symbol, hour) merge joins. OP-27 (pivot with
+    # positional-last) is exercised here on the driver path.
+    wide = pivot_last(
+        ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+            F.col("user_id").alias("symbol"),
+            "hour_ts", "event_type", "value", "ts", "event_id",
+        ),
+        ts_col=["symbol", "hour_ts"],
+        key_col="event_type",
+        val_col="value",
+        keys=["click", "view", "signup"],
+        order_col="struct(ts, event_id)",
+    )
+    quotes = wide.select(
+        "symbol", "hour_ts",
+        F.col("click").alias("c"),
+        F.col("view").alias("close"),
+        F.col("signup").alias("trend_score"),
+    )
 
     # FRED analog: market-wide hourly indicator, forward-filled over the
     # dense hour grid spanned by the quotes table (integrate/main.py:70-74).
@@ -58,7 +69,11 @@ def build_integrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_ts")
         .agg(F.max_by("value", F.struct("ts", "event_id")).alias("macro_raw"))
     )
-    bounds = quotes.agg(
+    # Grid span = the quotes (click) table's hour range, exactly as the
+    # oracle's `FROM quotes` CTE: min/max over the click *groups* equals
+    # min/max over the underlying click rows, so no extra aggregate over the
+    # pivot output (which also holds view/signup-only hours) is needed.
+    bounds = ev.filter(F.col("event_type") == "click").agg(
         F.min("hour_ts").alias("tmin"), F.max("hour_ts").alias("tmax")
     )
     grid = bounds.select(
@@ -73,11 +88,8 @@ def build_integrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("macro_raw")
     )
 
-    merged = (
-        quotes.join(yahoo, ["symbol", "hour_ts"], "left")
-        .join(trends, ["symbol", "hour_ts"], "left")
-        .join(F.broadcast(macro), "hour_ts", "left")
-        .filter(F.col("c").isNotNull())
+    merged = quotes.join(F.broadcast(macro), "hour_ts", "left").filter(
+        F.col("c").isNotNull()
     )
 
     # per-(symbol, day) mean imputation of the yahoo column

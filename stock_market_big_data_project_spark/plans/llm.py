@@ -889,7 +889,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- dedup clustering: pairs → connected components -------------------------------
-@register_local(
+@register(  # driver tier since r4 (VERDICT r3 #1)
     "dedup_clusters_ngram",
     oracle=f"""
     WITH RECURSIVE sh AS ({oracle_word_shingles(n=3)}),
@@ -1110,7 +1110,7 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shard packing (distributed prefix sum), benchmark contamination
 # (cross-corpus n-gram overlap), PII redaction.
 # --------------------------------------------------------------------------
-@register_local(
+@register(  # driver tier since r4 (VERDICT r3 #1)
     "token_shard_packing",
     oracle=f"""
     WITH t AS (
@@ -1146,7 +1146,7 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_local(
+@register(  # driver tier since r4 (VERDICT r3 #1)
     "contamination_ngram_overlap",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(5)}),
@@ -1201,7 +1201,7 @@ _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
 
-@register_local(
+@register(  # driver tier since r4 (VERDICT r3 #1)
     "pii_redact_bundle",
     oracle=f"""
     WITH w AS (

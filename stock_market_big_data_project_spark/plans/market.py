@@ -261,7 +261,9 @@ def symbol_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-12 + OP-27: hour-floor + pivot with positional-last agg -------------
-@register(
+# Local tier since round 4: the driver row for OP-27 is integrated_all, whose
+# long→wide now runs through pivot_last on the composite (symbol, hour) key.
+@register_local(
     "hourly_pivot_last",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_ts,
@@ -539,7 +541,10 @@ def prev_day_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-44: 80/20 positional temporal split ----------------------------------
-@register(
+# Local tier since round 4: OP-44's driver row is lag_lead_features, whose
+# feature frame now carries the is_train split flag (the reference computes
+# both on the same frame, analysis_part/main.py:83-93).
+@register_local(
     "temporal_split_80_20",
     oracle="""
     WITH t AS (
@@ -787,6 +792,8 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT event_id, user_id, ts, value,
              lag(value) OVER w AS prev_value,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
              {_LAG_COLS}
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -795,22 +802,26 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
              value / prev_value - 1 AS ret_1h,
              lead(value / prev_value - 1)
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ret_1h_next,
-             value_lag1, value_lag6, value_lag12, value_lag24
+             value_lag1, value_lag6, value_lag12, value_lag24,
+             (rn <= CAST(floor(n * 0.8) AS INT)) AS is_train
       FROM r
     )
     SELECT event_id, user_id AS symbol, value, ret_1h, ret_1h_next,
-           value_lag1, value_lag6, value_lag12, value_lag24
+           value_lag1, value_lag6, value_lag12, value_lag24, is_train
     FROM t WHERE value_lag24 IS NOT NULL
     """,
 )
 def lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """integrate/main.py:119-121 + analysis_part/main.py:83-85 — the full
+    """integrate/main.py:119-121 + analysis_part/main.py:83-93 — the full
     feature frame the forecaster consumes: 1-period return, next-period
-    label, 24 lag features, warm-up rows dropped. Catalyst shares the one
-    (user_id | ts, event_id) sort across every window expression."""
+    label, 24 lag features, the 80/20 temporal-split flag (OP-44, computed
+    on the FULL per-key history, before the warm-up drop — exactly the
+    reference's iloc boundary), warm-up rows dropped. Catalyst shares the
+    one (user_id | ts, event_id) sort across every window expression."""
     ev = _events(spark, sf_dir)
     ret = pct_change(ev, "user_id", "ts", "value", out="ret_1h", tiebreak="event_id")
     ret = lead_col(ret, "user_id", "ts", "ret_1h", out="ret_1h_next", tiebreak="event_id")
+    ret = temporal_split_flag(ret, "user_id", "ts", frac=0.8, tiebreak="event_id")
     feats = lag_features(ret, "user_id", "ts", "value", n_lags=24, tiebreak="event_id")
     return feats.select(
         "event_id",
@@ -822,6 +833,7 @@ def lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_lag6",
         "value_lag12",
         "value_lag24",
+        "is_train",
     )
 
 

@@ -304,7 +304,9 @@ def top10_significant_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-35: distinct values ---------------------------------------------------
-@register(
+# Local since r4: distinct/dedup is driver-covered by preprocess_integrate_chain
+# (dedup_exact) and dedup_exact_documents.
+@register_local(
     "distinct_segments",
     oracle="SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL",
 )
@@ -628,8 +630,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate pushes to the parquet reader, result is one row. The canonical
 # "does the filter reach the scan" probe (OP-15/OP-37 family).
 # --------------------------------------------------------------------------
-@register(
-    "q6_promo_revenue",
+@register_local(
+    "q6_promo_revenue",  # local since r4: pushed scan-filter-agg shape is
+    # driver-covered by q1_pricing_summary (decimal exact_sum) and the
+    # PushedFilters proof on flagship/preprocess.
     oracle=f"""
     SELECT {oracle_exact_sum('l_extendedprice * l_discount')} AS promo_revenue,
            count(*) AS n_lines
