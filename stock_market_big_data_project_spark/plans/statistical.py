@@ -94,20 +94,28 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per symbol; here all of them are ONE plan, no per-symbol loop).
 
     The fixed 5-feature schema means the 15 distinct pairwise moment sets
-    are computable from ONE wide aggregate — no per-(symbol, day)
-    self-join (the r02 plan paid two extra shuffles and 25 pair-rows per
-    grid cell for the same numbers): pivot days wide (shuffle 1), then a
-    single groupBy(symbol) computing every pair's decimal-exact moments
-    as conditional sums (shuffle 2, map-side combined), then the closed
-    form assembled into the square artifact rows with explode — pure
-    expressions, no further exchange. Pairwise-complete semantics (pandas
-    `corr`) are preserved exactly: each cell carries an observation-count
-    flag, so "both features present that day" means row existence — not
-    value non-nullness — matching the oracle's self-join, and a feature
-    never observed for a symbol emits no row, also matching. Diagonal
-    included (corr(f,f) = 1 where variance > 0, NULL on degenerate
-    pairs); moments accumulate in DECIMAL(38,6) — order-independent,
-    bit-equal to the oracle on any partitioning."""
+    need no per-(symbol, day) SELF-JOIN (the r02 plan paid two extra
+    shuffles and 25 pair-rows per grid cell): pivot days wide (shuffle 1),
+    explode each grid row into its 15 unordered feature pairs (narrow map,
+    row existence — not value non-nullness — defines "both present",
+    matching the oracle's self-join), then ONE tiny 6-buffer aggregate per
+    (symbol, pair) computes the decimal-exact moments (shuffle 2,
+    map-side combined). The mirrored square artifact is assembled from the
+    ~15-rows-per-symbol moment table (shuffle 3 — bytes, AQE coalesces).
+
+    The r3 form computed all 15 pairs' moments as 75 conditional-sum
+    buffers in one groupBy(symbol): 2 exchanges, but the generated
+    aggregate was big enough that janino recompiled it (~1.5 s) whenever
+    the bench cycle evicted it from the codegen cache (SCALE.md r3). The
+    long form trades one bytes-sized exchange for a 6-buffer aggregate
+    that compiles in milliseconds — the constant a 1000-executor cluster
+    also pays per executor at first task.
+
+    Pairwise-complete semantics (pandas `corr`) preserved exactly: a
+    feature never observed for a symbol emits no row (its diagonal pair
+    group is empty ⟺ the r3 `_present` flag); degenerate pairs (n < 3 or
+    zero variance) give NULL. Moments accumulate in DECIMAL(38,6) —
+    order-independent, bit-equal to the oracle on any partitioning."""
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day_ts", F.date_trunc("day", "ts")
     )
@@ -120,78 +128,53 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # The moment + closed-form layers are GENERATED SQL, not Column
-    # algebra: 150 aggregates × ~10 Py4J calls each made plan *construction*
-    # the dominant cost (~6 s of driver round-trips); one SQL string is a
-    # single JVM parse. Semantics identical to the column form.
-    # Pearson is symmetric under (x ↔ y), so only the 15 unordered pairs
-    # (a ≤ b) carry moment state — 75 aggregate buffers, not 150; the
-    # (b, a) cell reads the (a, b) moments with x/y roles swapped.
-    def aggs(a: str, b: str) -> list[str]:
-        both = f"{a}_c IS NOT NULL AND {b}_c IS NOT NULL"
-        s = lambda e, n: (  # noqa: E731
-            f"CAST(sum(CASE WHEN {both} THEN CAST({e} AS DECIMAL(38,6)) END)"
-            f" AS DOUBLE) AS {n}_{a}_{b}"
-        )
-        out = [
-            f"count(CASE WHEN {both} THEN 1 END) AS n_{a}_{b}",
-            s(f"{a}_v", "sx"),
-            s(f"{a}_v * {a}_v", "sxx"),
-        ]
-        if a != b:
-            out += [
-                s(f"{b}_v", "sy"),
-                s(f"{a}_v * {b}_v", "sxy"),
-                s(f"{b}_v * {b}_v", "syy"),
-            ]
-        return out
-
-    def corr(a: str, b: str) -> str:
-        lo, hi = (a, b) if a <= b else (b, a)
-        n = f"CAST(n_{lo}_{hi} AS DOUBLE)"
-        if a == b:
-            sx, sy = f"sx_{lo}_{hi}", f"sx_{lo}_{hi}"
-            sxy = sxx = syy = f"sxx_{lo}_{hi}"
-        elif a < b:
-            sx, sy = f"sx_{lo}_{hi}", f"sy_{lo}_{hi}"
-            sxy, sxx, syy = f"sxy_{lo}_{hi}", f"sxx_{lo}_{hi}", f"syy_{lo}_{hi}"
-        else:  # mirrored: x/y swap
-            sx, sy = f"sy_{lo}_{hi}", f"sx_{lo}_{hi}"
-            sxy, sxx, syy = f"sxy_{lo}_{hi}", f"syy_{lo}_{hi}", f"sxx_{lo}_{hi}"
-        vx = f"({n} * {sxx} - {sx} * {sx})"
-        vy = f"({n} * {syy} - {sy} * {sy})"
-        return (
-            f"CASE WHEN n_{lo}_{hi} >= 3 AND {vx} > 0 AND {vy} > 0 THEN "
-            f"round(try_divide({n} * {sxy} - {sx} * {sy}, "
-            f"sqrt({vx}) * sqrt({vy})), 9) END"
-        )
-
-    all_aggs = ",\n           ".join(
-        s
+    # Generated SQL, not Column algebra: one JVM parse instead of hundreds
+    # of Py4J round-trips. Same arithmetic as r3 (product in DOUBLE, cast
+    # to DECIMAL(38,6), summed exact, cast back) so the oracle hash holds.
+    pair_structs = ",\n               ".join(
+        f"struct('{a}' AS f1, '{b}' AS f2, "
+        f"{a}_c IS NOT NULL AND {b}_c IS NOT NULL AS both, "
+        f"{a}_v AS x, {b}_v AS y)"
         for i, a in enumerate(EVENT_TYPES)
         for b in EVENT_TYPES[i:]
-        for s in aggs(a, b)
     )
-    structs = ",\n             ".join(
-        "struct('%s' AS feature, %s, n_%s_%s > 0 AS _present)"
-        % (
-            a,
-            ", ".join(f"{corr(a, b)} AS {b}" for b in EVENT_TYPES),
-            a,
-            a,
-        )
-        for a in EVENT_TYPES
+    vx = "(CAST(n AS DOUBLE) * sxx - sx * sx)"
+    vy = "(CAST(n AS DOUBLE) * syy - sy * sy)"
+    corr = (
+        f"CASE WHEN n >= 3 AND {vx} > 0 AND {vy} > 0 THEN "
+        f"round(try_divide(CAST(n AS DOUBLE) * sxy - sx * sy, "
+        f"sqrt({vx}) * sqrt({vy})), 9) END"
     )
-    cols = ", ".join(EVENT_TYPES)
+    cells = ", ".join(
+        f"max(CASE WHEN f2 = '{b}' THEN corr END) AS {b}" for b in EVENT_TYPES
+    )
     return spark.sql(
         f"""
-        WITH m AS (
-          SELECT symbol, {all_aggs}
-          FROM {{wide}} GROUP BY symbol
+        WITH pairs AS (
+          SELECT symbol, p.f1, p.f2, p.x, p.y
+          FROM {{wide}}
+          LATERAL VIEW inline(array({pair_structs})) p
+          WHERE p.both
+        ), m AS (
+          SELECT symbol, f1, f2, count(*) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+          FROM pairs GROUP BY 1, 2, 3
+        ), c AS (
+          -- corr is symmetric, so each unordered pair emits both ordered
+          -- cells from ONE pass (a UNION here re-executes the whole
+          -- pair/moment pipeline below the reused exchange); the diagonal's
+          -- duplicate cell is harmless under max().
+          SELECT symbol, cell.f1 AS f1, cell.f2 AS f2, cell.corr AS corr
+          FROM (SELECT symbol, f1, f2, {corr} AS corr FROM m)
+          LATERAL VIEW inline(array(struct(f1, f2, corr),
+                                    struct(f2 AS f1, f1 AS f2, corr))) cell
         )
-        SELECT symbol, feature, {cols}
-        FROM (SELECT symbol, inline(array({structs})) FROM m)
-        WHERE _present
+        SELECT symbol, f1 AS feature, {cells}
+        FROM c GROUP BY symbol, f1
         """,
         wide=wide,
     )

@@ -44,6 +44,13 @@ def get_spark(app_name: str = "stock_market_big_data_project_spark") -> SparkSes
         # parquet scans: vectorized reader + pushdown are on by default; pin
         # split size so sf0.1 single files still parallelize across cores.
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # Whole-stage-codegen class cache (static conf, default 100 entries):
+        # an 89-query engine cycles several hundred codegen spans, so the
+        # default evicts constantly and queries pay a fresh ~0.5-1.5 s janino
+        # compile on every revisit (measured on correlation_matrix, SCALE.md
+        # r3/r4). Size the cache to the query mix — same knob a long-lived
+        # cluster session would pin.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
