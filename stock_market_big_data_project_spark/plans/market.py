@@ -1294,18 +1294,18 @@ def streaming_stateful_ffill_parity(spark: SparkSession, sf_dir: str) -> DataFra
     replayed with ``maxFilesPerTrigger=1`` — so the stream executes three
     micro-batches and every fill that crosses a chunk boundary must come
     out of the state store, not the in-batch sort. A hash match therefore
-    proves cross-batch state carry, not just per-batch ffill. (The
-    driver-side chunk write is harness scaffolding, same as
-    `streaming_batch_parity`'s file copy — the measured operator is the
-    stream.)"""
+    proves cross-batch state carry, not just per-batch ffill. (The chunk
+    write is harness scaffolding, same as `streaming_batch_parity`'s file
+    copy — the measured operator is the stream.) The chunks are written
+    Spark-side with ``repartitionByRange(3, ts, indicator)`` — a global
+    range split, so every chunk is a contiguous time slice (per indicator
+    too) and nothing is materialized on the driver however long the
+    replayed range grows."""
     import os as _os
     import shutil
     import tempfile
     import time as _time
     import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ..streaming.ingest import run_to_memory
     from ..streaming.stateful import stateful_ffill
@@ -1326,37 +1326,24 @@ def streaming_stateful_ffill_parity(spark: SparkSession, sf_dir: str) -> DataFra
     cells = (
         inds.crossJoin(grid)
         .join(hourly, ["indicator", "hour"], "left")
-        .select("indicator", F.col("hour").alias("ts"), "value")
+        .select("indicator", F.col("hour").alias("ts"), F.col("value").cast("double"))
     )
-    pdf = cells.toPandas().sort_values(["ts", "indicator"]).reset_index(drop=True)
-    pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
-    pdf["value"] = pdf["value"].astype("float64")
 
     name = f"stateful_ffill_{uuid.uuid4().hex[:8]}"
     td = tempfile.mkdtemp(prefix="stateful_ffill_")
     try:
-        n = len(pdf)
+        # Range-partitioned distributed write: part-00000..2 hold ascending
+        # (ts, indicator) ranges (Spark writes timestamps as µs-compatible
+        # physical types, so the stream reader accepts them directly).
+        cells.repartitionByRange(3, "ts", "indicator").write.mode(
+            "overwrite"
+        ).parquet(td)
+        parts = sorted(p for p in _os.listdir(td) if p.endswith(".parquet"))
         now = _time.time()
-        # µs timestamps explicitly: pandas datetime64[ns] would write
-        # TIMESTAMP(NANOS), which Spark's TimestampType reader rejects
-        schema = pa.schema(
-            [
-                ("indicator", pa.string()),
-                ("ts", pa.timestamp("us", tz="UTC")),
-                ("value", pa.float64()),
-            ]
-        )
-        for k, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3),
-                                      (2 * n // 3, n))):
-            path = _os.path.join(td, f"chunk-{k:03d}.parquet")
-            pq.write_table(
-                pa.Table.from_pandas(
-                    pdf.iloc[lo:hi], schema=schema, preserve_index=False
-                ),
-                path,
-            )
-            # strictly increasing mtimes: the file source processes oldest
-            # first, pinning micro-batch order to time order
+        for k, fname in enumerate(parts):
+            # strictly increasing mtimes in range order: the file source
+            # processes oldest first, pinning micro-batch order to time order
+            path = _os.path.join(td, fname)
             _os.utime(path, (now - 20 + 10 * k, now - 20 + 10 * k))
         stream = (
             spark.readStream.schema("indicator string, ts timestamp, value double")
