@@ -1396,3 +1396,73 @@ def hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OP-07/OP-08 file-connector round-trips, oracle-checked (reference path:
+# integrate/main.py:9-14 GCS CSV coupling; the JSONL twin is the
+# training-corpus interchange edge). Each query computes a frame, writes it
+# through the connector, reads it back and returns the read-back frame —
+# the DuckDB oracle computes the same frame directly from parquet, so the
+# hash match proves the sink+source preserve values, types, NULLs,
+# quoting, and µs-timestamp precision end-to-end. Local tier: the
+# connectors are edge I/O, not driver-slot-worthy query shapes.
+# --------------------------------------------------------------------------
+def _roundtrip_dir(kind: str, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"sg_roundtrip_{kind}_{tag}")
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_id, user_id AS symbol, ts,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n,
+           event_type, NULLIF(props, '{"k": 0}') AS props_n
+    FROM events
+"""
+
+
+def _roundtrip_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("symbol"),
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+        "event_type",
+        F.nullif(F.col("props"), F.lit('{"k": 0}')).alias("props_n"),
+    )
+
+
+@register_local("csv_roundtrip_parity", oracle=_ROUNDTRIP_ORACLE)
+def csv_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_csv → read_csv round-trip on an events projection with NULLs
+    (double + string), JSON-ish quoted strings, and µs timestamps
+    (timestampFormat pinned to SSSSSS — Spark's CSV default silently
+    truncates to milliseconds)."""
+    from ..sources.tables import read_csv, write_csv
+
+    df = _roundtrip_frame(spark, sf_dir)
+    path = _roundtrip_dir("csv", sf_dir)
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    write_csv(df, path, timestampFormat=ts_fmt)
+    return read_csv(spark, path, schema=df.schema, timestampFormat=ts_fmt)
+
+
+@register_local("jsonl_roundtrip_parity", oracle=_ROUNDTRIP_ORACLE)
+def jsonl_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write_jsonl → read_jsonl round-trip of the same frame (gzip parts;
+    timestampFormat pinned to SSSSSS on both sides — like CSV, Spark's
+    JSON default keeps milliseconds only). Dropped-key semantics: a NULL column is omitted
+    from the JSON line and must come back NULL under the explicit schema."""
+    from ..sources.tables import read_jsonl, write_jsonl
+
+    df = _roundtrip_frame(spark, sf_dir)
+    path = _roundtrip_dir("jsonl", sf_dir)
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    write_jsonl(df, path, timestampFormat=ts_fmt)
+    return read_jsonl(spark, path, schema=df.schema, timestampFormat=ts_fmt)

@@ -108,12 +108,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
     """CSV connector kept for parity with the reference's GCS CSV round-trips
     (OP-07, integrate/main.py:9-14). Explicit schema preferred — the
     reference's inferred schemas are a correctness hazard at scale.
     """
-    reader = spark.read.option("header", True)
+    reader = spark.read.option("header", True).options(**options)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -121,9 +121,12 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
-def write_csv(df: DataFrame, path: str) -> None:
-    """CSV sink (OP-08, preprocess_function/main.py:49-52)."""
-    df.write.mode("overwrite").option("header", True).csv(path)
+def write_csv(df: DataFrame, path: str, **options) -> None:
+    """CSV sink (OP-08, preprocess_function/main.py:49-52). Pass
+    e.g. ``timestampFormat="yyyy-MM-dd HH:mm:ss.SSSSSS"`` when the frame
+    carries sub-millisecond timestamps — Spark's default CSV format keeps
+    only milliseconds, a silent precision loss on round-trip."""
+    df.write.mode("overwrite").option("header", True).options(**options).csv(path)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: tuple[str, ...] = ()) -> None:
@@ -205,28 +208,48 @@ def compact_parquet(
     )
 
 
-def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_jsonl(
+    spark: SparkSession, path: str, schema=None, quarantine: bool = False,
+    **options,
+) -> DataFrame:
     """JSON-Lines source — the de-facto interchange format for training
     corpora (one document object per line). Explicit schema strongly
     preferred: schema inference reads the data TWICE and types drift with
     sampling; at 100 TB that is both a full extra scan and a correctness
     hazard. With a schema the reader is a single streaming pass, splittable
-    per line, and malformed rows land in `_corrupt_record` (PERMISSIVE)
-    instead of killing the job.
+    per line.
+
+    Malformed lines never kill the job (PERMISSIVE), but Spark only
+    *captures* them when the schema has a `_corrupt_record` column — with a
+    plain schema they surface as silent all-null rows. Pass
+    ``quarantine=True`` to have that column appended to the supplied schema
+    automatically, then split good from bad on `_corrupt_record IS NULL`.
     """
-    reader = spark.read
+    if quarantine and schema is not None and "_corrupt_record" not in schema.names:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # new StructType — StructType.add mutates the caller's schema
+        schema = StructType(
+            list(schema.fields) + [StructField("_corrupt_record", StringType())]
+        )
+    reader = spark.read.options(**options)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
 
 
-def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip", **options
+) -> None:
     """JSON-Lines sink. Compressed by default: JSONL is ~4-10× larger than
     parquet for the same rows, and gzip parts keep the export shippable;
     pass compression=None for line-seekable plain text. Not a storage
     format — an interchange/export step at the pipeline edge (parquet
-    remains the at-rest format)."""
-    writer = df.write.mode("overwrite")
+    remains the at-rest format). Like CSV, Spark's default JSON
+    timestampFormat keeps milliseconds only — pass
+    ``timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"`` to round-trip µs
+    timestamps losslessly."""
+    writer = df.write.mode("overwrite").options(**options)
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)

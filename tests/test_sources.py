@@ -79,8 +79,9 @@ def test_jsonl_round_trip(spark, tmp_path):
 
 
 def test_jsonl_malformed_rows_are_quarantined(spark, tmp_path):
-    """A corrupt line must not kill the read: PERMISSIVE mode quarantines
-    it in _corrupt_record while good rows survive."""
+    """A corrupt line must not kill the read: quarantine=True appends
+    _corrupt_record to a PLAIN schema (without mutating the caller's
+    schema object) and PERMISSIVE mode fills it while good rows survive."""
     import pyspark.sql.types as T
     from stock_market_big_data_project_spark.sources.tables import read_jsonl
 
@@ -90,10 +91,10 @@ def test_jsonl_malformed_rows_are_quarantined(spark, tmp_path):
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("text", T.StringType()),
-            T.StructField("_corrupt_record", T.StringType()),
         ]
     )
-    rows = read_jsonl(spark, str(p), schema=schema).collect()
+    rows = read_jsonl(spark, str(p), schema=schema, quarantine=True).collect()
+    assert schema.names == ["doc_id", "text"]  # caller's schema untouched
     good = [r for r in rows if r._corrupt_record is None]
     bad = [r for r in rows if r._corrupt_record is not None]
     assert len(good) == 1 and good[0].doc_id == 1
