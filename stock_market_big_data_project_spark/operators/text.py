@@ -68,7 +68,18 @@ def word_shingles(
     interpreted per element, outside whole-stage codegen, and Catalyst
     re-inlines the array expression into every consumer column.)
     """
-    toks = exploded_tokens(df, id_col, text_col)
+    # Non-coalescible hash repartition on the doc id BEFORE the explode:
+    # it satisfies the shingle window's (and, by the subset rule, the
+    # per-doc distinct's) ClusteredDistribution, so it REPLACES the
+    # implicit window shuffle 1:1 — but being REPARTITION_BY_NUM, AQE
+    # cannot fold it to 2-3 partitions the way it folds implicit shuffles
+    # by BYTES. The tokenize→lead-window→md5 pipeline is compute-bound
+    # (bytes are tiny, per-row work is not), so byte-sized coalescing
+    # serializes it; measured 2.7 s → 1.5 s on dedup_ngram_jaccard at
+    # sf0.1 (same pattern as the Granger UDTF chain).
+    sc = df.sparkSession.sparkContext
+    docs = df.repartition(sc.defaultParallelism, id_col)
+    toks = exploded_tokens(docs, id_col, text_col)
     w = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
     shingle = F.concat_ws(" ", *parts)
