@@ -507,12 +507,29 @@ def lsh_band_candidates(
     n_planes: int = 96,
     bands: int = 8,
     n_dims: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs agreeing on ≥1 whole band — the
     banded-LSH candidate set, met in (band, band_key) hash buckets via
     equi-join. The O(n²) cross join never exists; candidate volume is
-    Θ(Σ bucket²), governed by the band-key width (see `lsh_band_keys`)."""
+    Θ(Σ bucket²), governed by the band-key width (see `lsh_band_keys`).
+
+    ``max_bucket`` is the same skew guardrail the MinHash/SimHash bands
+    carry (operators/dedup.py): a near-constant-vector corpus signs
+    identically on every plane, so one (band, band_key) bucket holds the
+    whole corpus and the equi-join degenerates to the cross join the
+    banding exists to avoid. The cap drops hot buckets via a broadcast
+    anti-join (candidates then bounded by buckets·max_bucket²/2;
+    adversarial corpus exercised in tests/test_similarity_bounds.py), at
+    the usual recall caveat: a pair is lost only if EVERY band it agrees
+    on is hot — mass-duplicate clusters belong to exact dedup first. Off
+    by default; `band_bucket_histogram` over the banded keys shows the
+    tail so the cap can be chosen from data."""
+    from .dedup import _drop_hot_buckets
+
     banded = lsh_band_keys(df, id_col, emb_col, n_planes, bands, n_dims)
+    if max_bucket is not None:
+        banded = _drop_hot_buckets(banded, ["band", "band_key"], max_bucket)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -532,6 +549,7 @@ def lsh_near_dup_pairs(
     n_planes: int = 96,
     bands: int = 8,
     n_dims: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded hyperplane-LSH candidates
     → double-precision prescreen → exact decimal rescore. No driver-side
@@ -549,9 +567,11 @@ def lsh_near_dup_pairs(
     is THE scale knob: grow bits/band with log₂(corpus).
 
     Survivors are prescreened with a plain-double dot (compiled, no
-    Decimal allocation, ~10× cheaper): tree-summed float64 error on 64
-    unit-bounded terms is < 1e-13 ≪ the 1e-6 margin, so no true pair can
-    be lost. Only prescreen survivors pay the exact DECIMAL(18,15)
+    Decimal allocation, ~10× cheaper) against the unnormalized bound
+    dot ≥ threshold·‖a‖‖b‖ − ε, whose ε has a relative term for the
+    float64 sum error and an absolute term for the exact path's decimal
+    quantization — valid for any embedding norm (see inline proof), so no
+    true pair can be lost. Only prescreen survivors pay the exact DECIMAL(18,15)
     cosine — the oracle's own formula — which makes the final ≥ threshold
     call, so emitted pairs are bit-deterministic on any partitioning.
     Recall is the standard banded-LSH curve (bits/band trade candidate
@@ -564,7 +584,9 @@ def lsh_near_dup_pairs(
     # the per-side decimal norms (otherwise each join side computes its
     # 64-term decimal norm on however few splits the scan produced)
     src = _rebalance_for_compute(df)
-    cand = lsh_band_candidates(src, id_col, emb_col, n_planes, bands, n_dims)
+    cand = lsh_band_candidates(
+        src, id_col, emb_col, n_planes, bands, n_dims, max_bucket=max_bucket
+    )
     a = with_norm(src, emb_col, n_dims).select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("_ea"),
@@ -576,21 +598,27 @@ def lsh_near_dup_pairs(
         F.col("_norm2").alias("_nb"),
     )
     pairs = cand.join(a, "id_a").join(b, "id_b")
-    approx = F.try_divide(
-        _tree_sum(
-            [
-                F.col("_ea")[i].cast("double") * F.col("_eb")[i].cast("double")
-                for i in range(n_dims)
-            ]
-        ),
-        F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")),
+    dot64 = _tree_sum(
+        [
+            F.col("_ea")[i].cast("double") * F.col("_eb")[i].cast("double")
+            for i in range(n_dims)
+        ]
     )
-    cos = F.try_divide(
-        _exact_dot(F.col("_ea"), F.col("_eb"), n_dims),
-        F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")),
+    norm_prod = F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))
+    # Prescreen on the UNNORMALIZED inequality dot ≥ t·‖a‖‖b‖ − ε so the
+    # margin is valid for ANY embedding norm: the float64 tree-sum's error
+    # is ≤ ~7·eps·Σ|aᵢbᵢ| ≤ 1e-14·‖a‖‖b‖ (Cauchy-Schwarz) — relative, so
+    # the 1e-9·‖a‖‖b‖ term covers it — while the exact path's per-term
+    # DECIMAL(18,15) quantization adds ≤ 64·5e-16 ≈ 3.2e-14 ABSOLUTE,
+    # covered by the 1e-12 constant. A normalized `approx_cos ≥ t − 1e-6`
+    # screen would silently drop true pairs once ‖a‖‖b‖ < ~3e-8, where
+    # quantization error outgrows a fixed cosine margin.
+    prescreen = dot64 >= F.lit(threshold) * norm_prod - (
+        F.lit(1e-12) + F.lit(1e-9) * norm_prod
     )
+    cos = F.try_divide(_exact_dot(F.col("_ea"), F.col("_eb"), n_dims), norm_prod)
     return (
-        pairs.filter(approx >= F.lit(threshold) - F.lit(1e-6))
+        pairs.filter(prescreen)
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))

@@ -181,3 +181,43 @@ def test_near_dup_bruteforce_size_gate(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with _pytest.raises(ValueError, match="lsh_near_dup_pairs"):
         near_dup_pairs(emb, max_rows=10)
+
+
+def test_lsh_max_bucket_bounds_adversarial_corpus(spark):
+    """Adversarial near-constant-vector corpus: every vector signs
+    identically on every hyperplane, so each band has ONE bucket holding
+    the whole corpus and the uncapped candidate set is the full n·(n−1)/2
+    cross join. With max_bucket the hot buckets drop out and candidates
+    are bounded by bands · max_bucket²/2 — the same guardrail the
+    MinHash/SimHash bands carry."""
+    import numpy as np
+
+    from stock_market_big_data_project_spark.operators.dedup import (
+        band_bucket_histogram,
+    )
+    from stock_market_big_data_project_spark.operators.similarity import (
+        lsh_band_candidates,
+        lsh_band_keys,
+    )
+
+    n = 120
+    rng = np.random.RandomState(11)
+    base = np.ones(64) / 8.0  # unit-norm constant direction
+    mat = (base[None, :] + 1e-6 * rng.randn(n, 64)).astype(np.float32)
+    df = _spark_corpus(spark, mat)
+
+    bands = 8
+    # the histogram makes the skew visible before any join runs
+    hist = band_bucket_histogram(
+        lsh_band_keys(df, n_planes=96, bands=bands), ["band", "band_key"]
+    ).collect()
+    assert max(r.bucket_size for r in hist) == n  # one bucket per band = all
+
+    uncapped = lsh_band_candidates(df, n_planes=96, bands=bands).count()
+    assert uncapped == n * (n - 1) // 2  # degenerate cross join
+
+    cap = 10
+    capped = lsh_band_candidates(
+        df, n_planes=96, bands=bands, max_bucket=cap
+    ).count()
+    assert capped <= bands * cap * (cap - 1) // 2
