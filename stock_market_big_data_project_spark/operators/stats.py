@@ -140,8 +140,15 @@ def granger_causality(
     predictor_cols: list[str],
     maxlag: int = 5,
     ts_col: str = "hour_ts",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """OP-65 — per (symbol, predictor): p-values for lags 1..maxlag.
+
+    ``pre_partitioned=True`` declares that the caller already placed a
+    user-specified hash repartition on ``key_col`` (e.g. before upstream
+    per-key windows) — the operator then skips its own, since two
+    REPARTITION_BY_NUM shuffles on the same key are both kept by Spark
+    (user-specified repartitions are never elided as redundant).
 
     Exact reference semantics (analysis_part/main.py:58-78): pairwise dropna
     with the target, min-rows guard ``len < maxlag + 2`` emits an error row
@@ -181,12 +188,10 @@ def granger_causality(
     # AQE-coalescible. Without this, AQE sizes the exchange by shuffle
     # BYTES (tiny here) and folds 1000+ symbol groups onto 2 partitions,
     # serializing a compute-bound stage (measured 10 s → 1.4 s at sf0.1).
-    target = wide.sparkSession.sparkContext.defaultParallelism
-    return (
-        wide.repartition(target, key_col)
-        .groupBy(key_col)
-        .applyInPandas(fn, schema=GRANGER_SCHEMA)
-    )
+    if not pre_partitioned:
+        target = wide.sparkSession.sparkContext.defaultParallelism
+        wide = wide.repartition(target, key_col)
+    return wide.groupBy(key_col).applyInPandas(fn, schema=GRANGER_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

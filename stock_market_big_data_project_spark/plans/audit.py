@@ -23,6 +23,17 @@ STREAMING_HARNESS = {
     "streaming_stateful_ffill_parity",
 }
 
+# Queries whose registered callable EXECUTES an iterative algorithm at
+# build time (connected components — eager localCheckpoints + per-round
+# counts): their returned DataFrame's plan is an opaque checkpoint-RDD
+# scan, so auditing it records 0 joins / 0 exchanges — vacuously clean for
+# exactly the candidate-join family the gate was built to catch. The plan
+# modules register each one's PRE-checkpoint constituent (the pairs plan
+# feeding the clustering) here; the gate and PLANS.md audit THAT instead.
+# The CC iterations themselves are per-round (edges ⋈ labels) equi-joins
+# over the audited pairs — shape-identical every round.
+EAGER_ITERATIVE: dict = {}
+
 # Queries whose plan legitimately contains Arrow/Python stages: every one
 # is an Arrow-batched mapInPandas/applyInPandas where no JVM primitive
 # expresses the semantics (vector matmul prescreens, per-group OLS/ridge,
@@ -32,6 +43,8 @@ PYTHON_STAGE_OK = {
     "embedding_bruteforce_topk",     # matmul candidate prescreen
     "embedding_near_dup_bruteforce", # matmul candidate prescreen
     "embedding_near_dup_pairs",      # band keys via BLAS matmul
+    "embedding_dedup_clusters",      # same band-key matmul, via its audited
+                                     # pre-checkpoint constituent
     "granger_causality",             # per-symbol OLS UDTF
     "granger_structure",             # projection of the Granger UDTF
     "recursive_forecast",            # per-symbol trainer/forecaster

@@ -50,6 +50,7 @@ from ..operators.text import (
     word_shingles,
 )
 from ..sources.tables import load_table
+from .audit import EAGER_ITERATIVE
 from .registry import register, register_local
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -205,14 +206,21 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked."""
     from ..operators.graph import connected_components
 
+    pairs = _minhash_verified_pairs(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-clustering constituent of dedup_minhash_verified (candidates →
+    exact rescore) — the plan the red-flag gate audits (audit.py
+    EAGER_ITERATIVE)."""
     docs = _docs(spark, sf_dir)
     sig = minhash_signatures(docs, "doc_id", "text", n=3, k=16)
     cand = lsh_candidate_pairs(sig, "doc_id", bands=4, rows=4)
     sh = word_shingles(docs, "doc_id", "text", n=3)
-    pairs = jaccard_on_candidates(sh, cand, "doc_id", threshold=0.3)
-    return connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    )
+    return jaccard_on_candidates(sh, cand, "doc_id", threshold=0.3)
 
 
 # --- SimHash -----------------------------------------------------------------
@@ -927,11 +935,17 @@ def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the same clustering inside the full LSH chain."""
     from ..operators.graph import connected_components
 
-    pairs = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3
-    )
+    pairs = _ngram_cluster_pairs(spark, sf_dir)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _ngram_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-clustering constituent of dedup_clusters_ngram (exact 3-gram
+    Jaccard pairs) — audited in place of the checkpoint scan."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3
     )
 
 
@@ -1287,10 +1301,28 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked."""
     from ..operators.graph import connected_components
 
-    pairs = lsh_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.4, n_planes=96, bands=8
-    ).select("id_a", "id_b")
+    pairs = _embedding_cluster_pairs(spark, sf_dir)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(
         F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
     )
+
+
+def _embedding_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-clustering constituent of embedding_dedup_clusters (banded
+    hyperplane-LSH candidates → exact decimal rescore) — audited in place
+    of the checkpoint scan."""
+    return lsh_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=96, bands=8
+    ).select("id_a", "id_b")
+
+
+# The red-flag gate audits these constituents instead of the eager
+# clustering callables' opaque checkpoint-scan plans (plans/audit.py).
+EAGER_ITERATIVE.update(
+    {
+        "dedup_minhash_verified": _minhash_verified_pairs,
+        "dedup_clusters_ngram": _ngram_cluster_pairs,
+        "embedding_dedup_clusters": _embedding_cluster_pairs,
+    }
+)

@@ -258,6 +258,9 @@ def granger_causality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_col="click",
         predictor_cols=["error", "purchase", "signup", "view"],
         maxlag=5,
+        # the repartition above already owns the symbol partitioning; the
+        # operator must not stack a second same-key REPARTITION_BY_NUM
+        pre_partitioned=True,
     )
 
 

@@ -26,6 +26,7 @@ def test_no_red_flag_plans(spark):
         load_all_plans,
     )
     from stock_market_big_data_project_spark.plans.audit import (
+        EAGER_ITERATIVE,
         STREAMING_HARNESS,
         plan_facts,
         red_flags,
@@ -38,6 +39,10 @@ def test_no_red_flag_plans(spark):
     for name, fn in sorted(all_queries.items()):
         if name in STREAMING_HARNESS:
             continue
+        # eager clustering queries: audit the pre-checkpoint constituent —
+        # the registered callable would EXECUTE connected components and
+        # return an opaque checkpoint scan (vacuously clean plan)
+        fn = EAGER_ITERATIVE.get(name, fn)
         facts = plan_facts(fn(spark, SF_DIR))
         flags += red_flags(name, facts)
         audited += 1
@@ -56,3 +61,26 @@ def test_streaming_harness_list_is_current(spark):
     assert STREAMING_HARNESS <= set(QUERIES)
     for name in STREAMING_HARNESS:
         assert "streaming" in name
+
+
+def test_eager_iterative_list_is_current(spark):
+    """Every name whose audit is redirected to a pre-checkpoint
+    constituent must be a registered clustering query, and its constituent
+    must build a non-trivial plan (a join — i.e. NOT a checkpoint scan)."""
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        QUERIES,
+        load_all_plans,
+    )
+    from stock_market_big_data_project_spark.plans.audit import (
+        EAGER_ITERATIVE,
+        plan_facts,
+    )
+
+    load_all_plans()
+    registered = {**LOCAL_QUERIES, **QUERIES}
+    assert set(EAGER_ITERATIVE) <= set(registered)
+    for name, builder in EAGER_ITERATIVE.items():
+        assert "cluster" in name or "verified" in name, name
+        facts = plan_facts(builder(spark, SF_DIR))
+        assert facts["exchanges"] > 0, (name, "constituent plan is trivial")
