@@ -94,6 +94,13 @@ EXTRA = [
     "token_shard_packing",
     "contamination_ngram_overlap",
     "pii_redact_bundle",
+    # round-4 training-data ops (plans/training.py)
+    "gopher_repetition_filters",
+    "chunk_dedup_c4",
+    "stratified_source_sample",
+    "cluster_keep_best",
+    "tfidf_search_topk",
+    "training_order_shuffle",
 ]
 
 
@@ -139,12 +146,20 @@ def main() -> None:
     # "what the plan costs" number; run-to-run spread is visible in stderr.
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    # Repeats run CONSECUTIVELY per query (JMH-style), not as interleaved
+    # full rounds: interleaving lets the other ~35 queries pollute the JIT's
+    # call-site profiles between repeats, so every revisit pays C2
+    # re-warmup — measured on dedup_ngram_jaccard at sf0.1: interleaved
+    # rounds time 3.7/14.3/11.3 s for the SAME plan (0 janino recompiles,
+    # codecache not full — pure deopt/reprofile noise), consecutive repeats
+    # 7.3/2.0/1.6 s. The steady-state min is the honest plan cost: at real
+    # scale a query runs minutes-to-hours and JIT warmup amortizes to zero.
     def run_set(names: list[str], n_runs: int = N_RUNS) -> dict[str, float]:
         out: dict[str, float] = {}
-        for r in range(n_runs):
-            for name in names:
-                if name not in all_queries:
-                    continue
+        for name in names:
+            if name not in all_queries:
+                continue
+            for r in range(n_runs):
                 df = all_queries[name](spark, sf_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()

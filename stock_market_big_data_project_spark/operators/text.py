@@ -132,3 +132,113 @@ def predict_lang(text_col: Column) -> Column:
         .when(s["es"] >= s["zh"], "es")
         .otherwise("zh")
     )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Length+stopword quality score in [0,1], rounded to 6 dp — the same
+    formula `clean_corpus_pipeline` thresholds on (half length saturation at
+    50 tokens, half non-stopword ratio)."""
+    toks = tokens(text_col)
+    nt = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return F.round(
+        F.least(nt / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.try_divide(n_stop, nt)) * 0.5,
+        6,
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document (Rae et al.
+    2021 §A1.1 adapted to the whitespace-token surface): type-token ratio,
+    fraction of tokens covered by the most frequent bigram, and fraction of
+    trigram occurrences that are duplicates. Everything is the relational
+    posexplode + lead-window form (see `word_shingles` for why arrays are
+    slower), so per-doc state never materializes: at 100 TB the gram counts
+    are two map-side-combined hash aggregates keyed (doc, gram).
+
+    Returns (id, n_tokens, ttr, top_bigram_frac, dup_trigram_frac).
+    """
+    sc = df.sparkSession.sparkContext
+    # Same compute-bound-stage idiom as word_shingles: a non-coalescible
+    # hash repartition on the doc id feeds the gram window AND (by the
+    # subset rule) every downstream (doc)/(doc, gram) aggregation.
+    docs = df.repartition(sc.defaultParallelism, id_col)
+    toks = exploded_tokens(docs, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    nxt1, nxt2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    grams = toks.select(
+        id_col,
+        "tok",
+        F.when(nxt1.isNotNull(), F.concat_ws(" ", F.col("tok"), nxt1)).alias(
+            "bigram"
+        ),
+        F.when(
+            nxt2.isNotNull(), F.concat_ws(" ", F.col("tok"), nxt1, nxt2)
+        ).alias("trigram"),
+    )
+    tok_stats = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    bi = (
+        grams.filter(F.col("bigram").isNotNull())
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bi"))
+    )
+    tri = (
+        grams.filter(F.col("trigram").isNotNull())
+        .groupBy(id_col, "trigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).alias("dup_tri"),
+            F.sum("c").alias("n_tri"),
+        )
+    )
+    return (
+        tok_stats.join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("top_bi") * 2 / F.col("n_tokens"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("dup_tri") / F.col("n_tri"), 6).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+def token_chunks(
+    df: DataFrame, id_col: str, text_col: str, size: int = 16
+) -> DataFrame:
+    """Split each document into disjoint `size`-token chunks — the unit of
+    C4-style sub-document dedup (Raffel et al. 2020 dedupe three-sentence
+    spans; this corpus has no sentence marks, so spans are fixed token
+    windows). Returns (id, chunk_idx, chunk, chunk_hash); reassembly order
+    is chunk_idx. One shuffle (the doc-id repartition feeding both the
+    position window and the chunk aggregate)."""
+    sc = df.sparkSession.sparkContext
+    docs = df.repartition(sc.defaultParallelism, id_col)
+    toks = exploded_tokens(docs, id_col, text_col)
+    chunked = toks.withColumn(
+        "chunk_idx", F.expr(f"CAST((pos - 1) DIV {size} AS INT)")
+    )
+    chunks = chunked.groupBy(id_col, "chunk_idx").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk")
+    )
+    return chunks.withColumn("chunk_hash", md5_hash64(F.col("chunk")))

@@ -68,6 +68,7 @@ TINY_CROSS_OK = {
     "trend_column_matcher",       # metadata theta-join: column catalog ×
                                   # symbol list, both driver-size, never
                                   # the fact table
+    "tfidf_search_topk",          # 1-row corpus-count scalar for the idf
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

@@ -37,6 +37,7 @@ _PLAN_MODULES = (
     "relational",
     "llm",
     "statistical",
+    "training",
 )
 
 

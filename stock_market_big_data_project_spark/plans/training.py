@@ -1,0 +1,414 @@
+"""Round-4 training-data-pipeline queries (local tier): repetition-based
+quality filtering (Gopher), sub-document chunk dedup (C4), stratified
+per-source sampling, dedup-cluster canonicalization by quality, TF-IDF
+corpus search, and deterministic training-order shuffling.
+
+These extend the reference's collected-but-never-analyzed text surface
+(twitter/main.py:11-28, OP-68) with the remaining operator families a
+100 TB training-data pipeline runs between "crawl" and "tokenize": decide
+what to KEEP (repetition filters, chunk dedup, cluster canonicalization),
+decide the MIX (stratified sampling), FIND examples (TF-IDF search), and
+fix the ORDER (shuffle into shards). Everything is built-in Catalyst
+expressions over md5-derived hashes, so every query here is bitwise
+DuckDB-checkable — no Python stages at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.text import (
+    md5_hash64,
+    oracle_md5_hash64,
+    oracle_word_shingles,
+    quality_score,
+    repetition_stats,
+    token_chunks,
+    tokens,
+)
+from ..sources.tables import load_table
+from .audit import EAGER_ITERATIVE
+from .llm import _STOP_SQL, _TOKS
+from .registry import register_local
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# Shared oracle CTE: whitespace tokens with 1-based positions (the same
+# zip-with-range trick as oracle_word_shingles).
+_ORACLE_TOKS = f"""
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents
+    )
+"""
+
+
+# --- Gopher-style repetition filters ---------------------------------------------
+@register_local(
+    "gopher_repetition_filters",
+    oracle=f"""
+    WITH {_ORACLE_TOKS},
+    g AS (
+      SELECT doc_id, tok,
+             CASE WHEN lead(tok, 1) OVER w IS NOT NULL
+                  THEN concat_ws(' ', tok, lead(tok, 1) OVER w) END AS bigram,
+             CASE WHEN lead(tok, 2) OVER w IS NOT NULL
+                  THEN concat_ws(' ', tok, lead(tok, 1) OVER w,
+                                 lead(tok, 2) OVER w) END AS trigram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    ts AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT tok) AS n_distinct
+      FROM g GROUP BY 1
+    ),
+    bi AS (
+      SELECT doc_id, max(c) AS top_bi FROM (
+        SELECT doc_id, bigram, count(*) AS c FROM g
+        WHERE bigram IS NOT NULL GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_tri,
+             CAST(sum(c) AS BIGINT) AS n_tri
+      FROM (
+        SELECT doc_id, trigram, count(*) AS c FROM g
+        WHERE trigram IS NOT NULL GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT ts.doc_id, ts.n_tokens,
+           round(n_distinct / n_tokens, 6) AS ttr,
+           round(top_bi * 2 / n_tokens, 6) AS top_bigram_frac,
+           round(dup_tri / n_tri, 6) AS dup_trigram_frac
+    FROM ts
+    LEFT JOIN bi ON bi.doc_id = ts.doc_id
+    LEFT JOIN tri ON tri.doc_id = ts.doc_id
+    """,
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signals per document (Rae et al. 2021 §A1.1,
+    token-adapted): type-token ratio, most-frequent-bigram coverage,
+    duplicate-trigram fraction. The filter decision itself is a trivial
+    threshold over these columns; the engine work is the signals — two
+    (doc, gram) hash aggregates fed by one doc-keyed repartition, all
+    map-side-combinable, no per-doc state. See
+    operators/text.py::repetition_stats."""
+    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+
+
+# --- C4-style sub-document chunk dedup --------------------------------------------
+@register_local(
+    "chunk_dedup_c4",
+    oracle=f"""
+    WITH {_ORACLE_TOKS},
+    ch AS (
+      SELECT doc_id, CAST((pos - 1) // 16 AS INT) AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM toks GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (
+               PARTITION BY {oracle_md5_hash64("chunk")}
+               ORDER BY doc_id, chunk_idx) = 1 AS kept
+      FROM ch
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                          FILTER (WHERE kept), '')) AS kept_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup, C4-style (Raffel et al. 2020 remove repeated
+    three-sentence spans; this corpus has no sentence marks, so spans are
+    disjoint 16-token chunks): corpus-wide, each distinct chunk survives
+    only at its first (doc_id, chunk_idx) occurrence. Plan: one doc-keyed
+    repartition feeds tokenize→chunk-assembly, then ONE shuffle on the
+    60-bit chunk hash decides winners (row_number over the hash), then one
+    shuffle back to doc_id reassembles. The kept text is fingerprinted
+    (md5) so the oracle verifies reassembly order, not just counts."""
+    chunks = token_chunks(_docs(spark, sf_dir), "doc_id", "text", size=16)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    flagged = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("chunk_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+# --- stratified per-source sampling ------------------------------------------------
+_STRAT_QUOTA = 10
+
+
+@register_local(
+    "stratified_source_sample",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rank AS INT) AS rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {oracle_md5_hash64(
+                   "'strat:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rank
+      FROM documents
+    ) WHERE rank <= {_STRAT_QUOTA}
+    """,
+)
+def stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: up to 10 docs per source,
+    chosen by hash rank — the training-mix control. Hash-rank selection is
+    a reservoir that is stable under reruns, repartitioning, and corpus
+    appends-at-the-tail (a doc's rank only changes if earlier-hashed docs
+    arrive in its stratum), unlike df.sampleBy whose membership is
+    layout-dependent. One shuffle (the per-source window); at 100 TB the
+    stratum count is small and the per-stratum sort is the standard top-k
+    window Spark spills fine."""
+    d = _docs(spark, sf_dir)
+    hsh = md5_hash64(
+        F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("hsh", "doc_id")
+    return (
+        d.select("source", "doc_id", hsh.alias("hsh"))
+        .select(
+            "source", "doc_id", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= _STRAT_QUOTA)
+    )
+
+
+# --- dedup-cluster canonicalization by quality -------------------------------------
+@register_local(
+    "cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({oracle_word_shingles(n=3)}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.v
+    ), comp AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ), q AS (
+      SELECT doc_id,
+             round(LEAST(len({_TOKS}) / 50.0, 1.0) * 0.5
+                   + (1.0 - len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
+                       / len({_TOKS})) * 0.5, 6) AS quality_score
+      FROM documents
+    ), a AS (
+      SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+             q.quality_score
+      FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
+    )
+    SELECT doc_id, cluster_id, quality_score,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_score DESC, doc_id) = 1
+             AS kept
+    FROM a
+    """,
+)
+def cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonicalization policy that finishes a dedup pipeline: near-dup
+    clusters (3-gram Jaccard ≥ 0.3 → connected components) keep their
+    HIGHEST-QUALITY member, not the min-id one — the policy production
+    dedup actually wants (keep the cleanest copy, drop the rest).
+    Singletons are their own cluster and always kept, so the output covers
+    the full corpus with a kept flag. Quality is the same score
+    clean_corpus_pipeline thresholds on, a narrow map; the cluster argmax
+    is one window over cluster_id."""
+    from ..operators.graph import connected_components
+
+    d = _docs(spark, sf_dir)
+    cc = connected_components(_keep_best_pairs(spark, sf_dir))
+    scored = d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality_score")
+    )
+    assigned = (
+        scored.join(cc, scored.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            "quality_score",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+def _keep_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-clustering constituent of cluster_keep_best (exact 3-gram
+    Jaccard pairs) — audited in place of the checkpoint scan."""
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3
+    ).select("id_a", "id_b")
+
+
+# --- TF-IDF corpus search ----------------------------------------------------------
+_QUERY_TERMS = ("spark", "join", "window", "merge")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+
+@register_local(
+    "tfidf_search_topk",
+    oracle=f"""
+    WITH tt AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ), f AS (
+      SELECT doc_id, tok FROM tt WHERE tok IN ({_TERMS_SQL})
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS c FROM f GROUP BY 1, 2
+    ), dfc AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM f GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    parts AS (
+      SELECT tf.doc_id,
+             CAST((tf.c / dl.n_tokens)
+                  * ((n.n_docs + 1.0) / (dfc.df + 1.0))
+                  AS DECIMAL(28,15)) AS contrib
+      FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN n
+    )
+    SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 9) AS tfidf
+    FROM parts GROUP BY doc_id
+    ORDER BY tfidf DESC, doc_id LIMIT 20
+    """,
+)
+def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: top-20 docs by TF-IDF for a fixed
+    query (idf kept ln-free — (N+1)/(df+1) — so both engines compute the
+    identical IEEE doubles; per-term contributions sum as exact decimals,
+    order-independent). The term filter lands BEFORE any shuffle, so at
+    100 TB the pipeline is: narrow scan-side filter → tiny (doc, term)
+    aggregate over matching docs only → broadcast of the 4-row df table →
+    TakeOrderedAndProject. Doc lengths come from a narrow map, not a
+    second explode."""
+    d = _docs(spark, sf_dir)
+    term_toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin(*_QUERY_TERMS))
+    tf = term_toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfc = term_toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    doclen = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    contrib = (
+        (F.col("c") / F.col("n_tokens"))
+        * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    ).cast("decimal(28,15)")
+    parts = (
+        tf.join(F.broadcast(dfc), "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .join(doclen, "doc_id")
+        .select("doc_id", contrib.alias("contrib"))
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+        .select(
+            "doc_id", F.round(F.col("s").cast("double"), 9).alias("tfidf")
+        )
+        .orderBy(F.desc("tfidf"), "doc_id")
+        .limit(20)
+    )
+
+
+# --- deterministic training-order shuffle ------------------------------------------
+@register_local(
+    "training_order_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(hsh % 64 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hsh % 64
+                                   ORDER BY hsh, doc_id) AS INT) AS pos
+    FROM (
+      SELECT doc_id,
+             {oracle_md5_hash64("'shuffle:' || CAST(doc_id AS VARCHAR)")}
+               AS hsh
+      FROM documents
+    )
+    """,
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 64 training shards: shard = keyed
+    hash mod 64, position within shard = hash rank. This is how a 100 TB
+    corpus gets a reproducible random order WITHOUT a global sort — the
+    only exchange is the hash repartition into shards, and each shard
+    orders independently (the standard shards-then-local-shuffle trick;
+    a global row_number would serialize onto one partition). Seed lives in
+    the hash salt."""
+    d = _docs(spark, sf_dir)
+    hsh = md5_hash64(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("hsh", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            hsh.alias("hsh"),
+        )
+        .withColumn("shard", (F.col("hsh") % 64).cast("int"))
+        .select(
+            "doc_id", "shard", F.row_number().over(w).alias("pos")
+        )
+    )
+
+
+# The red-flag gate audits this constituent instead of the eager clustering
+# callable's opaque checkpoint-scan plan (plans/audit.py).
+EAGER_ITERATIVE.update({"cluster_keep_best": _keep_best_pairs})
