@@ -101,6 +101,7 @@ EXTRA = [
     "cluster_keep_best",
     "tfidf_search_topk",
     "training_order_shuffle",
+    "bpe_learn_merges",
 ]
 
 

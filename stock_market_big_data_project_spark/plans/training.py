@@ -409,6 +409,36 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The red-flag gate audits this constituent instead of the eager clustering
-# callable's opaque checkpoint-scan plan (plans/audit.py).
-EAGER_ITERATIVE.update({"cluster_keep_best": _keep_best_pairs})
+# --- distributed BPE vocabulary training -------------------------------------------
+@register_local("bpe_learn_merges")  # no oracle BY DESIGN: K-round iterative
+# argmax-and-rewrite is not SQL-expressible; the strong check is the
+# pure-Python BPE differential in tests/test_bpe.py (exact merge-sequence
+# equality), the same pattern as the Granger/forecast numerics.
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges over the corpus (operators/bpe.py::train_bpe):
+    the corpus-size work is ONE word-count aggregate; the 8 iterative
+    rounds run over the vocabulary-bounded word table with a 1-row
+    driver collect per round (the argmax pair). Deterministic tie-break
+    (max count, then lexicographically smallest pair) makes the merge
+    sequence rerun- and partitioning-stable."""
+    from ..operators.bpe import train_bpe
+
+    return train_bpe(_docs(spark, sf_dir), n_merges=8)
+
+
+def _bpe_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-round constituent of bpe_learn_merges (word table → pair
+    counts) — audited in place of the eager trainer's output scan."""
+    from ..operators.bpe import pair_counts, word_symbol_table
+
+    return pair_counts(word_symbol_table(_docs(spark, sf_dir)))
+
+
+# The red-flag gate audits these constituents instead of the eager
+# callables' opaque checkpoint/local-collection plans (plans/audit.py).
+EAGER_ITERATIVE.update(
+    {
+        "cluster_keep_best": _keep_best_pairs,
+        "bpe_learn_merges": _bpe_round_plan,
+    }
+)

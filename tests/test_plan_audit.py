@@ -65,8 +65,9 @@ def test_streaming_harness_list_is_current(spark):
 
 def test_eager_iterative_list_is_current(spark):
     """Every name whose audit is redirected to a pre-checkpoint
-    constituent must be a registered clustering query, and its constituent
-    must build a non-trivial plan (a join — i.e. NOT a checkpoint scan)."""
+    constituent must be a registered iterative query (connected-components
+    clustering or the BPE trainer), and its constituent must build a
+    non-trivial plan (a join/shuffle — i.e. NOT a checkpoint scan)."""
     from stock_market_big_data_project_spark.plans import (
         LOCAL_QUERIES,
         QUERIES,
@@ -81,6 +82,8 @@ def test_eager_iterative_list_is_current(spark):
     registered = {**LOCAL_QUERIES, **QUERIES}
     assert set(EAGER_ITERATIVE) <= set(registered)
     for name, builder in EAGER_ITERATIVE.items():
-        assert "cluster" in name or "verified" in name, name
+        assert (
+            "cluster" in name or "verified" in name or name == "bpe_learn_merges"
+        ), name
         facts = plan_facts(builder(spark, SF_DIR))
         assert facts["exchanges"] > 0, (name, "constituent plan is trivial")
