@@ -15,14 +15,14 @@ word-frequency table, and that is exactly the right split for Spark:
   one narrow map applying the merge.
 
 Words are represented as space-joined symbol strings with sentinel
-spaces (" h e l l o </w> "), so applying a merge is string replace —
-no per-row Python. A single left-to-right replace() pass can miss
-back-to-back occurrences that share a boundary space (" a b a b " →
-first match consumes the middle space), so the merge applies replace
-up to `_REPLACE_PASSES` times; each pass merges at least half of the
-remaining occurrences, so 4 passes cover runs up to 16 — far beyond
-this corpus's word lengths. The greedy left-to-right semantics match
-the reference BPE implementation's regex substitution.
+spaces (" h e l l o </w> "), so applying a merge is one regexp_replace —
+no per-row Python. The boundary spaces are matched with ZERO-WIDTH
+lookarounds ("(?<= )pair(?= )"), the same scheme as subword-nmt's
+"(?<!\\S)a b(?!\\S)" substitution: a plain substring replace consumes
+the trailing space, which mis-merges odd runs (" a a a a a " →
+aa a aa instead of the greedy aa aa a — found by the hypothesis
+property test in tests/test_bpe.py). With lookarounds, one left-to-
+right pass IS the standard greedy merge.
 
 Determinism: the best pair each round is (max total count, then
 lexicographically smallest pair) — reruns and repartitions cannot
@@ -31,11 +31,23 @@ change the learned merge sequence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_REPLACE_PASSES = 4
 _EOW = "</w>"
+
+
+def _merge_pair(col: Column, pair: str, merged: str) -> Column:
+    """One greedy left-to-right merge pass over a sentinel-spaced symbol
+    string: lookarounds keep the boundary spaces unconsumed so scanning
+    resumes ON the shared space and back-to-back occurrences all merge.
+    Symbols may contain regex/replacement metacharacters — escape both
+    sides (java.util.regex accepts backslash-escaped punctuation)."""
+    pat = "(?<= )" + re.escape(pair) + "(?= )"
+    repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+    return F.regexp_replace(col, pat, repl)
 
 
 def word_symbol_table(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -88,7 +100,7 @@ def train_bpe(
     argmax row is the single driver collect. Lineage is truncated with
     localCheckpoint every `checkpoint_every` rounds, the same idiom as
     operators/graph.py::connected_components — without it the plan nests
-    `n_merges × _REPLACE_PASSES` replace() calls.
+    `n_merges` regexp_replace calls.
     """
     words = word_symbol_table(df, text_col).localCheckpoint()
     merges = []
@@ -104,12 +116,7 @@ def train_bpe(
         pair, total = top[0]["pair"], top[0]["total"]
         merged = pair.replace(" ", "")
         merges.append((r, pair, merged, total))
-        col = F.col("syms")
-        for _ in range(_REPLACE_PASSES):
-            col = F.replace(
-                col, F.lit(f" {pair} "), F.lit(f" {merged} ")
-            )
-        words = words.withColumn("syms", col)
+        words = words.withColumn("syms", _merge_pair(F.col("syms"), pair, merged))
         if r % checkpoint_every == 0:
             words = words.localCheckpoint()
     spark = df.sparkSession
@@ -123,7 +130,7 @@ def apply_bpe(
 ) -> DataFrame:
     """Segment with a learned merge list: (doc_id, word, bpe_tokens) via
     explode — per-word char split + the merges replayed in learned order
-    as a chained replace(), which stays inside codegen (a transform-lambda
+    as a chained regexp_replace, which stays inside codegen (a transform-lambda
     over a word array would run the chain interpreted per element). Pure
     narrow map after the explode: no shuffle, no Python; the merge list
     ships in the plan as literals."""
@@ -137,8 +144,7 @@ def apply_bpe(
         F.lit(" " + _EOW + " "),
     )
     for pair, merged in merges:
-        for _ in range(_REPLACE_PASSES):
-            syms = F.replace(syms, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        syms = _merge_pair(syms, pair, merged)
     return w.select(
         "doc_id", "word", F.split(F.trim(syms), " ").alias("bpe_tokens")
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 import collections
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from stock_market_big_data_project_spark.operators.bpe import (
     apply_bpe,
@@ -81,11 +83,11 @@ def test_merge_sequence_matches_reference(spark, corpus_counts):
 
 
 def test_overlapping_runs_merge_greedily(spark):
-    # Engineered worst case for the string-replace merge application:
-    # back-to-back pair occurrences share their boundary space, which a
-    # single replace() pass would miss (" a a a a " consumes the middle
-    # space on the first match). The trainer must still match the greedy
-    # reference exactly.
+    # Engineered worst case for the merge application: back-to-back pair
+    # occurrences share their boundary spaces — without zero-width
+    # lookarounds a substring replace consumes the trailing space and
+    # merges the wrong positions in odd runs. The trainer must match the
+    # greedy reference exactly.
     rows = [(1, "aaaa aaaa bab abab"), (2, "aaaa bab bab abab")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     wc = collections.Counter()
@@ -94,6 +96,30 @@ def test_overlapping_runs_merge_greedily(spark):
             wc[w] += 1
     got = [tuple(r) for r in train_bpe(df, n_merges=6).collect()]
     want = _ref_train(dict(wc), 6)
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        # 2-letter alphabet maximizes overlapping runs ("aabab") and
+        # pair-count ties — exactly the cases where greedy left-to-right
+        # application and deterministic tie-breaks can drift.
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_property_random_corpora_match_reference(spark, words):
+    rows = [(i, " ".join(words[i : i + 3])) for i in range(0, len(words), 3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = collections.Counter(w for _, t in rows for w in t.split() if w)
+    got = [tuple(r) for r in train_bpe(df, n_merges=4).collect()]
+    want = _ref_train(dict(wc), 4)
     assert got == want
 
 
