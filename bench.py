@@ -102,6 +102,8 @@ EXTRA = [
     "tfidf_search_topk",
     "training_order_shuffle",
     "bpe_learn_merges",
+    "embedding_pq_codes",
+    "embedding_pq_adc_topk",
 ]
 
 

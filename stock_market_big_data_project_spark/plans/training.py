@@ -409,6 +409,105 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (the memory side of ANN) ---------------------------------
+# Shared oracle CTEs: md5-derived PQ codebook (16 centroids × 64 global
+# dims; subspace j = dims j*8..j*8+7) and the exact decimal per-(vec,
+# subspace, centroid) squared distances — the same hash-constant scheme as
+# the IVF/LSH oracles in plans/llm.py.
+_PQ_DISTS = """
+    v AS (
+      SELECT vec_id, unnest(embedding) AS val,
+             unnest(range(0, len(embedding))) AS d
+      FROM embeddings
+    ), cents AS (
+      SELECT c, d,
+             (CAST(('0x' || substr(md5('pq:' || CAST(c AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 16)) AS c),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), dists AS (
+      SELECT x.vec_id, CAST(ce.d // 8 AS INT) AS subspace, ce.c,
+             sum(CAST((CAST(x.val AS DOUBLE) - ce.comp) *
+                      (CAST(x.val AS DOUBLE) - ce.comp)
+                      AS DECIMAL(18,15))) AS dist
+      FROM v x JOIN cents ce ON ce.d = x.d
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT vec_id, subspace, c, dist,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist, c) AS rn
+      FROM dists
+    )
+"""
+
+
+@register_local(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH {_PQ_DISTS}
+    SELECT vec_id, subspace, CAST(c AS INT) AS code,
+           round(CAST(dist AS DOUBLE), 9) AS dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the corpus: 8 subspaces × 16 md5-derived centroids
+    → 8 four-bit codes per vector (256 B float32 → 4 B, the 64×
+    compression that keeps a probe's candidate set in cache at 100 TB).
+    One narrow projection evaluates all 8×16 exact decimal distances per
+    vector, then explodes to the code rows — no join, no shuffle
+    (operators/pq.py::pq_encode). Even this approximate structure is
+    bit-exact vs the oracle because the argmin is decimal-exact with
+    deterministic ties."""
+    from ..operators.pq import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir))
+
+
+@register_local(
+    "embedding_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_DISTS},
+    codes AS (
+      SELECT vec_id AS neighbor_id, subspace, c AS code
+      FROM ranked WHERE rn = 1
+    ), lut AS (
+      SELECT vec_id AS query_id, subspace, c AS code, dist AS qdist
+      FROM dists WHERE vec_id < 10
+    ), s AS (
+      SELECT l.query_id, co.neighbor_id, sum(l.qdist) AS adc
+      FROM codes co JOIN lut l USING (subspace, code)
+      WHERE co.neighbor_id != l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 9) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-5 for the same 10 queries as the
+    brute-force/IVF baselines: the query-side lookup table (10×8×16 exact
+    decimal ‖q_j − c‖²) broadcasts, and the corpus side joins 4-byte codes
+    against it — the corpus scan never touches floats
+    (operators/pq.py::pq_adc_topk). Approximation quality vs exact L2 is
+    bounded in tests/test_pq.py; the oracle here proves the machinery
+    (encode, LUT, 8-lookup decimal sums, ranking) bit-for-bit."""
+    from ..operators.pq import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
 # --- distributed BPE vocabulary training -------------------------------------------
 @register_local("bpe_learn_merges")  # no oracle BY DESIGN: K-round iterative
 # argmax-and-rewrite is not SQL-expressible; the strong check is the
