@@ -104,6 +104,7 @@ EXTRA = [
     "bpe_learn_merges",
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
+    "embedding_ivfpq_topk",
 ]
 
 

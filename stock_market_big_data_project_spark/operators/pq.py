@@ -66,7 +66,10 @@ def _sub_dist(emb_col: str, j: int, cent_slice: tuple[float, ...]):
 
 
 def pq_encode(
-    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quantize: (id, subspace, code, dist) — per subspace the nearest
     centroid (exact decimal argmin, ties → lowest code). All 8×16 subspace
@@ -99,9 +102,10 @@ def pq_encode(
         ]
     )
     return (
-        df.select(F.col(id_col), F.explode(per_j).alias("s"))
+        df.select(F.col(id_col), *extra_cols, F.explode(per_j).alias("s"))
         .select(
             id_col,
+            *extra_cols,
             F.col("s.subspace").alias("subspace"),
             F.col("s.best.code").alias("code"),
             F.round(F.col("s.best.dist").cast("double"), 9).alias("dist"),
@@ -161,6 +165,12 @@ def pq_adc_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("qdist").alias("adc"))
     )
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, adc) → top-k rows with rounded distance and
+    rank (ascending approximate L2, ties by neighbor id)."""
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
         scored.select(
@@ -171,3 +181,72 @@ def pq_adc_topk(
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    n_dims: int = 64,
+) -> DataFrame:
+    """The composed FAISS-style index — IVF prunes WHICH vectors are read,
+    PQ compresses WHAT is read: each query probes its `n_probe` best IVF
+    cells and ADC-scores ONLY those cells' 4-byte codes.
+
+    Corpus side stays one narrow projection: the IVF cell id (same
+    expression as similarity.py::ivf_cells — never a join back to its
+    output) rides along the PQ code explode, so at rest this is the
+    `partitionBy(cell)` code table and a probe is partition pruning over
+    4-byte rows. Query side: (probe cells × full LUT) ≈ n_probe×8×16 rows
+    per query, broadcast; the corpus-side join key (cell, subspace, code)
+    restricts candidates to probed cells with zero extra plan nodes.
+    Candidate volume ≈ n·n_probe/n_cells, bytes read ≈ 1/64 of the float
+    corpus — multiplicative with the IVF pruning."""
+    from ._planes import hyperplanes
+    from .similarity import _exact_dot, _ivf_best
+
+    cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
+
+    def dot_c(c: int):
+        cent = F.array(*[F.lit(v) for v in cents[c]])
+        return _exact_dot(F.col(emb_col), cent, None)
+
+    # ascending sort on (−dot, cell) ≡ dot desc, ties → lowest cell id —
+    # identical probe rule to ivf_probe_topk.
+    probes = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot_c(c)).alias("negdot"), F.lit(c).alias("c")
+                    )
+                    for c in range(n_cells)
+                ]
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q_probe = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(probes).alias("_p")
+    ).select("query_id", F.col("_p.c").alias("cell"))
+    qside = q_probe.join(pq_lut(queries, id_col, emb_col), "query_id")
+
+    best = _ivf_best(emb_col, cents)
+    codes = pq_encode(
+        corpus.withColumn("cell", (-best["negc"]).cast("int")),
+        id_col,
+        emb_col,
+        extra_cols=("cell",),
+    ).select(F.col(id_col).alias("neighbor_id"), "cell", "subspace", "code")
+    scored = (
+        codes.join(F.broadcast(qside), ["cell", "subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qdist").alias("adc"))
+    )
+    return _rank_topk(scored, k)

@@ -508,6 +508,77 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+@register_local(
+    "embedding_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_DISTS},
+    icents AS (
+      SELECT c, d,
+             (CAST(('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 8)) AS c),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), cdots AS (
+      SELECT x.vec_id, ce.c,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * ce.comp
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v x JOIN icents ce ON ce.d = x.d
+      GROUP BY 1, 2
+    ), assign AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c) AS rn
+        FROM cdots WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ), codes AS (
+      SELECT vec_id AS neighbor_id, subspace, c AS code
+      FROM ranked WHERE rn = 1
+    ), lut AS (
+      SELECT vec_id AS query_id, subspace, c AS code, dist AS qdist
+      FROM dists WHERE vec_id < 10
+    ), s AS (
+      SELECT p.query_id, co.neighbor_id, sum(l.qdist) AS adc
+      FROM codes co
+      JOIN assign a ON a.vec_id = co.neighbor_id
+      JOIN probes p ON p.cell = a.cell
+      JOIN lut l ON l.query_id = p.query_id
+             AND l.subspace = co.subspace AND l.code = co.code
+      WHERE co.neighbor_id != p.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 9) AS adc_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed FAISS-style index (IVF-ADC): probe the 2 best of 8 IVF
+    cells per query, ADC-score only those cells' PQ codes. IVF prunes
+    WHICH vectors are read (≈ n/4 candidates), PQ compresses WHAT is read
+    (4-byte codes, never floats) — multiplicative at 100 TB, where the
+    corpus at rest is the cell-partitioned code table and a probe is
+    partition pruning over 1/64-size rows
+    (operators/pq.py::ivfpq_adc_topk). Fully bit-exact vs the composed
+    oracle: md5 centroids + decimal argmins on both paths."""
+    from ..operators.pq import ivfpq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_adc_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
 # --- distributed BPE vocabulary training -------------------------------------------
 @register_local("bpe_learn_merges")  # no oracle BY DESIGN: K-round iterative
 # argmax-and-rewrite is not SQL-expressible; the strong check is the

@@ -95,6 +95,18 @@ def test_codes_are_nearest_centroids(vectors, codes):
             assert dists[by_j[j]] <= dists[best] + 1e-12, (vid, j)
 
 
+def test_pq_encode_plan_is_narrow(spark):
+    # The scale contract in the docstring, enforced: quantization is a pure
+    # scan-side projection — no exchange, no join, no Python stage.
+    from stock_market_big_data_project_spark.plans.audit import plan_facts
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    facts = plan_facts(pq_encode(emb))
+    assert facts["exchanges"] == 0, facts
+    assert facts["python_stages"] == 0, facts
+    assert facts["sort_merge_joins"] + facts["broadcast_hash_joins"] == 0, facts
+
+
 def test_topk_beats_corpus_average(spark, vectors):
     emb = load_table(spark, SF_DIR, "embeddings")
     top = pq_adc_topk(emb, emb.filter("vec_id < 10")).collect()
