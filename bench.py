@@ -105,6 +105,7 @@ EXTRA = [
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
     "embedding_ivfpq_topk",
+    "embedding_kmeans_train",
 ]
 
 

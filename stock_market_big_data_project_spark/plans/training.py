@@ -579,6 +579,48 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(emb, emb.filter(F.col("vec_id") < 10))
 
 
+# --- distributed k-means (trains the IVF/PQ codebooks) -----------------------------
+@register_local("embedding_kmeans_train")  # no oracle BY DESIGN: Lloyd
+# iterations are not SQL-expressible and float means are tolerance-land;
+# the strong check is the numpy differential in tests/test_kmeans.py
+# (assignment equality + centroid atol + monotone inertia).
+def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 Lloyd iterations, k=8, from the deterministic md5 init (the
+    untrained IVF codebook): per iteration the corpus pays one narrow
+    assignment + ONE k×64-row aggregate; the driver holds only the
+    centroid grid (operators/kmeans.py). Returns the per-cell summary
+    (size, inertia, centroid norm) of the final assignment — the trained
+    upgrade path for ivf_cells/pq codebooks."""
+    from ..operators.kmeans import kmeans_train
+
+    _, summary = kmeans_train(_emb(spark, sf_dir), k=8, n_iter=5)
+    return summary
+
+
+def _kmeans_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-iteration constituent of embedding_kmeans_train (assign +
+    per-(cell, dim) update aggregate) — audited in place of the eager
+    trainer's output."""
+    from ..operators._planes import hyperplanes
+
+    from ..operators.kmeans import _best
+
+    cents = [tuple(c) for c in hyperplanes(8, 64, prefix="ivf:")]
+    return (
+        _emb(spark, sf_dir)
+        .select(
+            _best("embedding", cents)["cell"].alias("cell"),
+            F.col("embedding"),
+        )
+        .select("cell", F.posexplode(F.col("embedding")).alias("d", "val"))
+        .groupBy("cell", "d")
+        .agg(
+            F.sum(F.col("val").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- distributed BPE vocabulary training -------------------------------------------
 @register_local("bpe_learn_merges")  # no oracle BY DESIGN: K-round iterative
 # argmax-and-rewrite is not SQL-expressible; the strong check is the
@@ -610,5 +652,6 @@ EAGER_ITERATIVE.update(
     {
         "cluster_keep_best": _keep_best_pairs,
         "bpe_learn_merges": _bpe_round_plan,
+        "embedding_kmeans_train": _kmeans_round_plan,
     }
 )

@@ -81,9 +81,10 @@ def test_eager_iterative_list_is_current(spark):
     load_all_plans()
     registered = {**LOCAL_QUERIES, **QUERIES}
     assert set(EAGER_ITERATIVE) <= set(registered)
+    iterative_trainers = {"bpe_learn_merges", "embedding_kmeans_train"}
     for name, builder in EAGER_ITERATIVE.items():
         assert (
-            "cluster" in name or "verified" in name or name == "bpe_learn_merges"
+            "cluster" in name or "verified" in name or name in iterative_trainers
         ), name
         facts = plan_facts(builder(spark, SF_DIR))
         assert facts["exchanges"] > 0, (name, "constituent plan is trivial")
