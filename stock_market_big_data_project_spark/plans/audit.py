@@ -54,6 +54,10 @@ PYTHON_STAGE_OK = {
     "multimodal_frame_sample",       # codec plumbing
     "multimodal_byte_histogram",     # vectorized bincount features
     "token_shard_packing",           # per-range-partition Arrow cumsum
+    "embedding_pq_codes",            # vectorized PQ encode (decimal-exact
+                                     # fallback for guard-band rows)
+    "embedding_pq_adc_topk",         # same encode inside the ADC search
+    "embedding_ivfpq_topk",          # same encode inside IVF-PQ
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

@@ -115,8 +115,12 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # OP-24: selective-filter broadcast join (filter pushed below the join).
+# Local tier since r4: its operators (broadcast join OP-24, filter
+# pushdown, exact sums) all keep driver rows via revenue_by_region /
+# q1_pricing_summary; the freed slot went to gopher_repetition_filters
+# so the round-4 training-data surface has a driver-checked row.
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "brand_heavy_lineitems",
     oracle=f"""
     SELECT p.p_brand,

@@ -31,7 +31,7 @@ from ..operators.text import (
 from ..sources.tables import load_table
 from .audit import EAGER_ITERATIVE
 from .llm import _STOP_SQL, _TOKS
-from .registry import register_local
+from .registry import register, register_local
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +50,8 @@ _ORACLE_TOKS = f"""
 
 
 # --- Gopher-style repetition filters ---------------------------------------------
-@register_local(
+@register(  # driver tier (r4): slot freed by brand_heavy_lineitems, whose
+    # operators stay driver-covered elsewhere (plans/relational.py)
     "gopher_repetition_filters",
     oracle=f"""
     WITH {_ORACLE_TOKS},

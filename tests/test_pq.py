@@ -95,16 +95,37 @@ def test_codes_are_nearest_centroids(vectors, codes):
             assert dists[by_j[j]] <= dists[best] + 1e-12, (vid, j)
 
 
+def test_fast_path_equals_exact_path(spark):
+    # The Arrow fast path (float64 + guard-band Decimal fallback) must be
+    # indistinguishable from the pure Column-expression decimal path —
+    # codes AND rounded distances, every row.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fast = {
+        (r.vec_id, r.subspace): (r.code, r.dist)
+        for r in pq_encode(emb).collect()
+    }
+    exact = {
+        (r.vec_id, r.subspace): (r.code, r.dist)
+        for r in pq_encode(emb, exact=True).collect()
+    }
+    assert fast == exact
+
+
 def test_pq_encode_plan_is_narrow(spark):
     # The scale contract in the docstring, enforced: quantization is a pure
-    # scan-side projection — no exchange, no join, no Python stage.
+    # scan-side map — no exchange, no join; the fast path's one Arrow
+    # stage (never a row-at-a-time UDF), the exact path none at all.
     from stock_market_big_data_project_spark.plans.audit import plan_facts
 
     emb = load_table(spark, SF_DIR, "embeddings")
     facts = plan_facts(pq_encode(emb))
     assert facts["exchanges"] == 0, facts
-    assert facts["python_stages"] == 0, facts
+    assert facts["python_stages"] == 1, facts
+    assert facts["row_python_udfs"] == 0, facts
     assert facts["sort_merge_joins"] + facts["broadcast_hash_joins"] == 0, facts
+    exact_facts = plan_facts(pq_encode(emb, exact=True))
+    assert exact_facts["exchanges"] == 0, exact_facts
+    assert exact_facts["python_stages"] == 0, exact_facts
 
 
 def test_topk_beats_corpus_average(spark, vectors):
