@@ -134,17 +134,28 @@ def chunk_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-sentence spans; this corpus has no sentence marks, so spans are
     disjoint 16-token chunks): corpus-wide, each distinct chunk survives
     only at its first (doc_id, chunk_idx) occurrence. Plan: one doc-keyed
-    repartition feeds tokenize→chunk-assembly, then ONE shuffle on the
-    60-bit chunk hash decides winners (row_number over the hash), then one
-    shuffle back to doc_id reassembles. The kept text is fingerprinted
-    (md5) so the oracle verifies reassembly order, not just counts."""
+    repartition feeds tokenize→chunk-assembly, winners come from a
+    map-side-combinable min-struct aggregate on the 60-bit chunk hash
+    (skew-safe — see inline comment), then one shuffle back to doc_id
+    reassembles. The kept text is fingerprinted (md5) so the oracle
+    verifies reassembly order, not just counts."""
     chunks = token_chunks(_docs(spark, sf_dir), "doc_id", "text", size=16)
-    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
-    flagged = chunks.select(
+    # Winner per chunk_hash via a map-side-combinable min-struct aggregate,
+    # NOT row_number over a chunk_hash window: a boilerplate chunk repeated
+    # corpus-wide is a guaranteed hot key at 100 TB, and a window partition
+    # is a single sorted task while the aggregate collapses the hot key in
+    # the map phase and AQE skew-splits the join back.
+    winners = chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    flagged = chunks.join(winners, "chunk_hash").select(
         "doc_id",
         "chunk_idx",
         "chunk",
-        (F.row_number().over(w) == 1).alias("kept"),
+        (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("chunk_idx") == F.col("w.chunk_idx"))
+        ).alias("kept"),
     )
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -192,17 +203,29 @@ def stratified_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a reservoir that is stable under reruns, repartitioning, and corpus
     appends-at-the-tail (a doc's rank only changes if earlier-hashed docs
     arrive in its stratum), unlike df.sampleBy whose membership is
-    layout-dependent. One shuffle (the per-source window); at 100 TB the
-    stratum count is small and the per-stratum sort is the standard top-k
-    window Spark spills fine."""
+    layout-dependent.
+
+    Two-stage top-K so a hot stratum never serializes: stage 1 takes the
+    per-(stratum, shuffle-partition) top-K — the (source, pid) key spreads
+    a dominant source across partitions — and stage 2 ranks only the
+    ≤ K×partitions survivors per stratum. The global top-K is a subset of
+    the union of per-partition top-Ks, so survivor rank = true stratum
+    rank and the output is identical to the single-window form (which the
+    oracle still uses)."""
     d = _docs(spark, sf_dir)
     hsh = md5_hash64(
         F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
     )
+    hashed = d.select("source", "doc_id", hsh.alias("hsh"))
+    w_local = Window.partitionBy("source", F.spark_partition_id()).orderBy(
+        "hsh", "doc_id"
+    )
+    survivors = hashed.select(
+        "source", "doc_id", "hsh", F.row_number().over(w_local).alias("lr")
+    ).filter(F.col("lr") <= _STRAT_QUOTA)
     w = Window.partitionBy("source").orderBy("hsh", "doc_id")
     return (
-        d.select("source", "doc_id", hsh.alias("hsh"))
-        .select(
+        survivors.select(
             "source", "doc_id", F.row_number().over(w).alias("rank")
         )
         .filter(F.col("rank") <= _STRAT_QUOTA)
