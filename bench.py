@@ -106,6 +106,7 @@ EXTRA = [
     "embedding_pq_adc_topk",
     "embedding_ivfpq_topk",
     "embedding_kmeans_train",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -288,6 +288,33 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_candidates(
+    banded_full: DataFrame, banded_delta: DataFrame, id_col: str
+) -> DataFrame:
+    """Candidate pairs TOUCHING a corpus delta: the incremental form of
+    `lsh_candidate_pairs` for an append-mostly 100 TB corpus. The at-rest
+    banded signature table never self-joins again — only the delta's band
+    keys probe it, so candidate work is Θ(|delta| × bucket), not
+    Θ(|corpus| × bucket), and the full table side is a plain bucketed
+    equi-join probe (on a (band, band_hash)-bucketed layout: no shuffle of
+    the existing table at all).
+
+    Pairs are normalized (id_a < id_b); a delta-delta pair matches from
+    both sides, so shared bands are counted DISTINCT (in the full
+    pipeline each shared band contributes exactly one join row, so the
+    count is identical)."""
+    a, b = banded_full.alias("a"), banded_delta.alias("d")
+    lo = F.least(F.col(f"a.{id_col}"), F.col(f"d.{id_col}"))
+    hi = F.greatest(F.col(f"a.{id_col}"), F.col(f"d.{id_col}"))
+    return (
+        b.join(a, ["band", "band_hash"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"d.{id_col}"))
+        .select(lo.alias("id_a"), hi.alias("id_b"), "band")
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band").alias("shared_bands"))
+    )
+
+
 def simhash_hamming_pairs(
     fp: DataFrame,
     id_col: str,

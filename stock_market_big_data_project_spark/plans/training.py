@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.dedup import MOD, ngram_jaccard_pairs
 from ..operators.text import (
     md5_hash64,
     oracle_md5_hash64,
@@ -431,6 +431,71 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "shard", F.row_number().over(w).alias("pos")
         )
     )
+
+
+# --- incremental near-dup dedup (the append path) ----------------------------------
+@register_local(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH sh AS ({oracle_word_shingles(n=3)}),
+    idx AS (SELECT unnest(range(0, 16)) AS i),
+    sig AS (
+      SELECT doc_id, i,
+             min(((2*i + 1) * (shingle_hash % {MOD}) + 7919*i) % {MOD}) AS mh
+      FROM sh CROSS JOIN idx GROUP BY doc_id, i
+    ), banded AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             sum(mh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                 WHEN 2 THEN 961 ELSE 29791 END) AS band_hash
+      FROM sig GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 4 OR b.doc_id % 5 = 4
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPEND path of the dedup pipeline: docs with doc_id % 5 == 4
+    play a freshly-ingested delta; only THEIR band keys probe the at-rest
+    banded signature table (operators/dedup.py::incremental_lsh_candidates
+    — work ∝ |delta| × bucket, the existing corpus never self-joins
+    again), then the exact-Jaccard verify runs on the delta-touching
+    candidates only. The oracle computes the FULL banded pipeline and
+    filters to delta-touching pairs — the hash match proves incremental ≡
+    recompute-from-scratch, which is the contract that lets a 100 TB
+    corpus dedup its daily append in O(delta)."""
+    from ..operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_banded,
+        minhash_signatures,
+    )
+    from ..operators.text import word_shingles
+
+    d = _docs(spark, sf_dir)
+    sig = minhash_signatures(d, "doc_id", "text", n=3, k=16)
+    banded = minhash_banded(sig, "doc_id", bands=4, rows=4)
+    delta = banded.filter(F.col("doc_id") % 5 == 4)
+    cand = incremental_lsh_candidates(banded, delta, "doc_id")
+    sh = word_shingles(d, "doc_id", "text", n=3)
+    from ..operators.dedup import jaccard_on_candidates
+
+    return jaccard_on_candidates(sh, cand, "doc_id", threshold=0.3)
 
 
 # --- product quantization (the memory side of ANN) ---------------------------------
