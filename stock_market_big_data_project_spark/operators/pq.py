@@ -340,7 +340,7 @@ def ivfpq_adc_topk(
     Candidate volume ≈ n·n_probe/n_cells, bytes read ≈ 1/64 of the float
     corpus — multiplicative with the IVF pruning."""
     from ._planes import hyperplanes
-    from .similarity import _exact_dot, _ivf_best
+    from .similarity import _exact_dot, ivf_assign
 
     cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
 
@@ -369,9 +369,9 @@ def ivfpq_adc_topk(
     ).select("query_id", F.col("_p.c").alias("cell"))
     qside = q_probe.join(pq_lut(queries, id_col, emb_col), "query_id")
 
-    best = _ivf_best(emb_col, cents)
+    assigned = ivf_assign(corpus, cents, id_col, emb_col, keep_emb=True)
     codes = pq_encode(
-        corpus.withColumn("cell", (-best["negc"]).cast("int")),
+        assigned,
         id_col,
         emb_col,
         extra_cols=("cell",),

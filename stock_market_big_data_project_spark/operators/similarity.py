@@ -162,6 +162,108 @@ def with_norm(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    cents,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+    with_dot: bool = False,
+    keep_emb: bool = False,
+) -> DataFrame:
+    """Corpus-side IVF cell assignment as ONE Arrow-batched vectorized
+    stage with an exact-decimal fallback for guard-band rows — the same
+    fast-path architecture as the PQ encode and the LSH band keys.
+
+    The Column-expression form (`_ivf_best`) evaluates its n_cells×n_dims
+    HOF decimal folds interpreted, ~0.25 ms/vector — fine on a 10-row
+    query side, wrong on the corpus side, where assignment is the whole
+    write-path compute. Here a numpy matmul scores all cells per batch;
+    any row whose argmax margin (or, with `with_dot`, whose rounding
+    distance) is inside the guard band — float64 dot error vs the decimal
+    formula is ≤ ~1e-13, guards at 1e-9 — is recomputed with Python
+    Decimal replicating Spark's double→DECIMAL(18,15)/round semantics, so
+    the output is bit-identical to `_ivf_best` (differentially tested in
+    tests/test_pq.py::test_ivf_assign_fast_equals_exact and proven
+    end-to-end by the DuckDB parity of every IVF query).
+
+    Output: (id, *extra_cols, [emb], cell [, cell_dot])."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    C = np.array([list(c) for c in cents], dtype=np.float64)  # (k, d)
+    in_schema = df.schema
+    fields = [in_schema[id_col]] + [in_schema[c] for c in extra_cols]
+    if keep_emb:
+        fields.append(in_schema[emb_col])
+    fields.append(StructField("cell", IntegerType(), False))
+    if with_dot:
+        fields.append(StructField("cell_dot", DoubleType(), True))
+    out_schema = StructType(fields)
+
+    q15 = decimal.Decimal("1e-15")
+    q9 = decimal.Decimal("1e-9")
+
+    def exact_row(x):
+        best = None
+        for c in range(len(C)):
+            s = sum(
+                (
+                    decimal.Decimal(repr(float(x[d]) * C[c, d])).quantize(
+                        q15, rounding=decimal.ROUND_HALF_UP
+                    )
+                    for d in range(C.shape[1])
+                ),
+                decimal.Decimal(0),
+            )
+            if best is None or (s, -c) > best:
+                best = (s, -c)
+        s, negc = best
+        rounded = float(
+            decimal.Decimal(repr(float(s))).quantize(
+                q9, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        return -negc, rounded
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
+            )
+            dots = X @ C.T  # (n, k)
+            cell = dots.argmax(axis=1)  # first occurrence = lowest cell
+            best = dots[np.arange(n), cell]
+            part = np.partition(dots, len(C) - 2, axis=1)
+            margin = best - part[:, -2]
+            amb = margin < 1e-9
+            out_dot = np.round(best, 9)
+            if with_dot:
+                frac = np.abs(best * 1e9 - np.rint(best * 1e9))
+                amb = amb | (frac < 1e-5)
+            for i in np.nonzero(amb)[0]:
+                cell[i], out_dot[i] = exact_row(X[i])
+            out = {id_col: pdf[id_col].to_numpy()}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()
+            if keep_emb:
+                out[emb_col] = pdf[emb_col].to_numpy()
+            out["cell"] = cell.astype(np.int32)
+            if with_dot:
+                out["cell_dot"] = out_dot
+            yield pd.DataFrame(out)
+
+    cols = [id_col, *extra_cols, emb_col]
+    return df.select(*cols).mapInPandas(gen, schema=out_schema)
+
+
 def _collect_matrix(
     df: DataFrame, id_col: str, emb_col: str, max_rows: int | None = None
 ):
@@ -631,27 +733,33 @@ def ivf_cells(
     emb_col: str = "embedding",
     n_cells: int = 8,
     n_dims: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
     """IVF coarse-quantizer assignment: cell = argmax⟨emb, centroid_c⟩.
 
     The inverted-file ANN layout: vectors land in the cell of their best
     (max-inner-product — the cosine-IVF criterion for unit-normalized
     corpora) deterministic md5-derived centroid; a search then probes only
-    matching cells. Dot products use the exact decimal formula, so the
-    argmax (ties → lowest cell id) is engine- and partitioning-independent.
+    matching cells. Dot products keep the exact decimal formula's argmax
+    semantics (ties → lowest cell id) — engine- and partitioning-
+    independent — via the guarded Arrow fast path (`ivf_assign`).
     Narrow map, no shuffle — at 100 TB this is a pure scan + write,
     typically feeding `partitionBy(cell)` so probes become partition pruning.
-    """
+
+    `exact=True` keeps the pure Column-expression decimal path — the
+    differential twin the fast path is tested against."""
     from ._planes import hyperplanes
 
     cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
     df = _rebalance_for_compute(df)
-    best = _ivf_best(emb_col, cents)
-    return df.select(
-        id_col,
-        (-best["negc"]).cast("int").alias("cell"),
-        F.round(best["dot"], 9).alias("cell_dot"),
-    )
+    if exact:
+        best = _ivf_best(emb_col, cents)
+        return df.select(
+            id_col,
+            (-best["negc"]).cast("int").alias("cell"),
+            F.round(best["dot"], 9).alias("cell_dot"),
+        )
+    return ivf_assign(df, cents, id_col, emb_col, with_dot=True)
 
 
 def _ivf_best(emb_col: str, cents) -> "F.Column":
@@ -741,16 +849,25 @@ def ivf_probe_topk(
             F.col("_p.c").alias("cell"),
         )
     )
-    # cell assigned inline (same expression as ivf_cells) — a narrow map on
-    # the corpus scan, NOT a self-join back to ivf_cells' output: the 100 TB
-    # corpus must never shuffle for its own cell id. On a cell-partitioned
-    # layout this whole projection disappears into partition pruning.
-    best = _ivf_best(emb_col, cents)
-    c = with_norm(_rebalance_for_compute(corpus), emb_col, n_dims).select(
+    # cell assigned inline (same semantics as ivf_cells, via the guarded
+    # Arrow fast path) — a narrow map on the corpus scan, NOT a self-join
+    # back to ivf_cells' output: the 100 TB corpus must never shuffle for
+    # its own cell id. On a cell-partitioned layout this whole stage
+    # disappears into partition pruning. The decimal-exact _norm2 is
+    # computed JVM-side BEFORE the Arrow stage and passes through, so the
+    # exact rescore downstream keeps its bit-exact norms.
+    c = ivf_assign(
+        with_norm(_rebalance_for_compute(corpus), emb_col, n_dims),
+        cents,
+        id_col,
+        emb_col,
+        extra_cols=("_norm2",),
+        keep_emb=True,
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("_ce"),
         F.col("_norm2").alias("_cn"),
-        (-best["negc"]).cast("int").alias("cell"),
+        "cell",
     )
     pairs = c.join(F.broadcast(q_probe), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")

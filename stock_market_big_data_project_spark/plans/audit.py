@@ -57,7 +57,9 @@ PYTHON_STAGE_OK = {
     "embedding_pq_codes",            # vectorized PQ encode (decimal-exact
                                      # fallback for guard-band rows)
     "embedding_pq_adc_topk",         # same encode inside the ADC search
-    "embedding_ivfpq_topk",          # same encode inside IVF-PQ
+    "embedding_ivfpq_topk",          # same encode + Arrow IVF assignment
+    "embedding_ivf_cells",           # Arrow IVF assignment fast path
+    "embedding_ivf_topk",            # same assignment on the corpus side
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

@@ -111,6 +111,23 @@ def test_fast_path_equals_exact_path(spark):
     assert fast == exact
 
 
+def test_ivf_assign_fast_equals_exact(spark):
+    # The Arrow IVF assignment (float64 matmul + guard-band Decimal
+    # fallback) must match the Column-expression decimal path — cells AND
+    # rounded dots, every row.
+    from stock_market_big_data_project_spark.operators.similarity import (
+        ivf_cells,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fast = {r.vec_id: (r.cell, r.cell_dot) for r in ivf_cells(emb).collect()}
+    exact = {
+        r.vec_id: (r.cell, r.cell_dot)
+        for r in ivf_cells(emb, exact=True).collect()
+    }
+    assert fast == exact
+
+
 def test_pq_encode_plan_is_narrow(spark):
     # The scale contract in the docstring, enforced: quantization is a pure
     # scan-side map — no exchange, no join; the fast path's one Arrow
