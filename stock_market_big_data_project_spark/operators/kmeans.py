@@ -6,7 +6,10 @@ canonical "iterative algorithm on a data-parallel engine" example):
 
 - ASSIGN is a narrow map — current centroids ship as plan literals, each
   vector computes k L2 distances (HOF fold, like similarity.py::_ivf_best)
-  and takes the argmin (ties → lowest cell). No join, no shuffle.
+  and takes the argmin (ties → lowest cell). No join, no shuffle. (The
+  HOF evaluates interpreted — fine at fixture scale and for a trainer
+  whose cost is iterations × scans; a corpus-scale deployment would swap
+  in the guarded-Arrow assignment pattern of similarity.py::ivf_assign.)
 - UPDATE is one map-side-combined aggregate — explode (cell, dim, value)
   and sum/count per (cell, dim): k×d tiny rows to the driver, new means,
   next round. Empty cells keep their previous centroid.
