@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 STREAMING_HARNESS = {
     "streaming_batch_parity",
     "streaming_stateful_ffill_parity",
+    "streaming_clean_corpus_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

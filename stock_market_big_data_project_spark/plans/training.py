@@ -30,7 +30,8 @@ from ..operators.text import (
 )
 from ..sources.tables import load_table
 from .audit import EAGER_ITERATIVE
-from .llm import _STOP_SQL, _TOKS
+from ..operators.text import LANG_MARKERS
+from .llm import _STOP_SQL, _TOKS, _lang_score_sql
 from .registry import register, register_local
 
 
@@ -431,6 +432,70 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "shard", F.row_number().over(w).alias("pos")
         )
     )
+
+
+# --- streaming corpus ingestion (continuous crawl) ---------------------------------
+@register_local(
+    "streaming_clean_corpus_parity",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             {_lang_score_sql(LANG_MARKERS["en"])} AS s_en,
+             {_lang_score_sql(LANG_MARKERS["es"])} AS s_es,
+             {_lang_score_sql(LANG_MARKERS["zh"])} AS s_zh,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT md5(text) AS text_md5,
+             CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                  WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS predicted_lang,
+             n_tokens,
+             round(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                   + (1.0 - n_stop / n_tokens) * 0.5, 6) AS quality_score
+      FROM s
+    )
+    SELECT DISTINCT text_md5, predicted_lang, n_tokens, quality_score
+    FROM scored
+    WHERE predicted_lang = 'en' AND quality_score >= 0.55
+    """,
+)
+def streaming_clean_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM surface under Structured Streaming: the documents fixture
+    split into 3 doc_id-range files and replayed one micro-batch per file
+    through the REAL incremental path — language-ID → quality filter
+    (stateless narrow maps) → exact dedup on md5(text) whose state spans
+    micro-batches, so a duplicate arriving batches later is still
+    suppressed (streaming/ingest.py::clean_corpus_stream). Output carries
+    only text-derived fields (identical across copies), so the emitted
+    set is deterministic and the batch DISTINCT oracle hash-matches —
+    proving the continuous-crawl ingestion path computes exactly what the
+    batch recompute does."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.ingest import (
+        clean_corpus_stream,
+        read_documents_stream,
+        run_to_memory,
+    )
+
+    name = f"stream_corpus_{uuid.uuid4().hex[:8]}"
+    td = tempfile.mkdtemp(prefix="stream_corpus_")
+    try:
+        # 3 contiguous doc_id ranges, written Spark-side (no driver
+        # materialization) — harness scaffolding, like the other
+        # streaming-parity queries' file copies.
+        _docs(spark, sf_dir).repartitionByRange(3, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(td)
+        run_to_memory(
+            clean_corpus_stream(read_documents_stream(spark, td)), name
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.table(name)
 
 
 # --- incremental near-dup dedup (the append path) ----------------------------------

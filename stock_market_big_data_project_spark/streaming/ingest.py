@@ -113,6 +113,56 @@ def dedup_within_watermark(stream: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source replay of a continuously-crawled document corpus (the
+    LLM-pipeline twin of `read_events_stream`): new files = new
+    micro-batch; `max_files_per_trigger=1` forces one batch per file so
+    replay tests exercise cross-batch state."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format("parquet")
+        .load(dir_path)
+    )
+
+
+def clean_corpus_stream(stream: DataFrame) -> DataFrame:
+    """The C4-style cleaning chain on a LIVE stream: language-ID → quality
+    score → threshold filter (identical expressions to the batch
+    `clean_corpus_pipeline`) → exact streaming dedup on md5(text) with
+    dropDuplicates state, so a duplicate arriving in ANY later micro-batch
+    is suppressed. Output rows carry only text-derived fields — identical
+    across copies of a duplicate — so the emitted set is deterministic
+    (which physical copy survives is arrival-order-dependent; its
+    VALUES are not)."""
+    from ..operators.text import STOPWORDS, predict_lang, quality_score, tokens
+
+    toks = tokens(F.col("text"))
+    scored = stream.select(
+        F.md5("text").alias("text_md5"),
+        predict_lang(F.col("text")).alias("predicted_lang"),
+        F.size(toks).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality_score"),
+    )
+    f = scored.filter(
+        (F.col("predicted_lang") == "en") & (F.col("quality_score") >= 0.55)
+    )
+    return f.dropDuplicates(["text_md5"])
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming DataFrame to completion against an in-memory sink
     (the harness for batch≡streaming assertions)."""

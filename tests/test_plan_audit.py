@@ -54,11 +54,15 @@ def test_streaming_harness_list_is_current(spark):
     """Every registered query skipped by the audit must actually be a
     streaming-harness query (guards against the skip list rotting into a
     blanket exemption)."""
-    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        QUERIES,
+        load_all_plans,
+    )
     from stock_market_big_data_project_spark.plans.audit import STREAMING_HARNESS
 
     load_all_plans()
-    assert STREAMING_HARNESS <= set(QUERIES)
+    assert STREAMING_HARNESS <= set(QUERIES) | set(LOCAL_QUERIES)
     for name in STREAMING_HARNESS:
         assert "streaming" in name
 
