@@ -107,6 +107,7 @@ EXTRA = [
     "embedding_ivfpq_topk",
     "embedding_kmeans_train",
     "dedup_incremental_minhash",
+    "doc_feature_hashing",
 ]
 
 

@@ -434,6 +434,65 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- signed feature hashing (the hashing-trick featurizer) -------------------------
+@register_local(
+    "doc_feature_hashing",
+    oracle=f"""
+    WITH tt AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST({oracle_md5_hash64("'fh:' || tok")} % 64 AS INT) AS dim,
+             CASE WHEN ({oracle_md5_hash64("'fhs:' || tok")} % 2) = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tt
+    ), agg AS (
+      SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS s
+      FROM h GROUP BY 1, 2
+    )
+    SELECT a.doc_id, a.dim, round(a.s / dl.n_tokens, 6) AS weight
+    FROM agg a JOIN dl ON dl.doc_id = a.doc_id
+    WHERE a.s != 0
+    """,
+)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. 2009, the 'hashing
+    trick'): every token maps to one of 64 dimensions by hash, with a
+    second hash choosing ±1 so collisions cancel in expectation — the
+    zero-vocabulary featurizer that turns the document surface into
+    fixed-width vectors the embedding machinery (IVF/PQ/LSH) can index.
+    One explode + one map-side-combined (doc, dim) aggregate + a narrow
+    length join; no vocabulary table, no shuffle of anything wider than
+    16-byte rows — the property that makes it THE featurizer at 100 TB.
+    Sparse long-form output (zero-sum dims dropped), L1-normalized by
+    token count, bit-exact vs the oracle (integer sums, one rounded
+    division)."""
+    d = _docs(spark, sf_dir)
+    tt = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dim = (
+        md5_hash64(F.concat(F.lit("fh:"), F.col("tok"))) % 64
+    ).cast("int")
+    sgn = F.when(
+        md5_hash64(F.concat(F.lit("fhs:"), F.col("tok"))) % 2 == 0, 1
+    ).otherwise(-1)
+    agg = (
+        tt.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return agg.join(dl, "doc_id").select(
+        "doc_id",
+        "dim",
+        F.round(F.col("s") / F.col("n_tokens"), 6).alias("weight"),
+    )
+
+
 # --- streaming corpus ingestion (continuous crawl) ---------------------------------
 @register_local(
     "streaming_clean_corpus_parity",
