@@ -463,13 +463,15 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     second hash choosing ±1 so collisions cancel in expectation — the
     zero-vocabulary featurizer that turns the document surface into
     fixed-width vectors the embedding machinery (IVF/PQ/LSH) can index.
-    One explode + one map-side-combined (doc, dim) aggregate + a narrow
-    length join; no vocabulary table, no shuffle of anything wider than
-    16-byte rows — the property that makes it THE featurizer at 100 TB.
-    Sparse long-form output (zero-sum dims dropped), L1-normalized by
-    token count, bit-exact vs the oracle (integer sums, one rounded
-    division)."""
-    d = _docs(spark, sf_dir)
+    ONE exchange total: the doc-keyed repartition (the compute-bound-
+    explode idiom of word_shingles) satisfies the (doc, dim) aggregate
+    AND the per-doc window that recovers the token count as the sum of
+    per-dim counts — no second tokenization, no length join, no
+    vocabulary table. Sparse long-form output (zero-sum dims dropped),
+    L1-normalized by token count, bit-exact vs the oracle (integer sums,
+    one rounded division)."""
+    sc = spark.sparkContext
+    d = _docs(spark, sf_dir).repartition(sc.defaultParallelism, "doc_id")
     tt = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -482,14 +484,17 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         tt.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
         .groupBy("doc_id", "dim")
-        .agg(F.sum("sgn").alias("s"))
-        .filter(F.col("s") != 0)
+        .agg(F.sum("sgn").alias("s"), F.count(F.lit(1)).alias("cnt"))
     )
-    dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
-    return agg.join(dl, "doc_id").select(
-        "doc_id",
-        "dim",
-        F.round(F.col("s") / F.col("n_tokens"), 6).alias("weight"),
+    n_tokens = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return (
+        agg.withColumn("n_tokens", n_tokens)
+        .filter(F.col("s") != 0)
+        .select(
+            "doc_id",
+            "dim",
+            F.round(F.col("s") / F.col("n_tokens"), 6).alias("weight"),
+        )
     )
 
 
