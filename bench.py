@@ -161,6 +161,12 @@ def main() -> None:
     # codecache not full — pure deopt/reprofile noise), consecutive repeats
     # 7.3/2.0/1.6 s. The steady-state min is the honest plan cost: at real
     # scale a query runs minutes-to-hours and JIT warmup amortizes to zero.
+    # Per-query best (min = steady-state plan cost) AND worst (max — the
+    # cold-path number a first-run user feels; VERDICT r4 #8) are both
+    # recorded; the driver-facing line carries the min, bench_detail.json
+    # carries both.
+    maxes: dict[str, float] = {}
+
     def run_set(names: list[str], n_runs: int = N_RUNS) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -172,6 +178,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 t = round(time.perf_counter() - t0, 3)
                 out[name] = min(out.get(name, t), t)
+                maxes[name] = max(maxes.get(name, t), t)
                 print(f"  [{r}] {name}: {t}s", file=sys.stderr, flush=True)
                 # GC between queries: Spark's ContextCleaner is GC-triggered —
                 # without this, orphaned shuffle/broadcast state from prior
@@ -218,10 +225,36 @@ def main() -> None:
             timings["streaming_replay_hourly"] = min(
                 timings.get("streaming_replay_hourly", t), t
             )
+            maxes["streaming_replay_hourly"] = max(
+                maxes.get("streaming_replay_hourly", t), t
+            )
             print(f"  [{r}] streaming_replay_hourly: {t}s", file=sys.stderr, flush=True)
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     total = round(sum(timings.values()), 3)
+    # The driver records only the LAST ~2000 chars of stdout; the r04 line
+    # (headline + extra maps in one line) overflowed that window and was
+    # captured headless → "parsed": null. The driver-facing line now
+    # carries ONLY the headline map (≈1.3 KB); the full detail — the extra
+    # (round-2+) per-query timings and the per-query max (cold-path)
+    # numbers — goes to bench_detail.json next to this script.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "n_runs": N_RUNS,
+        "queries": timings,
+        # round-2+ scale-path queries, timed outside the headline
+        # total so `value` stays comparable to the r01 reference line
+        "extra": extra,
+        "max": maxes,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"detail -> {detail_path}", file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
@@ -230,9 +263,6 @@ def main() -> None:
                 "unit": "sec",
                 "n_runs": N_RUNS,
                 "queries": timings,
-                # round-2+ scale-path queries, timed outside the headline
-                # total so `value` stays comparable to the r01 reference line
-                "extra": extra,
                 "sf": sf,
             }
         )

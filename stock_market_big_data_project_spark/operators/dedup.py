@@ -289,7 +289,10 @@ def lsh_candidate_pairs(
 
 
 def incremental_lsh_candidates(
-    banded_full: DataFrame, banded_delta: DataFrame, id_col: str
+    banded_full: DataFrame,
+    banded_delta: DataFrame,
+    id_col: str,
+    delta_in_full: bool = True,
 ) -> DataFrame:
     """Candidate pairs TOUCHING a corpus delta: the incremental form of
     `lsh_candidate_pairs` for an append-mostly 100 TB corpus. The at-rest
@@ -299,18 +302,47 @@ def incremental_lsh_candidates(
     equi-join probe (on a (band, band_hash)-bucketed layout: no shuffle of
     the existing table at all).
 
+    ``delta_in_full`` states WHERE the delta rows live and picks the
+    plan accordingly (ADVICE r4: with the default probe alone, two new
+    documents duplicating *each other* are silently missed when the
+    delta has not been merged yet):
+
+    - ``True`` (default — PRECONDITION: delta ⊆ banded_full, i.e. the
+      delta has already been appended/merged into the at-rest table):
+      the single probe join finds every delta-touching pair, including
+      delta-delta pairs (the partner row is in the full table).
+    - ``False`` (the live append path: delta is freshly ingested, NOT
+      yet in the at-rest table): a delta×delta self-join term is
+      unioned in so new-vs-new duplicates are still found. The extra
+      term is Θ(|delta| × bucket) — delta-sized, never corpus-sized.
+
     Pairs are normalized (id_a < id_b); a delta-delta pair matches from
     both sides, so shared bands are counted DISTINCT (in the full
     pipeline each shared band contributes exactly one join row, so the
-    count is identical)."""
+    count is identical — and the union of probe + self-join terms can
+    never double-count a band)."""
     a, b = banded_full.alias("a"), banded_delta.alias("d")
     lo = F.least(F.col(f"a.{id_col}"), F.col(f"d.{id_col}"))
     hi = F.greatest(F.col(f"a.{id_col}"), F.col(f"d.{id_col}"))
-    return (
+    pairs = (
         b.join(a, ["band", "band_hash"])
         .filter(F.col(f"a.{id_col}") != F.col(f"d.{id_col}"))
         .select(lo.alias("id_a"), hi.alias("id_b"), "band")
-        .groupBy("id_a", "id_b")
+    )
+    if not delta_in_full:
+        d1, d2 = banded_delta.alias("a"), banded_delta.alias("d")
+        self_pairs = (
+            d1.join(d2, ["band", "band_hash"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"d.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"d.{id_col}").alias("id_b"),
+                "band",
+            )
+        )
+        pairs = pairs.unionByName(self_pairs)
+    return (
+        pairs.groupBy("id_a", "id_b")
         .agg(F.countDistinct("band").alias("shared_bands"))
     )
 

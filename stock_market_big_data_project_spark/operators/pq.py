@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._planes import hyperplanes
+from .rounding import ambiguous_round9
 
 DIST_DECIMAL = "decimal(18,15)"
 
@@ -187,8 +188,7 @@ def _pq_encode_arrow(
                 best = d2[np.arange(n), code]
                 part = np.partition(d2, 1, axis=1)
                 margin = part[:, 1] - part[:, 0]
-                frac = np.abs(best * 1e9 - np.rint(best * 1e9))
-                amb = (margin < 1e-9) | (frac < 1e-5)
+                amb = (margin < 1e-9) | ambiguous_round9(best)
                 out_d = np.round(best, 9)
                 for i in np.nonzero(amb)[0]:
                     code[i], out_d[i] = _exact_sub(sq[i])

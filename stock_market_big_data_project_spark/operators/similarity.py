@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .rounding import ambiguous_round9
+
 DOT_DECIMAL = "decimal(18,15)"
 
 
@@ -246,8 +248,7 @@ def ivf_assign(
             amb = margin < 1e-9
             out_dot = np.round(best, 9)
             if with_dot:
-                frac = np.abs(best * 1e9 - np.rint(best * 1e9))
-                amb = amb | (frac < 1e-5)
+                amb = amb | ambiguous_round9(best)
             for i in np.nonzero(amb)[0]:
                 cell[i], out_dot[i] = exact_row(X[i])
             out = {id_col: pdf[id_col].to_numpy()}

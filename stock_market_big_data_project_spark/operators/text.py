@@ -207,9 +207,16 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             id_col,
             "n_tokens",
             F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("ttr"),
-            F.round(F.col("top_bi") * 2 / F.col("n_tokens"), 6).alias(
-                "top_bigram_frac"
-            ),
+            # 2·top_bi can exceed n_tokens on overlapping repeated runs
+            # ('a a a': top bigram count 2 → 4/3), so the coverage is
+            # capped at 1.0 to honor the fraction contract downstream
+            # thresholds assume (ADVICE r4).
+            F.round(
+                F.least(
+                    F.col("top_bi") * 2 / F.col("n_tokens"), F.lit(1.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
             F.round(F.col("dup_tri") / F.col("n_tri"), 6).alias(
                 "dup_trigram_frac"
             ),

@@ -1362,7 +1362,7 @@ def streaming_stateful_ffill_parity(spark: SparkSession, sf_dir: str) -> DataFra
 # high/low plain extrema. All four are *selected* values (no arithmetic),
 # so the bars are bit-exact on any engine or partitioning.
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "hourly_ohlc_bars",
     oracle="""
     SELECT user_id AS symbol,

@@ -327,7 +327,7 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- semi/anti joins (declared surface beyond reference parity, SURVEY §2.3) --
 # One bundle drives both join types through the driver gate; the
 # single-operator forms live in the local tier.
-@register(
+@register_local(
     "semi_anti_customers",
     oracle="""
     SELECT c_mktsegment, 'active' AS activity, count(*) AS n_customers
@@ -412,7 +412,7 @@ def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- rollup (free Catalyst surface, SURVEY §2.4 note) -------------------------
-@register(
+@register_local(
     "rollup_customers_by_geo",
     oracle="""
     SELECT r.r_name, n.n_name, count(*) AS n_customers
@@ -491,7 +491,7 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (SURVEY.md §2.4 "come free in Spark if we declare them"); partial
 # aggregation is map-side combinable per grouping set.
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "cube_pricing_totals",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
@@ -529,7 +529,7 @@ def cube_pricing_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Set operations: INTERSECT (distinct) and EXCEPT ALL (multiset) — the set
 # ops SURVEY §2.7 notes the engine exposes beyond the reference's unions.
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "customer_set_ops",
     oracle="""
     SELECT custkey, 'both_years' AS segment_tag FROM (
@@ -579,7 +579,7 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fact-fact join, then deterministic top-10 (reference join shape of
 # integrate/main.py:105-107 at its most selective; OP-22/24/45/46).
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "q3_shipping_priority",
     oracle=f"""
     SELECT l.l_orderkey,

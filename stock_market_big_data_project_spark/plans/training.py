@@ -88,7 +88,7 @@ _ORACLE_TOKS = f"""
     )
     SELECT ts.doc_id, ts.n_tokens,
            round(n_distinct / n_tokens, 6) AS ttr,
-           round(top_bi * 2 / n_tokens, 6) AS top_bigram_frac,
+           round(least(top_bi * 2 / n_tokens, 1.0), 6) AS top_bigram_frac,
            round(dup_tri / n_tri, 6) AS dup_trigram_frac
     FROM ts
     LEFT JOIN bi ON bi.doc_id = ts.doc_id
@@ -107,7 +107,7 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- C4-style sub-document chunk dedup --------------------------------------------
-@register_local(
+@register(
     "chunk_dedup_c4",
     oracle=f"""
     WITH {_ORACLE_TOKS},
@@ -435,7 +435,7 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- signed feature hashing (the hashing-trick featurizer) -------------------------
-@register_local(
+@register(
     "doc_feature_hashing",
     oracle=f"""
     WITH tt AS (
@@ -499,7 +499,7 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming corpus ingestion (continuous crawl) ---------------------------------
-@register_local(
+@register(
     "streaming_clean_corpus_parity",
     oracle=f"""
     WITH s AS (
@@ -563,7 +563,7 @@ def streaming_clean_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --- incremental near-dup dedup (the append path) ----------------------------------
-@register_local(
+@register(
     "dedup_incremental_minhash",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(n=3)}),
@@ -683,7 +683,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(_emb(spark, sf_dir))
 
 
-@register_local(
+@register(
     "embedding_pq_adc_topk",
     oracle=f"""
     WITH {_PQ_DISTS},
@@ -726,7 +726,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-@register_local(
+@register(
     "embedding_ivfpq_topk",
     oracle=f"""
     WITH {_PQ_DISTS},

@@ -147,7 +147,19 @@ def clean_corpus_stream(stream: DataFrame) -> DataFrame:
     is suppressed. Output rows carry only text-derived fields — identical
     across copies of a duplicate — so the emitted set is deterministic
     (which physical copy survives is arrival-order-dependent; its
-    VALUES are not)."""
+    VALUES are not).
+
+    STATE GROWTH (ADVICE r4): `dropDuplicates` with no watermark keeps
+    one state row per distinct text_md5 FOREVER — exact global dedup, at
+    the price of state that grows with the corpus. That is the right
+    contract for the bounded replay harness and for exactness-critical
+    runs (state is ~48 B/doc: 1 B docs ≈ 48 GB across executors, heavy
+    but feasible); for an indefinitely-running crawl where duplicates
+    arrive close together in event time, bound the state with the
+    sibling `dedup_within_watermark` (dropDuplicatesWithinWatermark),
+    which trades duplicates farther apart than the watermark for O(window)
+    state — the batch `merge_upsert`/incremental-LSH path then catches
+    the long-range stragglers at rest."""
     from ..operators.text import STOPWORDS, predict_lang, quality_score, tokens
 
     toks = tokens(F.col("text"))

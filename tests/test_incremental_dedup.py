@@ -70,3 +70,52 @@ def test_incremental_equals_filtered_full_join(spark):
     }
     assert inc == full
     assert len(inc) > 0  # the fixture must actually exercise the join
+
+
+def test_unmerged_delta_finds_new_vs_new_pairs(spark):
+    # The true append path (ADVICE r4): the delta is freshly ingested and
+    # NOT yet merged into the at-rest table. Two new documents that
+    # duplicate each other must still surface — delta_in_full=False adds
+    # the delta self-join term that finds them.
+    rows_at_rest = [(1, "one two three four five six seven")]
+    rows_delta = [
+        (14, "alpha beta gamma delta epsilon zeta"),
+        (19, "alpha beta gamma delta epsilon zeta"),
+    ]
+    at_rest = _banded(spark, rows_at_rest)
+    delta = _banded(spark, rows_delta)
+
+    # probe-only (precondition violated): the new-vs-new pair is missed
+    probe_only = incremental_lsh_candidates(
+        at_rest, delta, "doc_id"
+    ).collect()
+    assert probe_only == []
+
+    got = {
+        (r.id_a, r.id_b): r.shared_bands
+        for r in incremental_lsh_candidates(
+            at_rest, delta, "doc_id", delta_in_full=False
+        ).collect()
+    }
+    assert got == {(14, 19): 4}
+
+
+def test_unmerged_delta_never_double_counts_merged_rows(spark):
+    # delta_in_full=False must stay correct even if a caller passes a
+    # full table that DOES already contain the delta: the probe and the
+    # self-join emit the same (pair, band) rows, and countDistinct(band)
+    # collapses them — shared_bands identical to the default path.
+    rows = [
+        (4, "alpha beta gamma delta epsilon zeta"),
+        (9, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six seven"),
+    ]
+    banded = _banded(spark, rows)
+    delta = banded.filter(F.col("doc_id") % 5 == 4)
+    got = {
+        (r.id_a, r.id_b): r.shared_bands
+        for r in incremental_lsh_candidates(
+            banded, delta, "doc_id", delta_in_full=False
+        ).collect()
+    }
+    assert got == {(4, 9): 4}

@@ -164,3 +164,28 @@ def test_topk_beats_corpus_average(spark, vectors):
         assert d_top < d_all, (q, d_top, d_all)
         ratios.append(d_top / d_all)
     assert np.mean(ratios) < 0.95, ratios
+
+
+def test_rounding_guard_half_boundary():
+    # ADVICE r4 counterexample class: a value whose exact decimal form
+    # ends in …5 at the 10th digit. np.round (half-to-even) gives
+    # 2.385722104, Spark round(·,9) (HALF_UP) gives 2.385722105 — the
+    # guard MUST route such rows to the exact-decimal fallback. Round 4's
+    # guard (distance to integer multiples of 1e-9 only) missed them.
+    from stock_market_big_data_project_spark.operators.rounding import (
+        ambiguous_round9,
+    )
+
+    vals = np.array(
+        [
+            2.3857221045,  # the advisor's counterexample (half hazard)
+            1.000000001,  # exactly on the 1e-9 grid (grid hazard)
+            0.999999999500001,  # half hazard just under a grid point
+            0.1234567891,  # frac 0.1 — safe, must NOT be flagged
+            0.1234567894,  # frac 0.4 — safe
+        ]
+    )
+    mask = ambiguous_round9(vals)
+    assert mask.tolist() == [True, True, True, False, False], mask
+    # and the divergence is real: numpy would have emitted the wrong digit
+    assert f"{np.round(vals[0], 9):.9f}" == "2.385722104"
