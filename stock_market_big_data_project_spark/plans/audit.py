@@ -22,6 +22,7 @@ STREAMING_HARNESS = {
     "streaming_batch_parity",
     "streaming_stateful_ffill_parity",
     "streaming_clean_corpus_parity",
+    "streaming_near_dup_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

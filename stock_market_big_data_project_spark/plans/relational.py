@@ -748,3 +748,143 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same logical plan language)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_BOTH_ENGINES)
+
+
+# --------------------------------------------------------------------------
+# Skew-mitigation surface (VERDICT r4 #5): the salted-join + two-stage-agg
+# plan rewrites from operators/skew.py, driven by a registered query so the
+# salted shape appears in PLANS.md and gets an oracle-parity row. events'
+# event_type has 5 distinct values — every key is "hot" relative to a
+# 32-task shuffle (an unsalted join/agg puts ALL rows on 5 tasks; salting
+# spreads each key across n_salts tasks). Results are row-identical to the
+# unsalted form by construction, which is exactly what the plain-SQL
+# oracle checks.
+# --------------------------------------------------------------------------
+@register_local(
+    "salted_join_hot_events",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CAST(length(event_type) AS INT) AS type_len
+      FROM events
+    )
+    SELECT e.event_type, d.type_len,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           count(*) AS n_rows
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type, d.type_len
+    """,
+)
+def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact⋈dim through the EXPLICIT skew path: the dim side is
+    merge-hinted (broadcast would hide the skewed shuffle this query
+    exists to exercise), `salted_join` keys the shuffle on
+    (event_type, salt) — the plan's Exchanges hashpartition on both
+    columns, splitting each hot key 8 ways — and `two_stage_agg`
+    finishes with the partial-on-(key, salt) / final-on-key combiner
+    split. Decimal-exact sums make the rewrite bit-identical to the
+    unsalted oracle join."""
+    from ..operators.skew import salted_join, two_stage_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select(
+            "event_type", F.length("event_type").cast("int").alias("type_len")
+        )
+        .distinct()
+        .hint("merge")
+    )
+    joined = salted_join(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        on="event_type",
+        n_salts=8,
+        salt_source="event_id",
+    )
+    agg = two_stage_agg(
+        joined,
+        keys=["event_type", "type_len"],
+        sum_cols=["value"],
+        n_salts=8,
+        salt_source="event_id",
+    )
+    return agg.select(
+        "event_type",
+        "type_len",
+        F.col("sum_value"),
+        F.col("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed-storage surface (VERDICT r4 #7): `write_bucketed`'s
+# pay-the-shuffle-once layout, driven end-to-end by a registered query so
+# the Exchange-free fact⋈fact join is visible in PLANS.md and carries an
+# oracle-parity row. The layout cost (one bucketBy write per side) is paid
+# at call time, untimed; the RETURNED plan — SMJ + aggregate with ZERO
+# Exchange — is what a repeated fact⋈fact workload pays per query at
+# 100 TB, and the query self-checks that property at build time.
+# --------------------------------------------------------------------------
+@register_local(
+    "bucketed_join_orders_lineitem",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           max(o.o_totalprice) AS o_totalprice,
+           count(*) AS n_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders with BOTH sides read from bucketed tables on the
+    join key (8 buckets, bucket-sorted): the SMJ consumes the bucketed
+    layout directly and the per-orderkey aggregate reuses the same
+    clustering, so the whole returned plan contains zero shuffle
+    Exchanges — verified here at plan-build time, not just in
+    tests/test_bucketing.py. The oracle runs the plain unbucketed join:
+    layout must never change results."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..sources.tables import write_bucketed
+
+    # A managed table whose LOCATION survived a previous session (the
+    # catalog forgot it, the directory didn't) makes saveAsTable throw
+    # LOCATION_ALREADY_EXISTS — drop both namespaces before writing.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("li_bkt_q", "o_bkt_q"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_bkt_q", ("l_orderkey",), 8, ("l_orderkey",))
+    write_bucketed(o, "o_bkt_q", ("o_orderkey",), 8, ("o_orderkey",))
+    lib, ob = spark.table("li_bkt_q"), spark.table("o_bkt_q")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        lib.join(ob.hint("merge"), lib.l_orderkey == ob.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            exact_sum("l_quantity", "sum_qty"),
+            exact_sum(rev, "revenue"),
+            F.max("o_totalprice").alias("o_totalprice"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed fact⋈fact join must plan Exchange-free, got:\n" + plan
+        )
+    return out

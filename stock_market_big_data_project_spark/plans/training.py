@@ -562,6 +562,117 @@ def streaming_clean_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+# --- streaming near-dup dedup (the LIVE append path) -------------------------------
+@register_local(
+    "streaming_near_dup_parity",
+    oracle=f"""
+    WITH sh AS ({oracle_word_shingles(n=3)}),
+    idx AS (SELECT unnest(range(0, 16)) AS i),
+    sig AS (
+      SELECT doc_id, i,
+             min(((2*i + 1) * (shingle_hash % {MOD}) + 7919*i) % {MOD}) AS mh
+      FROM sh CROSS JOIN idx GROUP BY doc_id, i
+    ), banded AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             sum(mh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                 WHEN 2 THEN 961 ELSE 29791 END) AS band_hash
+      FROM sig GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, count(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    """,
+)
+def streaming_near_dup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup (not just exact) dedup on the live append path (VERDICT r4
+    #4): the documents fixture replays as 3 doc_id-range micro-batches;
+    each batch appends its banded MinHash signature + shingle index to the
+    at-rest state dirs, probes the updated at-rest table with ONLY its own
+    band keys (operators/dedup.py::incremental_lsh_candidates — work ∝
+    delta × bucket), exact-Jaccard-verifies the delta-touching candidates,
+    and emits the surviving pairs. A pair is emitted exactly once — in the
+    micro-batch where its LATER member arrives (the earlier member is at
+    rest by then; same-batch pairs meet because the delta is appended
+    before the probe) — so the union of emissions must equal the
+    from-scratch batch pipeline, which is precisely what the full-corpus
+    oracle hash-checks. This is the reference's scheduler-driven ingest
+    (README.md:23) shape: dedup work per tick is delta-sized, never
+    corpus-sized. At rest the banded/shingle state lives (band,
+    band_hash)- and doc_id-bucketed so the probe and verify joins are
+    bucket-pruned (tests/test_incremental_bucketed.py proves the probe
+    plans Exchange-free on that layout); the parquet-append dirs here are
+    the harness stand-in for that layout."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        incremental_lsh_candidates,
+        jaccard_on_candidates,
+        minhash_banded,
+        minhash_signatures,
+    )
+    from ..operators.text import word_shingles
+    from ..streaming.ingest import read_documents_stream
+
+    td = tempfile.mkdtemp(prefix="stream_neardup_")
+    src = f"{td}/src"
+    banded_dir = f"{td}/state_banded"
+    shingle_dir = f"{td}/state_shingles"
+    out_dir = f"{td}/pairs_out"
+    try:
+        _docs(spark, sf_dir).repartitionByRange(3, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        # seed the emission dir so a pair-free corpus still reads back
+        spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        ).write.mode("overwrite").parquet(out_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            delta = batch_df.select("doc_id", "text")
+            sig = minhash_signatures(delta, "doc_id", "text", n=3, k=16)
+            banded = minhash_banded(sig, "doc_id", bands=4, rows=4)
+            sh = word_shingles(delta, "doc_id", "text", n=3)
+            # append-then-probe: delta ⊆ at-rest holds, so the single
+            # probe join finds old-vs-new AND new-vs-new pairs
+            banded.write.mode("append").parquet(banded_dir)
+            sh.write.mode("append").parquet(shingle_dir)
+            at_rest = spark.read.parquet(banded_dir)
+            cand = incremental_lsh_candidates(at_rest, banded, "doc_id")
+            pairs = jaccard_on_candidates(
+                spark.read.parquet(shingle_dir), cand, "doc_id", threshold=0.3
+            )
+            pairs.write.mode("append").parquet(out_dir)
+
+        q = (
+            read_documents_stream(spark, src)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        # localCheckpoint: the result must outlive the temp dirs
+        return spark.read.parquet(out_dir).localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 # --- incremental near-dup dedup (the append path) ----------------------------------
 @register(
     "dedup_incremental_minhash",
