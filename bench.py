@@ -117,6 +117,11 @@ EXTRA = [
     # cost a repeated fact⋈fact workload actually pays.
     "salted_join_hot_events",
     "bucketed_join_orders_lineitem",
+    "embedding_semantic_dedup",
+    "dsir_importance_weights",
+    "unicode_cleanup_bundle",
+    "sequence_packing_ffd",
+    "sketch_merge_rollup",
 ]
 
 

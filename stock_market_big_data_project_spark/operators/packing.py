@@ -134,3 +134,109 @@ def pack_token_shards(
             "int"
         ),
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    capacity: int = 512,
+    n_shards: int = 64,
+    salt: str = "seqpack:",
+) -> DataFrame:
+    """Pack variable-length documents into fixed-`capacity` training
+    sequences with first-fit-decreasing bin packing — the padding-
+    minimization step between "tokenize" and "write shards" in an LLM
+    data pipeline (short documents share a sequence instead of each
+    wasting a capacity-sized row).
+
+    Distributed shape: documents hash deterministically into `n_shards`
+    groups (md5 of the id, layout/rerun-invariant — the stratified-
+    sampler idiom), and FFD runs INDEPENDENTLY per shard in one Arrow
+    `applyInPandas` pass — bin packing is inherently sequential, so the
+    sequential unit is kept shard-sized, never corpus-sized; shards scale
+    with the corpus while per-shard work stays bounded. The global
+    answer is deterministic because shard assignment and the in-shard
+    FFD order (length desc, id asc) are both data-derived — no
+    partitioning or run-order dependence (asserted in tests).
+
+    FFD itself is the classic 11/9·OPT+6/9 guarantee; anything smarter
+    (e.g. global best-fit) would serialize the corpus. Documents longer
+    than `capacity` occupy a sequence alone, truncated to `capacity`
+    (flagged): splitting belongs to the chunking operator upstream
+    (`text.token_chunks`).
+
+    Output: (id, len, shard, seq, offset, truncated) — `seq` is unique
+    per (shard, local bin), `offset` the token position inside the
+    sequence; per-sequence fill = Σ len ≤ capacity by construction."""
+    import pandas as pd
+
+    from ..operators.text import md5_hash64
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    in_schema = df.schema
+    out_schema = StructType(
+        [
+            in_schema[id_col],
+            StructField("len", LongType(), False),
+            StructField("shard", IntegerType(), False),
+            StructField("seq", LongType(), False),
+            StructField("offset", LongType(), False),
+            StructField("truncated", BooleanType(), False),
+        ]
+    )
+
+    sharded = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("_len"),
+        F.pmod(
+            md5_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        rows = sorted(
+            zip(pdf[id_col].tolist(), pdf["_len"].tolist()),
+            key=lambda r: (-min(r[1], capacity), r[0]),
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        out = []
+        for rid, rlen in rows:
+            use = min(rlen, capacity)
+            placed = None
+            for b, rem in enumerate(bins):
+                if rem >= use:
+                    placed = b
+                    break
+            if placed is None:
+                placed = len(bins)
+                bins.append(capacity)
+            out.append(
+                (
+                    rid,
+                    rlen,
+                    shard,
+                    shard * 10_000_000 + placed,
+                    capacity - bins[placed],
+                    rlen > capacity,
+                )
+            )
+            bins[placed] -= use
+        return pd.DataFrame(
+            out,
+            columns=[id_col, "len", "shard", "seq", "offset", "truncated"],
+        )
+
+    return sharded.groupBy("shard").applyInPandas(pack, schema=out_schema)

@@ -701,6 +701,28 @@ def lsh_near_dup_pairs(
         F.col("_norm2").alias("_nb"),
     )
     pairs = cand.join(a, "id_a").join(b, "id_b")
+    return _prescreened_exact_cosine(pairs, threshold, n_dims)
+
+
+def _prescreened_exact_cosine(
+    pairs: DataFrame, threshold: float, n_dims: int
+) -> DataFrame:
+    """(id_a, id_b, cosine ≥ threshold) from candidate pairs carrying
+    `_ea`/`_eb` embedding arrays and `_na`/`_nb` decimal norms — the
+    shared verify half of every two-phase near-dup operator (banded LSH,
+    SemDeDup cells): a compiled double-precision prescreen bounds the
+    candidates, then only survivors pay the exact DECIMAL(18,15) cosine
+    that makes the final threshold call.
+
+    Prescreen on the UNNORMALIZED inequality dot ≥ t·‖a‖‖b‖ − ε so the
+    margin is valid for ANY embedding norm: the float64 tree-sum's error
+    is ≤ ~7·eps·Σ|aᵢbᵢ| ≤ 1e-14·‖a‖‖b‖ (Cauchy-Schwarz) — relative, so
+    the 1e-9·‖a‖‖b‖ term covers it — while the exact path's per-term
+    DECIMAL(18,15) quantization adds ≤ 64·5e-16 ≈ 3.2e-14 ABSOLUTE,
+    covered by the 1e-12 constant. A normalized `approx_cos ≥ t − 1e-6`
+    screen would silently drop true pairs once ‖a‖‖b‖ < ~3e-8, where
+    quantization error outgrows a fixed cosine margin.
+    """
     dot64 = _tree_sum(
         [
             F.col("_ea")[i].cast("double") * F.col("_eb")[i].cast("double")
@@ -708,14 +730,6 @@ def lsh_near_dup_pairs(
         ]
     )
     norm_prod = F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))
-    # Prescreen on the UNNORMALIZED inequality dot ≥ t·‖a‖‖b‖ − ε so the
-    # margin is valid for ANY embedding norm: the float64 tree-sum's error
-    # is ≤ ~7·eps·Σ|aᵢbᵢ| ≤ 1e-14·‖a‖‖b‖ (Cauchy-Schwarz) — relative, so
-    # the 1e-9·‖a‖‖b‖ term covers it — while the exact path's per-term
-    # DECIMAL(18,15) quantization adds ≤ 64·5e-16 ≈ 3.2e-14 ABSOLUTE,
-    # covered by the 1e-12 constant. A normalized `approx_cos ≥ t − 1e-6`
-    # screen would silently drop true pairs once ‖a‖‖b‖ < ~3e-8, where
-    # quantization error outgrows a fixed cosine margin.
     prescreen = dot64 >= F.lit(threshold) * norm_prod - (
         F.lit(1e-12) + F.lit(1e-9) * norm_prod
     )
@@ -910,4 +924,101 @@ def ivf_probe_topk(
         .select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"), "rank")
+    )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Within-cluster semantic-duplicate pairs — the pair half of SemDeDup
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): vectors are bucketed by their
+    k-means/IVF cell, and ONLY same-cell pairs are compared, so the pair
+    space is Σ|cell|², never corpus². At web scale k grows with the
+    corpus (the paper uses 50k clusters for LAION) keeping |cell|
+    bounded, and the per-cell join below is an equi-join on `cell` —
+    cells can also be physically partitioned (`partitionBy(cell)`, like
+    the IVF layout) so each comparison task reads one cell's file. Pairs
+    in DIFFERENT cells are missed by design — the SemDeDup recall
+    tradeoff, priced against never materializing cross-cell candidates.
+
+    Cell assignment runs the guarded Arrow fast path (`ivf_assign`);
+    survivors of the double-precision prescreen pay the exact
+    DECIMAL(18,15) cosine, so emitted pairs are bit-deterministic and
+    DuckDB-checkable like the banded-LSH family.
+    """
+    from ._planes import hyperplanes
+
+    src = _rebalance_for_compute(df)
+    cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
+    assigned = with_norm(
+        ivf_assign(src, cents, id_col, emb_col, keep_emb=True),
+        emb_col,
+        n_dims,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        "cell",
+        F.col(emb_col).alias("_ea"),
+        F.col("_norm2").alias("_na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        "cell",
+        F.col(emb_col).alias("_eb"),
+        F.col("_norm2").alias("_nb"),
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    return _prescreened_exact_cosine(pairs, threshold, n_dims)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.35,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Full SemDeDup: within-cell semantic-dup pairs → connected
+    components → keep ONE representative per duplicate group — the
+    member with the LOWEST similarity to its cell centroid (the paper's
+    keep-"farthest-from-centroid" policy: among near-identical copies,
+    prefer the least prototypical one to preserve diversity), ties to
+    the lowest id. Singletons are their own group and always kept, so
+    the output covers the full corpus with a kept flag:
+    (id, cell, cell_dot, cluster_id, kept).
+
+    The clustering is the same per-round equi-join label propagation as
+    the MinHash dedup chain (operators/graph.py::connected_components),
+    over a pairs list the cell bucketing already bounded."""
+    from ._planes import hyperplanes
+    from .graph import connected_components
+
+    src = _rebalance_for_compute(df)
+    cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
+    assigned = ivf_assign(src, cents, id_col, emb_col, with_dot=True)
+    pairs = semdedup_pairs(df, id_col, emb_col, n_cells, threshold, n_dims)
+    cc = connected_components(pairs)
+    labeled = (
+        assigned.join(cc, assigned[id_col] == cc.node, "left")
+        .select(
+            id_col,
+            "cell",
+            "cell_dot",
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("cell_dot"), F.asc(id_col))
+    return labeled.select(
+        id_col,
+        "cell",
+        "cell_dot",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("kept"),
     )

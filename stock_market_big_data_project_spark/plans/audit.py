@@ -62,6 +62,10 @@ PYTHON_STAGE_OK = {
     "embedding_ivfpq_topk",          # same encode + Arrow IVF assignment
     "embedding_ivf_cells",           # Arrow IVF assignment fast path
     "embedding_ivf_topk",            # same assignment on the corpus side
+    "embedding_semantic_dedup",      # Arrow IVF assignment feeding the
+                                     # within-cell SemDeDup pair join
+    "sequence_packing_ffd",          # per-shard FFD bin packing (a loop
+                                     # over bins — no relational form)
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast
@@ -77,6 +81,8 @@ TINY_CROSS_OK = {
                                   # symbol list, both driver-size, never
                                   # the fact table
     "tfidf_search_topk",          # 1-row corpus-count scalar for the idf
+    "dsir_importance_weights",    # 1-row feature-total scalar for the LM
+                                  # ratio denominator
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

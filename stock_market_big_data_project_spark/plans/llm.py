@@ -38,6 +38,8 @@ from ..operators.similarity import (
     lsh_bucket,
     lsh_near_dup_pairs,
     near_dup_pairs,
+    semantic_dedup,
+    semdedup_pairs,
 )
 from ..operators.text import (
     LANG_MARKERS,
@@ -1265,6 +1267,94 @@ def pii_redact_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Unicode / mojibake cleanup (r5) ----------------------------------------------
+# Literal characters used on both engines (embedded in the SQL text as
+# UTF-8): zero-widths U+200B/200C/200D + BOM U+FEFF, curly quotes
+# U+2018/2019/201C/201D, non-breaking space U+00A0, BEL control \x07.
+_ZW_CLASS = "[​‌‍﻿]"
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_XLATE_FROM = "‘’“” "
+_XLATE_TO = "''" + '""' + " "
+
+
+@register_local(
+    "unicode_cleanup_bundle",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             '﻿“' || replace(text, 'a', 'a​')
+                  || '”' || chr(7) || ' end' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_ZW_CLASS}')) AS INT)
+             AS n_zero_width,
+           CAST(len(regexp_extract_all(text, '{_CTRL_CLASS}')) AS INT)
+             AS n_controls,
+           CAST(len(regexp_extract_all(text, '[‘’“”]')) AS INT)
+             AS n_quotes,
+           md5(trim(regexp_replace(
+                 translate(
+                   regexp_replace(
+                     regexp_replace(text, '{_ZW_CLASS}', '', 'g'),
+                     '{_CTRL_CLASS}', '', 'g'),
+                   '{_XLATE_FROM}', chr(39) || chr(39) || '"" '),
+                 '\\s+', ' ', 'g'))) AS cleaned_md5
+    FROM w
+    """,
+)
+def unicode_cleanup_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ftfy-style text fixups for a crawled corpus, as pure codegen
+    expressions (a narrow map at any scale, like the PII bundle): strip
+    zero-width characters + BOM, strip C0/DEL control characters,
+    straighten curly quotes, convert non-breaking spaces, collapse
+    whitespace runs, and count each fix class. The fixture is clean
+    ASCII, so deterministic mojibake is injected identically on both
+    engines — the cleanup logic, not the corpus, is what's checked; the
+    cleaned bytes are md5-fingerprinted."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("﻿“"),
+            F.regexp_replace("text", F.lit("a"), F.lit("a​")),
+            F.lit("”"),
+            F.lit("\x07"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.translate(
+                F.regexp_replace(
+                    F.regexp_replace("text", F.lit(_ZW_CLASS), F.lit("")),
+                    F.lit(_CTRL_CLASS),
+                    F.lit(""),
+                ),
+                _XLATE_FROM,
+                _XLATE_TO,
+            ),
+            F.lit(r"\s+"),
+            F.lit(" "),
+        )
+    )
+    return w.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_ZW_CLASS), 0)).alias(
+            "n_zero_width"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_CTRL_CLASS), 0)).alias(
+            "n_controls"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[‘’“”]"), 0
+            )
+        ).alias("n_quotes"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
 @register_local(
     "embedding_dedup_clusters",
     oracle=f"""
@@ -1317,6 +1407,92 @@ def _embedding_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+# --- SemDeDup: cluster-scoped semantic deduplication (r5) -------------------------
+_SEMDEDUP_CELLS = """
+    cents AS (
+      SELECT c, d,
+             (CAST(('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 8)) AS c),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), cdots AS (
+      SELECT x.vec_id, ce.c,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * ce.comp
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v x JOIN cents ce ON ce.d = x.d
+      GROUP BY 1, 2
+    ), cells AS (
+      SELECT vec_id, CAST(c AS INT) AS cell, dot FROM (
+        SELECT vec_id, c, dot,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register_local(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_VECS},
+    {_SEMDEDUP_CELLS},
+    pd AS (
+      SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+             CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v a JOIN cells ca ON ca.vec_id = a.vec_id
+      JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+      JOIN v b ON b.vec_id = cb.vec_id AND b.d = a.d
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM pd
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.35
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.v
+    ), comp AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), lab AS (
+      SELECT cells.vec_id, cells.cell, round(cells.dot, 9) AS cell_dot,
+             COALESCE(comp.cluster_id, cells.vec_id) AS cluster_id
+      FROM cells LEFT JOIN comp ON comp.node = cells.vec_id
+    )
+    SELECT vec_id, cell, cell_dot, cluster_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY cell_dot, vec_id) = 1 AS kept
+    FROM lab
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: IVF-cell bucketing → exact
+    within-cell cosine pairs ≥ 0.35 → connected components → keep the
+    member FARTHEST from its cell centroid per duplicate group (diversity-
+    preserving canonicalization), full-corpus kept flags. The pair space
+    is cell-bounded (Σ|cell|², with k ∝ corpus at real scale), the verify
+    half shares the banded-LSH family's prescreen+exact-decimal rescore,
+    and the clustering is the dedup chain's per-round equi-join label
+    propagation — the oracle recomputes everything including the
+    recursive-CTE fixpoint, so the kept set is hash-checked, not assumed.
+    See operators/similarity.py::semantic_dedup."""
+    return semantic_dedup(_emb(spark, sf_dir), threshold=0.35, n_cells=8)
+
+
+def _semdedup_pair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-clustering constituent of embedding_semantic_dedup (within-cell
+    prescreened exact-cosine pairs) — audited in place of the checkpoint
+    scan."""
+    return semdedup_pairs(_emb(spark, sf_dir), threshold=0.35, n_cells=8)
+
+
 # The red-flag gate audits these constituents instead of the eager
 # clustering callables' opaque checkpoint-scan plans (plans/audit.py).
 EAGER_ITERATIVE.update(
@@ -1324,5 +1500,6 @@ EAGER_ITERATIVE.update(
         "dedup_minhash_verified": _minhash_verified_pairs,
         "dedup_clusters_ngram": _ngram_cluster_pairs,
         "embedding_dedup_clusters": _embedding_cluster_pairs,
+        "embedding_semantic_dedup": _semdedup_pair_plan,
     }
 )

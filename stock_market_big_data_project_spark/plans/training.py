@@ -1,16 +1,20 @@
-"""Round-4 training-data-pipeline queries (local tier): repetition-based
-quality filtering (Gopher), sub-document chunk dedup (C4), stratified
-per-source sampling, dedup-cluster canonicalization by quality, TF-IDF
-corpus search, and deterministic training-order shuffling.
+"""Training-data-pipeline queries (rounds 4-5): repetition-based quality
+filtering (Gopher), sub-document chunk dedup (C4), stratified per-source
+sampling, dedup-cluster canonicalization by quality, TF-IDF corpus
+search, deterministic training-order shuffling, streaming/incremental
+near-dup dedup, DSIR importance weights, FFD sequence packing, and
+mergeable-sketch rollups.
 
 These extend the reference's collected-but-never-analyzed text surface
 (twitter/main.py:11-28, OP-68) with the remaining operator families a
 100 TB training-data pipeline runs between "crawl" and "tokenize": decide
 what to KEEP (repetition filters, chunk dedup, cluster canonicalization),
-decide the MIX (stratified sampling), FIND examples (TF-IDF search), and
-fix the ORDER (shuffle into shards). Everything is built-in Catalyst
-expressions over md5-derived hashes, so every query here is bitwise
-DuckDB-checkable — no Python stages at all.
+decide the MIX (stratified sampling, DSIR importance resampling), FIND
+examples (TF-IDF search), and fix the ORDER and LAYOUT (shuffle into
+shards, FFD sequence packing). The relational queries are built-in
+Catalyst expressions over md5-derived hashes — bitwise DuckDB-checkable;
+the two declared-algorithmic ones (FFD packing, HLL sketch rollup) are
+rows-only with differential/property tests instead.
 """
 
 from __future__ import annotations
@@ -984,3 +988,200 @@ EAGER_ITERATIVE.update(
         "embedding_kmeans_train": _kmeans_round_plan,
     }
 )
+
+
+# --- DSIR importance weights (r5) ---------------------------------------------------
+_DSIR_B = 256
+
+
+@register_local(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang, tok,
+             lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM t
+    ), f AS (
+      SELECT doc_id, lang, tok AS f FROM bg
+      UNION ALL
+      SELECT doc_id, lang, concat_ws(' ', tok, nxt) FROM bg
+      WHERE nxt IS NOT NULL
+    ), fb AS (
+      SELECT doc_id, lang,
+             {oracle_md5_hash64("'dsir:' || f")} % {_DSIR_B} AS b
+      FROM f
+    ), lm AS (
+      SELECT b, count(*) AS c_r,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+      FROM fb GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n_r,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+      FROM fb
+    ), nb AS (
+      SELECT doc_id, b, count(*) AS c FROM fb GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, count(*) AS n_feats FROM fb GROUP BY 1
+    ), parts AS (
+      SELECT nb.doc_id,
+             CAST(nb.c * (CAST((lm.c_t + 1) * (tot.n_r + {_DSIR_B}) AS DOUBLE)
+                          / CAST((lm.c_r + 1) * (tot.n_t + {_DSIR_B}) AS DOUBLE))
+                  AS DECIMAL(28,15)) AS contrib
+      FROM nb JOIN lm USING (b) CROSS JOIN tot
+    )
+    SELECT parts.doc_id, dl.n_feats,
+           round(CAST(sum(contrib) AS DOUBLE) / dl.n_feats, 9) AS importance
+    FROM parts JOIN dl ON dl.doc_id = parts.doc_id
+    GROUP BY parts.doc_id, dl.n_feats
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") adapted to the declared surface: hashed
+    n-gram features (unigrams + bigrams → 256 md5 buckets — the
+    zero-vocabulary trick shared with `doc_feature_hashing`), a target
+    LM from the lang='en' metadata slice vs the raw-corpus LM (add-1
+    smoothed bucket frequencies), and a per-document importance weight
+    for resampling the training mix toward the target distribution.
+
+    The published estimator averages LOG probability ratios; here the
+    per-feature link is the RATIO itself so both engines compute
+    identical IEEE doubles (ln's last-ulp is libm-dependent — the same
+    reason `tfidf_search_topk` keeps its idf ln-free), with contributions
+    summed as exact decimals. Swapping ln back in is a one-expression
+    change on both sides.
+
+    Scale shape: one doc-keyed repartition feeds the bigram window and
+    every (doc)/(doc, bucket) aggregate; the LM is ≤256 rows + a 1-row
+    total — both broadcast — so the corpus never shuffles again after
+    the feature explode. The unigram+bigram feature stream is ONE
+    explode of a per-position [tok, tok⋅next] array — not a two-branch
+    union: besides scanning once instead of twice, a union of two
+    identically-hash-partitioned branches feeds downstream aggregates a
+    partitioning claim that lets the final merge elide its exchange and
+    emit PER-BRANCH groups (observed miscompile on pyspark 4.1.2 — see
+    the verify skill note)."""
+    sc = spark.sparkContext
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .repartition(sc.defaultParallelism, "doc_id")
+    )
+    toks = base.select(
+        "doc_id",
+        "lang",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    bg = toks.select("doc_id", "lang", "tok", nxt.alias("nxt"))
+    feats = bg.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.col("tok"),
+                    F.when(
+                        F.col("nxt").isNotNull(),
+                        F.concat_ws(" ", "tok", "nxt"),
+                    ),
+                )
+            )
+        ).alias("f"),
+    )
+    fb = feats.select(
+        "doc_id",
+        "lang",
+        F.pmod(md5_hash64(F.concat(F.lit("dsir:"), F.col("f"))), F.lit(_DSIR_B)).alias("b"),
+    )
+    is_t = F.when(F.col("lang") == "en", 1).otherwise(0)
+    lm = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"), F.sum(is_t).alias("c_t")
+    )
+    tot = fb.agg(
+        F.count(F.lit(1)).alias("n_r"), F.sum(is_t).alias("n_t")
+    )
+    nb = fb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    dl = fb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_feats"))
+    ratio = (
+        ((F.col("c_t") + 1) * (F.col("n_r") + _DSIR_B)).cast("double")
+        / ((F.col("c_r") + 1) * (F.col("n_t") + _DSIR_B)).cast("double")
+    )
+    parts = (
+        nb.join(F.broadcast(lm), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (F.col("c") * ratio).cast("decimal(28,15)").alias("contrib"))
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(
+                F.col("s").cast("double") / F.col("n_feats"), 9
+            ).alias("importance"),
+        )
+    )
+
+
+# --- FFD sequence packing (r5) ------------------------------------------------------
+@register_local("sequence_packing_ffd")
+def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-capacity training-sequence packing (first-fit-decreasing)
+    over the documents corpus: token counts → 16 deterministic hash
+    shards → per-shard FFD in one Arrow pass → (doc, shard, seq, offset)
+    placement with truncation flags. Rows-only by design — bin packing
+    is a loop over bins, not a relational expression; determinism and
+    optimality bounds are pinned by tests/test_seqpack.py (pure-Python
+    differential, exactly-once coverage, capacity/offset invariants,
+    partitioning invariance, FFD ≤ first-fit-in-id-order bin count).
+    See operators/packing.py::pack_sequences_ffd."""
+    from ..operators.packing import pack_sequences_ffd
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_sequences_ffd(
+        d, "doc_id", "n_tokens", capacity=128, n_shards=16
+    )
+
+
+# --- mergeable-sketch rollup (r5) ---------------------------------------------------
+@register_local("sketch_merge_rollup")
+def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    `hll_sketch_agg`/`hll_union_agg`) — the incremental form of the
+    cardinality story: per-source sketches are built in ONE pass, and the
+    corpus-wide estimate comes from UNIONING the tiny sketch blobs, never
+    from re-scanning. At 100 TB this is the pattern that makes daily
+    stats O(delta): persist each partition's/day's sketch bytes, merge on
+    read. Rows-only by design (sketch bytes are engine-specific);
+    tests/test_sketches.py pins the estimates against exact distinct
+    counts AND the lossless-merge property (union of per-source sketches
+    == one whole-corpus sketch, bit-equal estimates).
+
+    Output: one row per source + an '__all__' row from the merged
+    sketch, with the distinct-token estimate for each."""
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.hll_sketch_agg("tok", F.lit(12)).alias("sk")
+    )
+    merged = (
+        per_src.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("__all__").alias("source"),
+            F.hll_sketch_estimate("sk").alias("est_distinct_tokens"),
+        )
+    )
+    return per_src.select(
+        "source", F.hll_sketch_estimate("sk").alias("est_distinct_tokens")
+    ).unionByName(merged)

@@ -88,7 +88,10 @@ def test_eager_iterative_list_is_current(spark):
     iterative_trainers = {"bpe_learn_merges", "embedding_kmeans_train"}
     for name, builder in EAGER_ITERATIVE.items():
         assert (
-            "cluster" in name or "verified" in name or name in iterative_trainers
+            "cluster" in name
+            or "verified" in name
+            or "dedup" in name  # CC-based dedup (e.g. SemDeDup)
+            or name in iterative_trainers
         ), name
         facts = plan_facts(builder(spark, SF_DIR))
         assert facts["exchanges"] > 0, (name, "constituent plan is trivial")

@@ -51,3 +51,47 @@ def test_approx_quantiles_bracket_exact_rank(spark):
             lo = vals[max(0, int((p - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((p + 0.01) * n))]
             assert lo <= row[col] <= hi, (row["event_type"], col, row[col], lo, hi)
+
+
+def test_sketch_merge_rollup_accuracy_and_losslessness(spark):
+    # The mergeable-sketch claim (plans/training.py::sketch_merge_rollup):
+    # per-source HLL estimates within rsd of exact, AND the union of
+    # per-source sketches is LOSSLESS — identical estimate to one sketch
+    # built over the whole corpus (same lgk), which is what makes
+    # persisted per-day sketch bytes a sound incremental representation.
+    from pyspark.sql import functions as F
+
+    from stock_market_big_data_project_spark.operators.text import tokens
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        load_all_plans,
+    )
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    load_all_plans()
+    got = {
+        r.source: r.est_distinct_tokens
+        for r in LOCAL_QUERIES["sketch_merge_rollup"](spark, SF_DIR).collect()
+    }
+    toks = load_table(spark, SF_DIR, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    exact = {
+        r.source: r.n
+        for r in toks.groupBy("source")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = toks.select("tok").distinct().count()
+    assert set(got) == set(exact)
+    for src, est in got.items():
+        assert abs(est - exact[src]) <= max(2, 0.05 * exact[src]), (
+            src, est, exact[src],
+        )
+    whole = (
+        toks.agg(F.hll_sketch_agg("tok", F.lit(12)).alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert got["__all__"] == whole
