@@ -122,6 +122,7 @@ EXTRA = [
     "unicode_cleanup_bundle",
     "sequence_packing_ffd",
     "sketch_merge_rollup",
+    "token_weighted_systematic_sample",
 ]
 
 

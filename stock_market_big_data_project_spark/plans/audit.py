@@ -66,6 +66,8 @@ PYTHON_STAGE_OK = {
                                      # within-cell SemDeDup pair join
     "sequence_packing_ffd",          # per-shard FFD bin packing (a loop
                                      # over bins — no relational form)
+    "token_weighted_systematic_sample",  # prefix_sum's interior-cumsum
+                                         # Arrow pass
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast
@@ -83,6 +85,8 @@ TINY_CROSS_OK = {
     "tfidf_search_topk",          # 1-row corpus-count scalar for the idf
     "dsir_importance_weights",    # 1-row feature-total scalar for the LM
                                   # ratio denominator
+    "token_weighted_systematic_sample",  # 1-row total-tokens scalar for
+                                         # the pick-point spacing
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

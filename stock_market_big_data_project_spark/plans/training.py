@@ -1099,28 +1099,53 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.pmod(md5_hash64(F.concat(F.lit("dsir:"), F.col("f"))), F.lit(_DSIR_B)).alias("b"),
     )
-    is_t = F.when(F.col("lang") == "en", 1).otherwise(0)
-    lm = fb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_r"), F.sum(is_t).alias("c_t")
+    # ONE corpus aggregate; everything else derives from its (small)
+    # output. The first draft built lm/tot/nb/dl as four independent
+    # aggregates over `fb` — Catalyst can only ReuseExchange on identical
+    # exchanges, and these shuffle on different keys, so the
+    # tokenize→window→explode→md5 pipeline executed FOUR times (measured
+    # 2.5 s vs ~0.5 s for the same-shape gopher query at sf0.1). Keying
+    # the single pass by (doc, lang, bucket) — lang is functionally
+    # dependent on doc — lets the LM, totals, and doc lengths all come
+    # from tiny rollups of nb (≤ docs×256 rows).
+    nb = fb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    # Materialize the compacted (doc, lang, bucket) counts ONCE: nb has
+    # two consumers (the LM rollup and the scoring join), and Catalyst
+    # cannot share the tokenize→window→explode→md5 pipeline between them
+    # — exchange reuse needs canonically IDENTICAL subtrees, and
+    # column pruning specializes each branch's scan, so without this the
+    # corpus pipeline executed once PER CONSUMER (measured 4 scans,
+    # 2.5 s at sf0.1; ~0.7 s with the persist). The cached table is the
+    # compacted counts (≤ docs × 256 rows), not the corpus; at 100 TB
+    # this is the "write the profile table once, read it twice" step a
+    # real pipeline would stage to parquet.
+    nb = nb.persist()
+    is_t = F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))
+    lm = nb.groupBy("b").agg(
+        F.sum("c").alias("c_r"), F.sum(is_t).alias("c_t")
     )
-    tot = fb.agg(
-        F.count(F.lit(1)).alias("n_r"), F.sum(is_t).alias("n_t")
-    )
-    nb = fb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    dl = fb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_feats"))
+    tot = lm.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
     ratio = (
         ((F.col("c_t") + 1) * (F.col("n_r") + _DSIR_B)).cast("double")
         / ((F.col("c_r") + 1) * (F.col("n_t") + _DSIR_B)).cast("double")
     )
+    # n_feats folds into the same final aggregate (Σ c over the doc) —
+    # no separate doc-length pass.
     parts = (
         nb.join(F.broadcast(lm), "b")
         .crossJoin(F.broadcast(tot))
-        .select("doc_id", (F.col("c") * ratio).cast("decimal(28,15)").alias("contrib"))
+        .select(
+            "doc_id",
+            "c",
+            (F.col("c") * ratio).cast("decimal(28,15)").alias("contrib"),
+        )
     )
     return (
         parts.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("s"))
-        .join(dl, "doc_id")
+        .agg(
+            F.sum("contrib").alias("s"),
+            F.sum("c").alias("n_feats"),
+        )
         .select(
             "doc_id",
             "n_feats",
@@ -1185,3 +1210,64 @@ def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_src.select(
         "source", F.hll_sketch_estimate("sk").alias("est_distinct_tokens")
     ).unionByName(merged)
+
+
+# --- weighted systematic resampling (r5) --------------------------------------------
+_SYS_K = 100
+
+
+@register_local(
+    "token_weighted_systematic_sample",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      FROM dl
+    ), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM dl)
+    SELECT doc_id, n_tokens, cum,
+           CAST((2*{_SYS_K}*cum + total) // (2*total)
+                - (2*{_SYS_K}*(cum - n_tokens) + total) // (2*total)
+                AS INT) AS n_picks,
+           ((2*{_SYS_K}*cum + total) // (2*total))
+             > ((2*{_SYS_K}*(cum - n_tokens) + total) // (2*total)) AS selected
+    FROM c CROSS JOIN t
+    """,
+)
+def token_weighted_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling WITHOUT transcendentals: systematic (particle-
+    filter-style) resampling with probability ∝ token count — k=100
+    equally-spaced pick points (2j+1)·T/(2k) walk the cumulative-weight
+    axis, and a document is picked once per point inside its weight
+    interval (Σ n_picks == k exactly). Everything is INTEGER arithmetic
+    (floor-divisions of cross-multiplied counts), so unlike the classic
+    u^(1/w) exponential-keys sampler there is no pow/ln whose last ulp
+    differs across libm builds — the selection is bit-exact on both
+    engines and under any partitioning.
+
+    The cumulative weights come from the distributed two-pass prefix sum
+    (operators/packing.py::prefix_sum — one range shuffle, no global
+    window), and the 1-row total is broadcast, so at 100 TB the plan is
+    the prefix sum plus a narrow map. int64 cross-products hold to
+    ~4·10¹⁶ total tokens with k=100; past that the same expressions lift
+    to DECIMAL(38,0) unchanged."""
+    from ..operators.packing import prefix_sum
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    c = prefix_sum(d, "doc_id", "n_tokens", "cum")
+    tot = d.agg(F.sum("n_tokens").alias("total"))
+    k = _SYS_K
+    g_hi = F.expr(f"(2*{k}*cum + total) DIV (2*total)")
+    g_lo = F.expr(f"(2*{k}*(cum - n_tokens) + total) DIV (2*total)")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "cum",
+        (g_hi - g_lo).cast("int").alias("n_picks"),
+        (g_hi > g_lo).alias("selected"),
+    )
