@@ -123,6 +123,7 @@ EXTRA = [
     "sequence_packing_ffd",
     "sketch_merge_rollup",
     "token_weighted_systematic_sample",
+    "ann_recall_eval",
 ]
 
 

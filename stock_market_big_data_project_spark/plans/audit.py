@@ -68,6 +68,8 @@ PYTHON_STAGE_OK = {
                                      # over bins — no relational form)
     "token_weighted_systematic_sample",  # prefix_sum's interior-cumsum
                                          # Arrow pass
+    "ann_recall_eval",               # cosine_topk/ivf matmul prescreens
+                                     # inside the recall evaluation
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

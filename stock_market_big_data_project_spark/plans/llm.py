@@ -1267,6 +1267,130 @@ def pii_redact_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN recall evaluation (r5) ----------------------------------------------------
+@register_local(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_VECS},
+    cents AS (
+      SELECT c, d,
+             (CAST(('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ',' ||
+                                       CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, 8)) AS c),
+           (SELECT unnest(range(0, 64)) AS d)
+    ), cdots AS (
+      SELECT x.vec_id, ce.c,
+             CAST(sum(CAST(CAST(x.val AS DOUBLE) * ce.comp
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v x JOIN cents ce ON ce.d = x.d
+      GROUP BY 1, 2
+    ), assign AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c) AS rn
+        FROM cdots
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, c) AS rn
+        FROM cdots WHERE vec_id < 10
+      ) WHERE rn <= 2
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY dt.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) DESC,
+                          b.vec_id) AS rank
+        FROM (SELECT DISTINCT vec_id FROM v WHERE vec_id < 10) a
+        JOIN (SELECT DISTINCT vec_id FROM v) b ON b.vec_id != a.vec_id
+        JOIN (
+          SELECT x.vec_id AS qid, y.vec_id AS nid,
+                 CAST(sum(CAST(CAST(x.val AS DOUBLE) * CAST(y.val AS DOUBLE)
+                               AS DECIMAL(18,15))) AS DOUBLE) AS dot
+          FROM v x JOIN v y ON y.d = x.d AND y.vec_id != x.vec_id
+          WHERE x.vec_id < 10
+          GROUP BY 1, 2
+        ) dt ON dt.qid = a.vec_id AND dt.nid = b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+      ) WHERE rank <= 5
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT pd.query_id, pd.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY pd.query_id
+                 ORDER BY pd.dot / (sqrt(na.norm2) * sqrt(nb.norm2)) DESC,
+                          pd.neighbor_id) AS rank
+        FROM (
+          SELECT ca.query_id, ca.neighbor_id,
+                 CAST(sum(CAST(CAST(qa.val AS DOUBLE) * CAST(nb.val AS DOUBLE)
+                               AS DECIMAL(18,15))) AS DOUBLE) AS dot
+          FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id != p.query_id
+          ) ca
+          JOIN v qa ON qa.vec_id = ca.query_id
+          JOIN v nb ON nb.vec_id = ca.neighbor_id AND nb.d = qa.d
+          GROUP BY 1, 2
+        ) pd
+        JOIN norms na ON na.vec_id = pd.query_id
+        JOIN norms nb ON nb.vec_id = pd.neighbor_id
+      ) WHERE rank <= 5
+    ), hits AS (
+      SELECT bf.query_id, count(ivf.neighbor_id) AS n_hits
+      FROM bf LEFT JOIN ivf
+        ON ivf.query_id = bf.query_id
+       AND ivf.neighbor_id = bf.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, CAST(n_hits AS INT) AS n_hits,
+           round(n_hits / 5.0, 6) AS recall_at_5,
+           round(avg(n_hits / 5.0) OVER (), 6) AS mean_recall
+    FROM hits
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation AS a query: recall@5 of the IVF
+    search (probe 2/8 cells) against the exact brute-force ranking, per
+    query point plus the corpus mean — the eval loop a vector-store
+    deployment runs to tune n_probe, expressed in the same engine so it
+    scales with the index (both rankings are decimal-exact, so recall is
+    bit-deterministic and the DuckDB oracle reproduces it digit for
+    digit). The expensive side is the gated brute-force baseline — at
+    real scale you run this on a sampled query set, which is exactly the
+    10-query slice used here."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ivf = ivf_probe_topk(emb, queries).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    hits = (
+        bf.join(
+            ivf,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("n2")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("n2").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("int").alias("n_hits"),
+        F.round(F.col("n_hits") / 5.0, 6).alias("recall_at_5"),
+        F.round(
+            F.avg(F.col("n_hits") / 5.0).over(Window.partitionBy()), 6
+        ).alias("mean_recall"),
+    )
+
+
 # --- Unicode / mojibake cleanup (r5) ----------------------------------------------
 # Literal characters used on both engines (embedded in the SQL text as
 # UTF-8): zero-widths U+200B/200C/200D + BOM U+FEFF, curly quotes
