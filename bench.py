@@ -124,6 +124,7 @@ EXTRA = [
     "sketch_merge_rollup",
     "token_weighted_systematic_sample",
     "ann_recall_eval",
+    "compacted_scan_pricing",
 ]
 
 

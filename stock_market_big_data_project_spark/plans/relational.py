@@ -888,3 +888,93 @@ def bucketed_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
             "bucketed fact⋈fact join must plan Exchange-free, got:\n" + plan
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction surface (VERDICT r4 #7, second half): the
+# streaming-ingest small-files problem and its compaction fix, driven
+# end-to-end by a registered query. Harness scaffolding (the 32-file
+# "micro-batch" write and the compaction rewrite) runs at call time; the
+# RETURNED plan is the post-compaction scan+filter+agg — and the query
+# self-checks that the compacted layout restored min/max pruning by
+# asserting the selective scan reads fewer files than the ingest left.
+# --------------------------------------------------------------------------
+@register_local(
+    "compacted_scan_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey < (SELECT max(l_orderkey) // 4 FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def compacted_scan_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem scattered into 32 tiny files (a file-per-micro-batch
+    streaming writer's at-rest shape), then compacted with
+    `compact_parquet(sort_cols=(l_orderkey,))` — the range-sorted
+    rewrite gives each output file a disjoint l_orderkey range, so the
+    narrow key-range predicate below prunes whole files via parquet
+    min/max stats instead of opening all 32. The aggregate hash-matches
+    the oracle computed on the ORIGINAL table: compaction must never
+    change results."""
+    import glob
+    import os
+    import tempfile
+
+    from ..sources.tables import compact_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # The compacted directory is kept for the session (not deleted):
+    # at scale it IS the materialized at-rest table the compaction
+    # produced, and keeping it means the RETURNED DataFrame's plan is
+    # the real post-compaction scan (visible to the plan audit), not a
+    # checkpoint of it.
+    td = tempfile.mkdtemp(prefix="compact_q_")
+    src, dest = f"{td}/small", f"{td}/compacted"
+    li.repartition(32).write.mode("overwrite").parquet(src)
+    total = sum(
+        os.path.getsize(p) for p in glob.glob(f"{src}/*.parquet")
+    )
+    compact_parquet(
+        spark,
+        src,
+        dest,
+        target_file_bytes=total // 4 + 1,
+        sort_cols=("l_orderkey",),
+    )
+    # SF-relative key range (bottom quarter of the key space) so the
+    # query is selective — and the pruning assert meaningful — at
+    # every scale factor
+    bound = li.agg(F.max("l_orderkey")).collect()[0][0] // 4
+    out = (
+        spark.read.parquet(dest)
+        .filter(F.col("l_orderkey") < bound)
+        .groupBy("l_returnflag")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    # the pruning claim, enforced: the sorted compacted layout must
+    # let this key-range scan skip files (pre-compaction it touches
+    # all 32)
+    n_read = (
+        spark.read.parquet(dest)
+        .filter(F.col("l_orderkey") < bound)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    n_files = len(glob.glob(f"{dest}/*.parquet"))
+    if n_files > 1 and n_read >= n_files:
+        raise AssertionError(
+            f"compacted range scan read {n_read}/{n_files} files — "
+            "min/max pruning not effective"
+        )
+    return out
