@@ -125,6 +125,7 @@ EXTRA = [
     "token_weighted_systematic_sample",
     "ann_recall_eval",
     "compacted_scan_pricing",
+    "pysource_quote_feed",
 ]
 
 

@@ -23,6 +23,7 @@ STREAMING_HARNESS = {
     "streaming_stateful_ffill_parity",
     "streaming_clean_corpus_parity",
     "streaming_near_dup_parity",
+    "streaming_pysource_ticks_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

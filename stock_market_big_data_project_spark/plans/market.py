@@ -1466,3 +1466,95 @@ def jsonl_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
     write_jsonl(df, path, timestampFormat=ts_fmt)
     return read_jsonl(spark, path, schema=df.schema, timestampFormat=ts_fmt)
+
+
+# --- custom Python DataSource ingestion (r5) ---------------------------------------
+# The reference's scheduler-driven API pollers (finnhub/yahoo/fred/...)
+# as a REAL Spark integration mechanism: a pyspark.sql.datasource custom
+# source (Spark 4 Python DataSource API), batch + streaming, with a
+# deterministic generator standing in for the network so even the
+# ingestion adapter is DuckDB-hash-checked. See sources/feed.py.
+from ..sources.feed import feed_oracle_sql as _feed_oracle_sql
+
+_FEED_N = 500
+
+
+def _feed_agg(df: DataFrame) -> DataFrame:
+    from ..functions.scalar import exact_sum
+
+    return df.groupBy("symbol", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value", "sum_value"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register_local(
+    "pysource_quote_feed",
+    oracle=f"""
+    WITH feed AS ({_feed_oracle_sql(_FEED_N)})
+    SELECT symbol, event_type, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           max(ts) AS last_ts
+    FROM feed GROUP BY symbol, event_type
+    """,
+)
+def pysource_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the custom `quote_feed` Python DataSource
+    (partition-parallel generation — at scale, partition-parallel HTTP
+    fetch) → per-(symbol, type) decimal-exact rollup. The oracle
+    recomputes the md5-derived feed in SQL, so the WHOLE path — custom
+    source included — is hash-checked."""
+    from ..sources.feed import register_feed
+
+    register_feed(spark)
+    df = (
+        spark.read.format("quote_feed")
+        .option("n", str(_FEED_N))
+        .load()
+    )
+    return _feed_agg(df)
+
+
+@register_local(
+    "streaming_pysource_ticks_parity",
+    oracle=_feed_oracle_sql(_FEED_N),
+)
+def streaming_pysource_ticks_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's cron-poller ingest (README.md:23) end to end on
+    the custom streaming source: three scheduler ticks, each a
+    `Trigger.AvailableNow` run against the SAME checkpoint while the
+    feed's available data grows (n = 100 → 300 → 500) — every tick
+    ingests exactly the rows that arrived since the last committed
+    offset (Spark hands the committed index to `partitions(start, end)`),
+    so the parquet sink ends with each row exactly once. The oracle is
+    the full 500-row feed: rows+hash equality proves offset-tracked
+    exactly-once ingestion across restarts, not just within one run."""
+    import shutil
+    import tempfile
+
+    from ..sources.feed import register_feed
+
+    register_feed(spark)
+    td = tempfile.mkdtemp(prefix="feed_ticks_")
+    out, ckpt = f"{td}/out", f"{td}/ckpt"
+    try:
+        for n in (100, 300, _FEED_N):
+            stream = (
+                spark.readStream.format("quote_feed")
+                .option("n", str(n))
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
