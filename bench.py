@@ -126,6 +126,7 @@ EXTRA = [
     "ann_recall_eval",
     "compacted_scan_pricing",
     "pysource_quote_feed",
+    "manifest_export_roundtrip",
 ]
 
 

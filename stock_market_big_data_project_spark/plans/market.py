@@ -1558,3 +1558,69 @@ def streaming_pysource_ticks_parity(
         return spark.read.parquet(out).localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+@register_local(
+    "manifest_export_roundtrip",
+    oracle="""
+    SELECT bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT)) AS fingerprint,
+           count(*) AS n_rows
+    FROM documents
+    """,
+)
+def manifest_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export through the custom `manifest_shards` Python
+    DataSource WRITER (sources/manifest_sink.py): every task writes one
+    parquet shard and reports (file, rows, xor-fingerprint) in its
+    commit message; the driver's commit writes `_MANIFEST.json` listing
+    exactly the committed shards — Spark's v2 two-phase commit protocol,
+    made explicit. This query exports the documents table, re-reads the
+    shards, and returns the dataset fingerprint + row count computed
+    FROM THE READBACK; the oracle recomputes both from the original
+    table, so write-path fidelity is hash-checked, and the function
+    additionally asserts the manifest's own totals equal the readback
+    (a shard the manifest lists but the tasks didn't write — or vice
+    versa — fails loudly). The XOR-of-md5 fingerprint is order- and
+    shard-independent, so the check is layout-invariant by
+    construction."""
+    import tempfile
+
+    from ..sources.manifest_sink import (
+        read_manifest,
+        read_via_manifest,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # kept for the session, like the compaction query: the dir IS the
+    # exported artifact, and keeping it keeps the returned plan real
+    td = tempfile.mkdtemp(prefix="manifest_export_")
+    (
+        d.repartition(8, "doc_id")
+        .write.format("manifest_shards")
+        .option("path", td)
+        .option("keyColumn", "doc_id")
+        .mode("append")
+        .save()
+    )
+    m = read_manifest(td)
+    back = read_via_manifest(spark, td)
+    out = back.agg(
+        F.expr(
+            "bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15),"
+            " 16, 10) as bigint))"
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    got = out.collect()[0]
+    if (got.n_rows, got.fingerprint) != (m["n_rows"], m["fingerprint"]):
+        raise AssertionError(
+            f"manifest integrity violated: manifest says "
+            f"({m['n_rows']}, {m['fingerprint']}), shards contain "
+            f"({got.n_rows}, {got.fingerprint})"
+        )
+    return out

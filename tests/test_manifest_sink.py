@@ -1,0 +1,78 @@
+"""The manifest-committing shard sink (sources/manifest_sink.py): task
+shards + driver-committed manifest, and the reader half of the
+exactly-once contract (manifest-listed files only)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stock_market_big_data_project_spark.sources.manifest_sink import (
+    read_manifest,
+    read_via_manifest,
+    register_manifest_sink,
+)
+from stock_market_big_data_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _export(spark, tmp_path, n_parts=6):
+    register_manifest_sink(spark)
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    path = str(tmp_path / "export")
+    (
+        d.repartition(n_parts)
+        .write.format("manifest_shards")
+        .option("path", path)
+        .option("keyColumn", "doc_id")
+        .mode("append")
+        .save()
+    )
+    return d, path
+
+
+def test_manifest_totals_match_shards(spark, tmp_path):
+    d, path = _export(spark, tmp_path)
+    m = read_manifest(path)
+    assert m["n_rows"] == d.count()
+    assert len(m["shards"]) <= 6
+    assert sum(s["n_rows"] for s in m["shards"]) == m["n_rows"]
+    fp = 0
+    for s in m["shards"]:
+        fp ^= s["fp"]
+    assert fp == m["fingerprint"]
+    back = read_via_manifest(spark, path)
+    assert back.count() == m["n_rows"]
+    assert (
+        back.select("doc_id").subtract(d.select("doc_id")).count() == 0
+    )
+
+
+def test_reader_ignores_orphan_shards(spark, tmp_path):
+    # an orphan file from a failed/speculative task: present on disk,
+    # absent from the manifest — the manifest reader must not see it,
+    # while a naive directory glob would double-count
+    d, path = _export(spark, tmp_path)
+    orphan = os.path.join(path, "shard-orphan.parquet")
+    d.limit(7).write.mode("overwrite").parquet(str(tmp_path / "tmp_orphan"))
+    import glob as g
+    import shutil
+
+    shutil.copy(g.glob(str(tmp_path / "tmp_orphan" / "*.parquet"))[0], orphan)
+
+    n_manifest = read_via_manifest(spark, path).count()
+    n_glob = spark.read.parquet(f"{path}/shard-*.parquet").count()
+    assert n_manifest == d.count()
+    assert n_glob == d.count() + 7
+
+
+def test_fingerprint_is_layout_invariant(spark, tmp_path):
+    _, p1 = _export(spark, tmp_path / "a", n_parts=3)
+    _, p2 = _export(spark, tmp_path / "b", n_parts=11)
+    assert (
+        read_manifest(p1)["fingerprint"] == read_manifest(p2)["fingerprint"]
+    )
