@@ -1624,3 +1624,61 @@ def manifest_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({got.n_rows}, {got.fingerprint})"
         )
     return out
+
+
+@register_local(
+    "streaming_manifest_export_parity",
+    oracle=_feed_oracle_sql(_FEED_N),
+)
+def streaming_manifest_export_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full custom-DataSource pipeline: the quote-feed STREAM source
+    feeding the manifest-committing STREAM sink across three scheduler
+    ticks (AvailableNow runs against one checkpoint while the feed
+    grows). Every micro-batch's shards are appended to the manifest
+    atomically in the epoch commit — a replayed batch's shards are
+    recognized and never double-listed — and the returned rows come
+    through `read_via_manifest`, so the oracle hash-match proves
+    end-to-end exactly-once: source offsets, epoch commits, and the
+    manifest's accounting all agree with the 500-row feed definition."""
+    import shutil
+    import tempfile
+
+    from ..sources.feed import register_feed
+    from ..sources.manifest_sink import (
+        read_manifest,
+        read_via_manifest,
+        register_manifest_sink,
+    )
+
+    register_feed(spark)
+    register_manifest_sink(spark)
+    td = tempfile.mkdtemp(prefix="stream_manifest_")
+    out, ckpt = f"{td}/out", f"{td}/ckpt"
+    try:
+        for n in (100, 300, _FEED_N):
+            stream = (
+                spark.readStream.format("quote_feed")
+                .option("n", str(n))
+                .load()
+            )
+            q = (
+                stream.writeStream.format("manifest_shards")
+                .option("path", out)
+                .option("keyColumn", "event_id")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        m = read_manifest(out)
+        back = read_via_manifest(spark, out)
+        if back.count() != m["n_rows"]:
+            raise AssertionError(
+                f"manifest says {m['n_rows']} rows, shards hold "
+                f"{back.count()}"
+            )
+        return back.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

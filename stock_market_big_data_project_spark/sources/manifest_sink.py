@@ -35,6 +35,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -116,6 +117,57 @@ class ManifestShardWriter(DataSourceWriter):
                     pass
 
 
+class ManifestStreamWriter(DataSourceStreamWriter):
+    """Per-micro-batch manifest commits: every epoch's task shards are
+    appended to the manifest ATOMICALLY (write-new + rename) in
+    `commit(messages, batchId)`, which Spark invokes exactly once per
+    successfully completed batch — a replayed/failed batch's shards are
+    never listed, so `read_via_manifest` sees each record exactly once
+    even across restarts. Batch ids are recorded per shard, making the
+    ingestion history auditable (which tick produced which rows)."""
+
+    def __init__(self, options, schema):
+        self._inner = ManifestShardWriter(options, schema)
+        self.path = self._inner.path
+        self.key_col = self._inner.key_col
+
+    def write(self, iterator):
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId):
+        new = [
+            {"file": m.path, "n_rows": m.n_rows, "fp": m.fp, "batch": batchId}
+            for m in messages
+            if m is not None and m.n_rows > 0
+        ]
+        manifest_path = os.path.join(self.path, MANIFEST_NAME)
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                manifest = json.load(fh)
+        else:
+            manifest = {
+                "shards": [],
+                "n_rows": 0,
+                "fingerprint": 0,
+                "key_column": self.key_col,
+            }
+        known = {s["file"] for s in manifest["shards"]}
+        for s in new:
+            if s["file"] in known:  # replayed batch: already committed
+                continue
+            manifest["shards"].append(s)
+            manifest["n_rows"] += s["n_rows"]
+            manifest["fingerprint"] ^= s["fp"]
+        manifest["shards"].sort(key=lambda s: s["file"])
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, manifest_path)
+
+    def abort(self, messages, batchId):
+        self._inner.abort([m for m in messages if m is not None])
+
+
 class ManifestShardsDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -123,6 +175,9 @@ class ManifestShardsDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return ManifestShardWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite):
+        return ManifestStreamWriter(self.options, schema)
 
 
 def register_manifest_sink(spark) -> None:
