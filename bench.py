@@ -127,6 +127,7 @@ EXTRA = [
     "compacted_scan_pricing",
     "pysource_quote_feed",
     "manifest_export_roundtrip",
+    "corpus_stats_card",
 ]
 
 

@@ -1271,3 +1271,74 @@ def token_weighted_systematic_sample(
         (g_hi - g_lo).cast("int").alias("n_picks"),
         (g_hi > g_lo).alias("selected"),
     )
+
+
+# --- corpus data card (r5) ----------------------------------------------------------
+@register_local(
+    "corpus_stats_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len({_TOKS}) AS n_tokens,
+             md5(text) AS text_md5,
+             round(LEAST(len({_TOKS}) / 50.0, 1.0) * 0.5
+                   + (1.0 - len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
+                       / len({_TOKS})) * 0.5, 6) AS q
+      FROM documents
+    ), dupes AS (
+      SELECT text_md5 FROM base GROUP BY text_md5 HAVING count(*) > 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(sum(CASE WHEN base.text_md5 IN (SELECT text_md5 FROM dupes)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+           round(CAST(sum(CAST(q AS DECIMAL(28,15))) AS DOUBLE)
+                 / count(*), 9) AS mean_quality
+    FROM base GROUP BY source
+    """,
+)
+def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus "data card" in one pass: per-source document/token
+    counts, language spread, exact-duplicate exposure, and mean quality
+    — the datasheet a training-data release ships with, as a query over
+    the same engine (one narrow map + one md5 dup aggregate + one
+    source rollup; everything decimal-exact or integer, so the card is
+    bit-reproducible)."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    dup_keys = (
+        base.groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("text_md5")
+    )
+    flagged = base.join(
+        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "text_md5", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_en"),
+        F.sum(F.when(F.col("_dup") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dup_docs"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(28,15)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mean_quality"),
+    )
