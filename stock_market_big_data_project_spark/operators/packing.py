@@ -228,7 +228,12 @@ def pack_sequences_ffd(
                     rid,
                     rlen,
                     shard,
-                    shard * 10_000_000 + placed,
+                    # seq unique per (shard, local bin): 64-bit compose —
+                    # bins per shard can't exceed rows per shard, and a
+                    # shard holding 2^32 docs would be mis-sharded long
+                    # before this aliases (vs the old decimal-base compose
+                    # which silently collided past 10M bins).
+                    (shard << 32) | placed,
                     capacity - bins[placed],
                     rlen > capacity,
                 )

@@ -597,11 +597,15 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The selective customer filter is broadcast into orders (no shuffle for
-    the dim join however large orders grows); only the surviving orders shuffle
-    against lineitem on the join key. The final top-10 is TakeOrderedAndProject
-    — per-partition heaps + a driver merge, never a global sort. Ties broken by
-    unique l_orderkey so the limit is deterministic across engines."""
+    """The BUILDING-segment customer keys join into orders UNHINTED: that
+    side is ~1/5 of `customer`, which grows with SF (≈3 B keys at the 100 TB
+    point), so a forced broadcast hint would override Spark's size check and
+    OOM exactly where an unhinted plan falls back to shuffle — AQE still
+    picks BroadcastHashJoin at every SF where the side fits. Only the
+    surviving orders shuffle against lineitem on the join key. The final
+    top-10 is TakeOrderedAndProject — per-partition heaps + a driver merge,
+    never a global sort. Ties broken by unique l_orderkey so the limit is
+    deterministic across engines."""
     cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
     c = (
         load_table(spark, sf_dir, "customer")
@@ -620,7 +624,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey), F.col("l_orderkey") == o.o_orderkey)
+        li.join(o.join(c, o.o_custkey == c.c_custkey), F.col("l_orderkey") == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(exact_sum(rev, "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")

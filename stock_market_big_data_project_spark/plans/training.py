@@ -1118,8 +1118,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.5 s at sf0.1; ~0.7 s with the persist). The cached table is the
     # compacted counts (≤ docs × 256 rows), not the corpus; at 100 TB
     # this is the "write the profile table once, read it twice" step a
-    # real pipeline would stage to parquet.
-    nb = nb.persist()
+    # real pipeline would stage to parquet. localCheckpoint (not
+    # persist): a bare persist is retained for the session lifetime —
+    # across a 121-query sweep that accumulates executor storage with no
+    # release point — while checkpoint blocks are reclaimed by the
+    # ContextCleaner as soon as the returned plan is garbage-collected.
+    nb = nb.localCheckpoint(eager=True)
     is_t = F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))
     lm = nb.groupBy("b").agg(
         F.sum("c").alias("c_r"), F.sum(is_t).alias("c_t")
@@ -1317,14 +1321,16 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         quality_score(F.col("text")).alias("q"),
     )
-    dup_keys = (
-        base.groupBy("text_md5")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .select("text_md5")
-    )
-    flagged = base.join(
-        F.broadcast(dup_keys.withColumn("_dup", F.lit(1))), "text_md5", "left"
+    # Dup exposure via a window over text_md5 — ONE corpus shuffle on the
+    # 128-bit key, no join. The first draft broadcast the dup-key set;
+    # that side scales with corpus duplicate exposure (commonly 20-40% of
+    # a crawl), so a forced broadcast hint is a driver OOM at 100×. Never
+    # hint a side whose size is a function of SF.
+    flagged = base.withColumn(
+        "_dup",
+        (F.count(F.lit(1)).over(Window.partitionBy("text_md5")) > 1).cast(
+            "int"
+        ),
     )
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -109,8 +109,10 @@ class ManifestShardWriter(DataSourceWriter):
             json.dump(manifest, fh, indent=1)
 
     def abort(self, messages):
+        # Spark passes None for failed/unfinished tasks — filter them or
+        # `m.path` raises and masks the original task failure.
         for m in messages:
-            if m.path:
+            if m is not None and m.path:
                 try:
                     os.remove(os.path.join(self.path, m.path))
                 except OSError:
@@ -151,10 +153,21 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 "fingerprint": 0,
                 "key_column": self.key_col,
             }
-        known = {s["file"] for s in manifest["shards"]}
+        if any(s.get("batch") == batchId for s in manifest["shards"]):
+            # Replayed batch (crash between sink commit and checkpoint
+            # commit): the epoch is already in the manifest. Shard file
+            # names are uuid4-per-task-attempt, so the re-run's files are
+            # brand new — dedup MUST key on batchId, never on file name.
+            # Drop the re-run's unlisted shard files so readers that
+            # trust the manifest stay exactly-once AND the directory
+            # doesn't accumulate orphans.
+            for s in new:
+                try:
+                    os.remove(os.path.join(self.path, s["file"]))
+                except OSError:
+                    pass
+            return
         for s in new:
-            if s["file"] in known:  # replayed batch: already committed
-                continue
             manifest["shards"].append(s)
             manifest["n_rows"] += s["n_rows"]
             manifest["fingerprint"] ^= s["fp"]

@@ -76,3 +76,61 @@ def test_fingerprint_is_layout_invariant(spark, tmp_path):
     assert (
         read_manifest(p1)["fingerprint"] == read_manifest(p2)["fingerprint"]
     )
+
+
+def _fake_commit(path, name, n_rows, fp):
+    from stock_market_big_data_project_spark.sources.manifest_sink import (
+        _ShardCommit,
+    )
+
+    with open(os.path.join(path, name), "wb") as fh:
+        fh.write(b"x")
+    return _ShardCommit(name, n_rows, fp)
+
+
+def test_stream_replayed_batch_dedups_by_batch_id(tmp_path):
+    # Crash between sink commit and checkpoint commit: Spark re-runs the
+    # batch with the SAME batchId but all-NEW uuid4 shard names. The
+    # manifest must not double-list the epoch, and the re-run's orphan
+    # files must be removed from the directory.
+    from stock_market_big_data_project_spark.sources.manifest_sink import (
+        ManifestStreamWriter,
+    )
+
+    path = str(tmp_path / "replay")
+    os.makedirs(path)
+    w = ManifestStreamWriter({"path": path, "keyColumn": "k"}, None)
+
+    first = [_fake_commit(path, "shard-aaa.parquet", 5, 0b101)]
+    w.commit(first, batchId=0)
+    m = read_manifest(path)
+    assert m["n_rows"] == 5 and len(m["shards"]) == 1
+
+    # replay of batch 0 under fresh names
+    replay = [_fake_commit(path, "shard-bbb.parquet", 5, 0b101)]
+    w.commit(replay, batchId=0)
+    m = read_manifest(path)
+    assert m["n_rows"] == 5
+    assert [s["file"] for s in m["shards"]] == ["shard-aaa.parquet"]
+    assert not os.path.exists(os.path.join(path, "shard-bbb.parquet"))
+
+    # a genuinely new epoch still appends
+    w.commit([_fake_commit(path, "shard-ccc.parquet", 2, 0b011)], batchId=1)
+    m = read_manifest(path)
+    assert m["n_rows"] == 7 and len(m["shards"]) == 2
+    assert m["fingerprint"] == (0b101 ^ 0b011)
+
+
+def test_abort_tolerates_none_messages(tmp_path):
+    # Spark passes None commit messages for failed/unfinished tasks;
+    # abort must skip them instead of raising and masking the failure.
+    from stock_market_big_data_project_spark.sources.manifest_sink import (
+        ManifestShardWriter,
+    )
+
+    path = str(tmp_path / "abort")
+    os.makedirs(path)
+    w = ManifestShardWriter({"path": path, "keyColumn": "k"}, None)
+    live = _fake_commit(path, "shard-live.parquet", 1, 1)
+    w.abort([None, live, None])
+    assert not os.path.exists(os.path.join(path, "shard-live.parquet"))

@@ -52,7 +52,7 @@ def _reference_ffd(rows, capacity):
                 bins.append(capacity)
             out[rid] = (
                 shard,
-                shard * 10_000_000 + placed,
+                (shard << 32) | placed,
                 capacity - bins[placed],
                 rlen > capacity,
             )
