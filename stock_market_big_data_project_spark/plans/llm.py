@@ -867,7 +867,7 @@ def multimodal_pipeline_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "multimodal_byte_histogram",
     oracle=f"""
     WITH {_HEXDOCS},
@@ -1268,7 +1268,7 @@ def pii_redact_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- ANN recall evaluation (r5) ----------------------------------------------------
-@register_local(
+@register(
     "ann_recall_eval",
     oracle=f"""
     WITH {_VECS},
@@ -1557,7 +1557,7 @@ _SEMDEDUP_CELLS = """
 """
 
 
-@register_local(
+@register(
     "embedding_semantic_dedup",
     oracle=f"""
     WITH RECURSIVE {_VECS},

@@ -998,7 +998,7 @@ def melt_union_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Sessionization (gaps-and-islands) ---------------------------------------
-@register(
+@register_local(
     "sessionize_events",
     oracle="""
     WITH flagged AS (
@@ -1100,7 +1100,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # low-value records are tombstones. One window over the union — O(delta),
 # not O(history) (operators/merge.py).
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "merge_upsert_snapshot",
     oracle="""
     WITH tagged AS (
@@ -1151,7 +1151,7 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the batch twin of streaming/ingest.py::interval_join_streams, and the
 # range-join family the as-of join (OP-26) generalizes.
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "interval_join_purchase_click",
     oracle="""
     SELECT p.user_id,
@@ -1626,7 +1626,7 @@ def manifest_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register_local(
+@register(
     "streaming_manifest_export_parity",
     oracle=_feed_oracle_sql(_FEED_N),
 )

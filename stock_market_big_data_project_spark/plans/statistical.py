@@ -219,7 +219,7 @@ def correlation_pairs_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("granger_causality")  # no oracle: iterative OLS + F-sf, rows-only check
+@register_local("granger_causality")  # no oracle: iterative OLS + F-sf, rows-only check
 def granger_causality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-65 (analysis_part/main.py:58-78) — does each other event series
     Granger-cause 'click', per symbol, lags 1..5? applyInPandas UDTF with
@@ -364,7 +364,7 @@ def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # No oracle (HLL++ / KLL internals are engine-specific); accuracy is bounded
 # against the exact answers in tests/test_sketches.py instead.
 # --------------------------------------------------------------------------
-@register("approx_sketch_bundle")  # no oracle: sketch estimates, rows-only check
+@register_local("approx_sketch_bundle")  # no oracle: sketch estimates, rows-only check
 def approx_sketch_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch twins in ONE pass: HyperLogLog++ distinct users (rsd 1%)
     and KLL-style p50/p90/p99 value quantiles per event_type. One groupBy,

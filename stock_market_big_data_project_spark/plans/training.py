@@ -567,7 +567,7 @@ def streaming_clean_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --- streaming near-dup dedup (the LIVE append path) -------------------------------
-@register_local(
+@register(
     "streaming_near_dup_parity",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(n=3)}),
@@ -994,7 +994,7 @@ EAGER_ITERATIVE.update(
 _DSIR_B = 256
 
 
-@register_local(
+@register(
     "dsir_importance_weights",
     oracle=f"""
     WITH t AS (
@@ -1220,7 +1220,7 @@ def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYS_K = 100
 
 
-@register_local(
+@register(
     "token_weighted_systematic_sample",
     oracle=f"""
     WITH dl AS (

@@ -73,10 +73,13 @@ def test_forecast_query_shape(spark, sf_dir):
 
 
 def test_granger_query_shape(spark, sf_dir):
-    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        load_all_plans,
+    )
 
     load_all_plans()
-    pdf = QUERIES["granger_causality"](spark, sf_dir).toPandas()
+    pdf = LOCAL_QUERIES["granger_causality"](spark, sf_dir).toPandas()
     ok = pdf[pdf["error"].isna()]
     assert set(ok["lag"].unique()) <= {1, 2, 3, 4, 5}
     assert ((ok["p_value"] >= 0) & (ok["p_value"] <= 1)).all()

@@ -147,7 +147,10 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, events_stream_dir):
     the replayed fixture must produce exactly the batch range join's rows —
     inner interval joins emit results as matches arrive, so even the final
     watermark leaves nothing held back on a finite replay."""
-    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        load_all_plans,
+    )
     from stock_market_big_data_project_spark.streaming.ingest import (
         interval_join_streams,
     )
@@ -161,6 +164,8 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir, events_stream_dir):
     }
     want = {
         (r["user_id"], r["purchase_id"], r["click_id"], r["gap_micros"])
-        for r in QUERIES["interval_join_purchase_click"](spark, sf_dir).collect()
+        for r in LOCAL_QUERIES["interval_join_purchase_click"](
+            spark, sf_dir
+        ).collect()
     }
     assert got == want and len(want) > 0
