@@ -210,6 +210,18 @@ def main() -> None:
     timings = run_set(HEADLINE)
     extra = run_set(EXTRA)
 
+    # Opt-in full-registry sweep (SPARK_GRAFT_BENCH_ALL=1): time every
+    # registered query not already covered above, once each, into the
+    # detail file's "extra" map — makes the "N timed of M registered"
+    # coverage claim literal. Off by default: the untimed remainder is
+    # narrow single-op local queries whose plans are subsumed by the
+    # bundles timed above, and n_runs=1 numbers are first-run (JIT-cold)
+    # costs, not steady-state plan costs.
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        covered = set(HEADLINE) | set(EXTRA)
+        rest = sorted(n for n in all_queries if n not in covered)
+        extra.update(run_set(rest, n_runs=1))
+
     # Streaming replay: the whole events fixture as one AvailableNow
     # micro-batch through the watermarked hourly aggregate — measures the
     # incremental-execution path (state store, watermark bookkeeping), which
