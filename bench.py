@@ -128,6 +128,9 @@ EXTRA = [
     "pysource_quote_feed",
     "manifest_export_roundtrip",
     "corpus_stats_card",
+    # round-6. streaming_semdedup_parity is excluded for the same
+    # replay-at-call-time reason as the other streaming parity queries.
+    "two_stage_agg_hot_keys",
 ]
 
 

@@ -23,6 +23,7 @@ STREAMING_HARNESS = {
     "streaming_stateful_ffill_parity",
     "streaming_clean_corpus_parity",
     "streaming_near_dup_parity",
+    "streaming_semdedup_parity",
     "streaming_pysource_ticks_parity",
     "streaming_manifest_export_parity",
 }
@@ -91,12 +92,26 @@ TINY_CROSS_OK = {
                                   # ratio denominator
     "token_weighted_systematic_sample",  # 1-row total-tokens scalar for
                                          # the pick-point spacing
+    "corpus_stats_card",          # the near-dup constituent's 1-row
+                                  # corpus-count scalar (same cut as
+                                  # dedup_ngram_jaccard)
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup
 # chain: index + sizes + candidates + verify + CC iterations) sits at 14;
 # anything above this is a restructuring smell, not a tuning knob.
 MAX_EXCHANGES = 16
+
+# Composed "report" queries that deliberately chain several
+# individually-audited pipelines into ONE DAG get a documented per-query
+# ceiling: their exchange count is the SUM of their audited constituents,
+# not a restructuring smell in any single one.
+WIDE_PLAN_OK = {
+    # base rollup (2) + the ngram-Jaccard near-dup chain (≈ the audited
+    # dedup_ngram_jaccard width) + the contamination shingle chain (≈ the
+    # audited contamination_ngram_overlap width), joined per doc_id
+    "corpus_stats_card": 40,
+}
 
 
 def plan_facts(df: DataFrame) -> dict:
@@ -156,8 +171,9 @@ def red_flags(name: str, facts: dict) -> list[str]:
         flags.append(
             f"{name}: Python stage not on the Arrow-batched allowlist"
         )
-    if facts["exchanges"] > MAX_EXCHANGES:
+    ceiling = WIDE_PLAN_OK.get(name, MAX_EXCHANGES)
+    if facts["exchanges"] > ceiling:
         flags.append(
-            f"{name}: {facts['exchanges']} exchanges > {MAX_EXCHANGES}"
+            f"{name}: {facts['exchanges']} exchanges > {ceiling}"
         )
     return flags

@@ -1291,6 +1291,41 @@ def token_weighted_systematic_sample(
       FROM documents
     ), dupes AS (
       SELECT text_md5 FROM base GROUP BY text_md5 HAVING count(*) > 1
+    ),
+    sh3 AS ({oracle_word_shingles(n=3)}),
+    hot AS (
+      SELECT shingle_hash FROM sh3 GROUP BY shingle_hash
+      HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ),
+    shc AS (
+      SELECT * FROM sh3
+      WHERE shingle_hash NOT IN (SELECT shingle_hash FROM hot)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM shc a JOIN shc b ON a.shingle_hash = b.shingle_hash
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near_pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    ),
+    near_ids AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT id_a AS doc_id FROM near_pairs
+        UNION ALL SELECT id_b AS doc_id FROM near_pairs
+      )
+    ),
+    sh5 AS ({oracle_word_shingles(5)}),
+    bench AS (SELECT DISTINCT shingle_hash FROM sh5 WHERE doc_id % 50 = 0),
+    cont_ids AS (
+      SELECT DISTINCT doc_id FROM sh5
+      WHERE doc_id % 50 != 0
+        AND shingle_hash IN (SELECT shingle_hash FROM bench)
     )
     SELECT source,
            count(*) AS n_docs,
@@ -1300,18 +1335,34 @@ def token_weighted_systematic_sample(
              AS n_en,
            CAST(sum(CASE WHEN base.text_md5 IN (SELECT text_md5 FROM dupes)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+           CAST(sum(CASE WHEN base.doc_id IN (SELECT doc_id FROM near_ids)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_docs,
+           CAST(sum(CASE WHEN base.doc_id IN (SELECT doc_id FROM cont_ids)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated_docs,
            round(CAST(sum(CAST(q AS DECIMAL(28,15))) AS DOUBLE)
                  / count(*), 9) AS mean_quality
     FROM base GROUP BY source
     """,
 )
 def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus "data card" in one pass: per-source document/token
-    counts, language spread, exact-duplicate exposure, and mean quality
-    — the datasheet a training-data release ships with, as a query over
-    the same engine (one narrow map + one md5 dup aggregate + one
-    source rollup; everything decimal-exact or integer, so the card is
-    bit-reproducible)."""
+    """The corpus "data card": per-source document/token counts, language
+    spread, exact-duplicate exposure, NEAR-duplicate exposure (3-gram
+    Jaccard ≥ 0.3, the dedup stage's own pair definition), benchmark
+    contamination rate (shared word 5-grams, the contamination query's
+    definition), and mean quality — the datasheet a training-data release
+    ships with (r6 extends the r5 card with the near-dup/contamination
+    columns the release datasheet also wants).
+
+    Scale shape: the base stats stay ONE corpus scan + one md5-keyed dup
+    window + one source rollup. The near-dup and contamination columns
+    reuse the SAME plans the dedup/contamination stages already run — in
+    a real pipeline both pair/hit tables are materialized by those stages
+    and the card joins their distinct doc-id sides UNHINTED (each scales
+    with the corpus, so no broadcast hint; AQE picks the strategy).
+    Everything decimal-exact or integer, so the card is bit-reproducible."""
+    from ..operators.text import word_shingles
+
     d = _docs(spark, sf_dir)
     base = d.select(
         "doc_id",
@@ -1332,6 +1383,36 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+    # Near-dup exposure: both sides of every verified 3-gram Jaccard pair
+    # (the dedup family's exact definition, stop-shingle cut included).
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3, max_doc_frac=0.05
+    )
+    near_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    # Contamination: ≥1 word 5-gram shared with the benchmark slice
+    # (doc_id % 50 == 0 stand-in — same recipe as
+    # contamination_ngram_overlap). The benchmark shingle set is the one
+    # justified broadcast: a real benchmark is fixed-size (MBs),
+    # independent of corpus SF.
+    sh5 = word_shingles(d, "doc_id", "text", 5)
+    bench = (
+        sh5.filter(F.col("doc_id") % 50 == 0).select("shingle_hash").distinct()
+    )
+    cont_ids = (
+        sh5.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "shingle_hash")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(1))
+    )
+    flagged = flagged.join(near_ids, "doc_id", "left").join(
+        cont_ids, "doc_id", "left"
+    )
     return flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
@@ -1342,6 +1423,12 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_dup") == 1, 1).otherwise(0))
         .cast("bigint")
         .alias("n_exact_dup_docs"),
+        F.sum(F.when(F.col("_near") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_dup_docs"),
+        F.sum(F.when(F.col("_cont") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated_docs"),
         F.round(
             F.sum(F.col("q").cast("decimal(28,15)")).cast("double")
             / F.count(F.lit(1)),

@@ -139,6 +139,29 @@ def read_documents_stream(
     )
 
 
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, dir_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source replay of a live embedding append feed (vectors arrive
+    as documents are embedded) — the ingest side of the streaming
+    SemDeDup / incremental IVF-assignment path."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .format("parquet")
+        .load(dir_path)
+    )
+
+
 def clean_corpus_stream(stream: DataFrame) -> DataFrame:
     """The C4-style cleaning chain on a LIVE stream: language-ID → quality
     score → threshold filter (identical expressions to the batch
