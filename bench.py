@@ -131,6 +131,7 @@ EXTRA = [
     # round-6. streaming_semdedup_parity is excluded for the same
     # replay-at-call-time reason as the other streaming parity queries.
     "two_stage_agg_hot_keys",
+    "unimax_source_allocation",
 ]
 
 

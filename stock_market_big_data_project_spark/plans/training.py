@@ -1435,3 +1435,60 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mean_quality"),
     )
+
+
+# --- UniMax training-mix allocation (r6) -------------------------------------------
+@register_local(
+    "unimax_source_allocation",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), base AS (
+      SELECT source, n_tokens, n_tokens AS cap,
+             (19 * SUM(n_tokens) OVER ()) // 20 AS t
+      FROM tok
+    ), o AS (
+      SELECT *, row_number() OVER (ORDER BY cap, source) AS i,
+             count(*) OVER () AS s,
+             SUM(cap) OVER (ORDER BY cap, source) AS pref
+      FROM base
+    ), c AS (
+      SELECT *, CASE WHEN cap * (s - i + 1) <= t - (pref - cap)
+                     THEN i ELSE 0 END AS ci
+      FROM o
+    ), mm AS (SELECT *, max(ci) OVER () AS m FROM c),
+    fin AS (
+      SELECT *, max(CASE WHEN i = m THEN pref ELSE 0 END) OVER () AS pref_m
+      FROM mm
+    )
+    SELECT source, n_tokens, cap,
+           CAST(CASE WHEN i <= m THEN cap
+                ELSE (t - pref_m) // (s - m)
+                     + CASE WHEN i - m <= (t - pref_m) % (s - m)
+                            THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc
+    FROM fin
+    """,
+)
+def unimax_source_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax training-mix allocation (Chung et al. 2023): split a total
+    token budget (19/20 of the corpus here) across sources as uniformly
+    as possible, capping each source at 1 epoch of its own tokens — the
+    waterfilling solution, in closed form (operators/mixing.py). Chosen
+    over temperature sampling (weights ∝ n^α) because the waterfill is
+    pure integer arithmetic — bit-exact, cross-engine verifiable — where
+    `pow`'s last ulp is libm-dependent. The corpus-sized work is ONE
+    per-source token aggregate; the waterfill itself runs windowed over
+    the per-source table (one row per source — driver-size by
+    construction, like the DSIR LM table). Feeds
+    `token_weighted_systematic_sample` per source to realize the drawn
+    quota as an actual document sample."""
+    from ..operators.mixing import unimax_waterfill
+
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    budget = F.expr("(19 * sum(n_tokens) over ()) div 20")
+    return unimax_waterfill(counts, "source", "n_tokens", budget, epochs=1)
