@@ -132,6 +132,7 @@ EXTRA = [
     # replay-at-call-time reason as the other streaming parity queries.
     "two_stage_agg_hot_keys",
     "unimax_source_allocation",
+    "quality_classifier_train",
 ]
 
 

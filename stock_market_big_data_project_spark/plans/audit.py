@@ -73,6 +73,9 @@ PYTHON_STAGE_OK = {
                                          # Arrow pass
     "ann_recall_eval",               # cosine_topk/ivf matmul prescreens
                                      # inside the recall evaluation
+    "quality_classifier_train",      # Arrow matmul gradient pass (weights
+                                     # in closure — avoids per-iteration
+                                     # codegen recompile)
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

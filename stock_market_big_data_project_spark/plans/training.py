@@ -1492,3 +1492,74 @@ def unimax_source_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budget = F.expr("(19 * sum(n_tokens) over ()) div 20")
     return unimax_waterfill(counts, "source", "n_tokens", budget, epochs=1)
+
+
+# --- in-engine quality classifier (r6) ---------------------------------------------
+@register_local("quality_classifier_train")  # no oracle BY DESIGN: iterative
+# float GD is not SQL-expressible bit-exactly (exp/log); the strong check
+# is the numpy differential in tests/test_classifier.py (weight atol,
+# exact final-prediction agreement, monotone loss) — the same declaration
+# as the k-means and BPE trainers.
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the heuristic quality score into a linear model (the
+    fastText-style quality-classifier pattern training pipelines use):
+    weak labels = quality_score >= 0.9 (the corpus median sits at ~0.95, so the classes are balanced enough to learn), features = 64-dim signed-hash
+    bag of words (the doc_feature_hashing featurizer, densified), model =
+    logistic regression by distributed batch GD
+    (operators/classifier.py). The hashed dims carry token identity; two
+    engineered dims (length saturation, stopword ratio) carry the
+    document statistics a pure bag-of-hashes cancels. Featurization is
+    ONE staged pass (localCheckpoint'd); each of the 8 registered-demo
+    iterations (the operator API takes arbitrary n_iter — the test
+    suite trains 40) is ONE Arrow matmul pass emitting per-batch
+    partial gradients — the driver holds only the weight vector, like the
+    k-means centroid grid. Returns (dim, weight) with dim=-1 the
+    intercept and dim=-2 the final mean log-loss — the persistable model
+    that then scores future ingest at one narrow map per document."""
+    from ..operators.classifier import hashed_dense_features, train_logreg
+
+    d = _docs(spark, sf_dir)
+    labeled = d.select(
+        "doc_id",
+        "text",
+        (quality_score(F.col("text")) >= 0.9).cast("int").alias("label"),
+    )
+    feats = hashed_dense_features(labeled, "doc_id", "text").join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    w, b, losses = train_logreg(feats, "label", lr=8.0, n_iter=8)
+    rows = (
+        [(-2, float(losses[-1])), (-1, float(b))]
+        + [(i, float(w[i])) for i in range(len(w))]
+    )
+    return spark.createDataFrame(rows, "dim int, weight double")
+
+
+def _logreg_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-GD-iteration constituent of quality_classifier_train
+    (featurize → Arrow partial-gradient pass) — audited in place of the
+    eager trainer's LocalTableScan output."""
+    from ..operators.classifier import (
+        N_DIMS,
+        gradient_partials,
+        hashed_dense_features,
+    )
+
+    d = _docs(spark, sf_dir)
+    labeled = d.select(
+        "doc_id",
+        "text",
+        (quality_score(F.col("text")) >= 0.9).cast("int").alias("label"),
+    )
+    feats = hashed_dense_features(labeled, "doc_id", "text").join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    staged = feats.select(
+        F.col("features").alias("x"), F.col("label").cast("double").alias("y")
+    )
+    return gradient_partials(staged, [0.0] * N_DIMS, 0.0)
+
+
+EAGER_ITERATIVE.update(
+    {"quality_classifier_train": _logreg_iteration_plan}
+)

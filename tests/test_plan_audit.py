@@ -85,7 +85,11 @@ def test_eager_iterative_list_is_current(spark):
     load_all_plans()
     registered = {**LOCAL_QUERIES, **QUERIES}
     assert set(EAGER_ITERATIVE) <= set(registered)
-    iterative_trainers = {"bpe_learn_merges", "embedding_kmeans_train"}
+    iterative_trainers = {
+        "bpe_learn_merges",
+        "embedding_kmeans_train",
+        "quality_classifier_train",
+    }
     for name, builder in EAGER_ITERATIVE.items():
         assert (
             "cluster" in name
