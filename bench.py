@@ -133,6 +133,8 @@ EXTRA = [
     "two_stage_agg_hot_keys",
     "unimax_source_allocation",
     "quality_classifier_train",
+    "doc_context_windows",
+    "substring_dup_spans",
 ]
 
 

@@ -249,3 +249,104 @@ def token_chunks(
         ).alias("chunk")
     )
     return chunks.withColumn("chunk_hash", md5_hash64(F.col("chunk")))
+
+
+def context_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping `size`-token context windows at
+    `stride` (the over-length-document preparation step before sequence
+    packing: window w covers 1-based token positions
+    [w·stride+1, w·stride+size]). Each token fans out to the windows that
+    contain it — an explode factor of ≤ size/stride, paid once — and the
+    windows assemble in the SAME doc-keyed shuffle the position window
+    already needs (the token_chunks idiom). Window bounds use only
+    nonnegative integer division, so Spark's truncating `DIV` and
+    DuckDB's flooring `//` agree and the output is bit-exact
+    cross-engine. Returns (id, window_id, win_start, n_win_tokens,
+    window_text).
+    """
+    sc = df.sparkSession.sparkContext
+    docs = df.repartition(sc.defaultParallelism, id_col)
+    toks = exploded_tokens(docs, id_col, text_col)
+    w_hi = F.expr(f"CAST((pos - 1) DIV {stride} AS INT)")
+    w_lo = F.when(F.col("pos") <= size, F.lit(0)).otherwise(
+        F.expr(f"CAST((pos - {size} + {stride} - 1) DIV {stride} AS INT)")
+    )
+    fanned = toks.select(
+        id_col,
+        "pos",
+        "tok",
+        F.explode(F.sequence(w_lo, w_hi)).alias("window_id"),
+    )
+    return fanned.groupBy(id_col, "window_id").agg(
+        F.min(F.col("window_id") * stride + 1).alias("win_start"),
+        F.count(F.lit(1)).cast("int").alias("n_win_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("window_text"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated token spans (the span form of exact substring
+    dedup, Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better", adapted from suffix arrays to the relational
+    surface): a position is covered iff a k-token gram starting there
+    occurs more than once in the corpus (by hash, position-aware —
+    word_shingles dedups per doc, so gram positions are rebuilt here);
+    runs of covered start positions closer than k merge into maximal
+    [span_start, span_end] intervals per document via gaps-and-islands.
+    Plan shape: one corpus-wide gram-frequency aggregate on the 60-bit
+    gram hash (map-side combined) + one doc-keyed shuffle for the gram
+    build and the island merge — no suffix array, no quadratic join;
+    at 100 TB the frequency table is the only corpus-sized shuffle.
+    Returns (id, span_start, span_end, n_grams) — end position is the
+    last token INDEX covered (start of last dup gram + k - 1).
+    """
+    sc = df.sparkSession.sparkContext
+    docs = df.repartition(sc.defaultParallelism, id_col)
+    toks = exploded_tokens(docs, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    gram = F.when(
+        F.lead("tok", k - 1).over(w).isNotNull(), F.concat_ws(" ", *parts)
+    )
+    grams = toks.select(
+        id_col, "pos", md5_hash64(gram).alias("gh")
+    ).filter(F.col("gh").isNotNull())
+    freq = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
+    dup = grams.join(freq.filter(F.col("n") > 1), "gh").select(id_col, "pos")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("prev", F.lag("pos").over(wd)).withColumn(
+        "new_span",
+        F.when(
+            F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+        ).otherwise(0),
+    )
+    span_id = F.sum("new_span").over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        islands.withColumn("span", span_id)
+        .groupBy(id_col, "span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_grams")
+    )

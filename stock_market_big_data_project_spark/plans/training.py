@@ -1563,3 +1563,114 @@ def _logreg_iteration_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 EAGER_ITERATIVE.update(
     {"quality_classifier_train": _logreg_iteration_plan}
 )
+
+
+# --- overlapping context windows (r6) ------------------------------------------------
+@register_local(
+    "doc_context_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents
+    ), fanned AS (
+      SELECT doc_id, pos, tok,
+             unnest(range(
+               CASE WHEN pos <= 32 THEN 0
+                    ELSE (pos - 32 + 24 - 1) // 24 END,
+               (pos - 1) // 24 + 1)) AS window_id
+      FROM toks
+    )
+    SELECT doc_id, CAST(window_id AS INT) AS window_id,
+           CAST(window_id * 24 + 1 AS INT) AS win_start,
+           CAST(count(*) AS INT) AS n_win_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS window_md5
+    FROM fanned GROUP BY doc_id, window_id
+    """,
+)
+def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-length documents split into overlapping 32-token context
+    windows at stride 24 (the chunk-to-context-length preparation step
+    feeding sequence packing; the 8-token overlap preserves cross-
+    boundary context the disjoint token_chunks form loses). Each token
+    fans out to ≤ size/stride windows in one explode; windows assemble
+    in the same doc-keyed shuffle the position window needs
+    (operators/text.py::context_windows). Window bounds are nonnegative
+    integer division only — truncating DIV ≡ flooring // — so the split
+    is bit-exact cross-engine; window text is md5-fingerprinted so the
+    oracle checks exact bytes without hauling strings."""
+    from ..operators.text import context_windows
+
+    d = _docs(spark, sf_dir)
+    return context_windows(d, "doc_id", "text", size=32, stride=24).select(
+        "doc_id",
+        F.col("window_id").cast("int").alias("window_id"),
+        F.col("win_start").cast("int").alias("win_start"),
+        "n_win_tokens",
+        F.md5("window_text").alias("window_md5"),
+    )
+
+
+# --- duplicated-substring spans (r6) -------------------------------------------------
+_SPAN_K = 8
+_SPAN_LEADS = ", ".join(
+    ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, _SPAN_K)]
+)
+
+
+@register_local(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents
+    ), g AS (
+      SELECT doc_id, pos,
+             CASE WHEN lead(tok, {_SPAN_K - 1}) OVER w IS NOT NULL
+                  THEN concat_ws(' ', {_SPAN_LEADS}) END AS gram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), grams AS (
+      SELECT doc_id, pos, {oracle_md5_hash64("gram")} AS gh
+      FROM g WHERE gram IS NOT NULL
+    ), freq AS (
+      SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1
+    ), dup AS (
+      SELECT doc_id, pos FROM grams
+      WHERE gh IN (SELECT gh FROM freq)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER wd IS NULL
+                       OR pos - lag(pos) OVER wd > {_SPAN_K}
+                  THEN 1 ELSE 0 END AS ns
+      FROM dup WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+    ), sp AS (
+      SELECT doc_id, pos,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {_SPAN_K - 1} AS INT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM sp GROUP BY doc_id, span
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING spans (Lee et al. 2021's suffix-array
+    dedup, re-expressed relationally): every position starting a k=8
+    token gram that occurs more than once in the corpus is covered;
+    covered positions within k of each other merge into maximal
+    [span_start, span_end] intervals per document (gaps-and-islands).
+    Finer than chunk_dedup_c4 (which only sees aligned 16-token chunks):
+    spans catch duplicated passages at ANY offset. One corpus-sized
+    gram-frequency aggregate + one doc-keyed island merge — no suffix
+    array, no quadratic join (operators/text.py::duplicated_spans)."""
+    from ..operators.text import duplicated_spans
+
+    d = _docs(spark, sf_dir)
+    return duplicated_spans(d, "doc_id", "text", k=_SPAN_K).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )

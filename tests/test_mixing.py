@@ -89,3 +89,42 @@ def test_waterfill_partitioning_invariant(spark):
             ).collect()
         }
         assert got == base
+
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HYP = settings(
+    max_examples=int(os.environ.get("HYP_EXAMPLES", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_sizes_st = st.dictionaries(
+    st.integers(min_value=0, max_value=50).map(lambda i: f"s{i}"),
+    st.integers(min_value=0, max_value=5_000),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    sizes=_sizes_st,
+    budget=st.integers(min_value=0, max_value=20_000),
+    epochs=st.integers(min_value=1, max_value=3),
+)
+@_HYP
+def test_waterfill_matches_reference_random(spark, sizes, budget, epochs):
+    df = spark.createDataFrame(
+        [(k, n) for k, n in sizes.items()], "src string, n_tokens long"
+    )
+    got = {
+        r["src"]: r["alloc"]
+        for r in unimax_waterfill(
+            df, "src", "n_tokens", budget, epochs
+        ).collect()
+    }
+    want = _reference_waterfill(sizes, budget, epochs)
+    assert got == want
