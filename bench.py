@@ -135,6 +135,7 @@ EXTRA = [
     "quality_classifier_train",
     "doc_context_windows",
     "substring_dup_spans",
+    "source_overlap_matrix",
 ]
 
 

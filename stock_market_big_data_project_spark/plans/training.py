@@ -1674,3 +1674,80 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("int").alias("span_end"),
         F.col("n_grams").cast("long").alias("n_grams"),
     )
+
+
+# --- cross-source overlap matrix (r6) ------------------------------------------------
+@register_local(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH sh AS ({oracle_word_shingles(5)}),
+    ss AS (
+      SELECT DISTINCT d.source, sh.shingle_hash
+      FROM sh JOIN documents d USING (doc_id)
+    ), totals AS (
+      SELECT source, count(*) AS n_sh FROM ss GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM ss a JOIN ss b
+        ON a.shingle_hash = b.shingle_hash AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / (ta.n_sh + tb.n_sh - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN totals ta ON ta.source = source_a
+    JOIN totals tb ON tb.source = source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every source pair, the
+    count and Jaccard of shared distinct word 5-grams — the datasheet
+    view that shows which ingestion sources leak into each other (a
+    crawl re-hosting a wiki dump, two feeds syndicating the same wire).
+    Plan shape: the per-(source, shingle) distinct is one corpus shuffle
+    on the 60-bit hash; the self-join buckets are bounded by the SOURCE
+    count per shingle (≤ n_sources rows each → ≤ n_sources² pair rows
+    per shingle), so unlike document-level near-dup no stop-shingle cut
+    is needed — the output and every join bucket scale with sources²,
+    not corpus². Per-source totals ride the pair join as a window column
+    (the ngram_jaccard_pairs idiom — no totals table, no join back), and
+    the a/b branches are identical subtrees below their exchanges, so
+    ReuseExchange computes the shingle pipeline once."""
+    from ..operators.text import word_shingles
+
+    d = _docs(spark, sf_dir)
+    sh = word_shingles(d, "doc_id", "text", 5)
+    ss = (
+        sh.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle_hash")
+        .distinct()
+        .withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+    )
+    a = ss.select(
+        F.col("source").alias("source_a"),
+        F.col("n_sh").alias("na"),
+        "shingle_hash",
+    )
+    b = ss.select(
+        F.col("source").alias("source_b"),
+        F.col("n_sh").alias("nb"),
+        "shingle_hash",
+    )
+    shared = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.try_divide(
+        F.col("n_shared"), F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return shared.select(
+        "source_a",
+        "source_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(jac, 6).alias("jaccard"),
+    )
