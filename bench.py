@@ -136,6 +136,7 @@ EXTRA = [
     "doc_context_windows",
     "substring_dup_spans",
     "source_overlap_matrix",
+    "incremental_stats_card",
 ]
 
 

@@ -1751,3 +1751,135 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared").cast("long").alias("n_shared"),
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+# --- incremental data card via mergeable partials (r6) -------------------------------
+@register_local(
+    "incremental_stats_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             len({_TOKS}) AS n_tokens,
+             md5(text) AS text_md5,
+             round(LEAST(len({_TOKS}) / 50.0, 1.0) * 0.5
+                   + (1.0 - len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
+                       / len({_TOKS})) * 0.5, 6) AS q
+      FROM documents
+    ), dupes AS (
+      SELECT text_md5 FROM base GROUP BY text_md5 HAVING count(*) > 1
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           CAST(sum(CASE WHEN base.text_md5 IN (SELECT text_md5 FROM dupes)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+           round(CAST(sum(CAST(q AS DECIMAL(28,15))) AS DOUBLE)
+                 / count(*), 9) AS mean_quality
+    FROM base GROUP BY source
+    """,
+)
+def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card maintained INCREMENTALLY: docs with doc_id % 5 == 4
+    play a freshly-ingested delta (the dedup_incremental_minhash
+    convention); the at-rest corpus and the delta each produce MERGEABLE
+    partial state — per-(source) sums/counts, a per-(source, lang) count
+    table, and a per-(text_md5, source) count table — and the refreshed
+    card derives from the MERGED state alone. Neither slice's TEXT is
+    rescanned at merge time: tokenization/quality/md5 run once per slice,
+    and the merge is a union + re-aggregate of compacted state (state
+    sizes: sources, sources × langs, and distinct-docs rows — the md5
+    table is the only corpus-scale state, the same table the exact-dedup
+    MERGE path already maintains). The oracle recomputes the card from
+    the whole corpus from scratch — the hash match proves the merge
+    algebra (sums, counts, decimal quality totals, window-derived dup
+    exposure) is lossless, the same contract as sketch_merge_rollup but
+    exact. Defensive post-union repartition per the SCALE.md r5
+    union-partitioning note."""
+    sc = spark.sparkContext
+    d = _docs(spark, sf_dir)
+
+    def partials(slice_df):
+        b = slice_df.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            F.md5("text").alias("text_md5"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        per_source = b.groupBy("source").agg(
+            F.count(F.lit(1)).alias("p_docs"),
+            F.sum("n_tokens").alias("p_tokens"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
+                "p_en"
+            ),
+            F.sum(F.col("q").cast("decimal(28,15)")).alias("p_q"),
+        )
+        lang_counts = b.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("p_n")
+        )
+        md5_counts = b.groupBy("text_md5", "source").agg(
+            F.count(F.lit(1)).alias("p_n")
+        )
+        return per_source, lang_counts, md5_counts
+
+    at_rest = partials(d.filter(F.col("doc_id") % 5 != 4))
+    delta = partials(d.filter(F.col("doc_id") % 5 == 4))
+
+    # merge = union + re-aggregate of each compacted state table
+    per_source = (
+        at_rest[0]
+        .unionByName(delta[0])
+        .repartition(sc.defaultParallelism, "source")
+        .groupBy("source")
+        .agg(
+            F.sum("p_docs").alias("n_docs"),
+            F.sum("p_tokens").alias("s_tokens"),
+            F.sum("p_en").alias("s_en"),
+            F.sum("p_q").alias("s_q"),
+        )
+    )
+    langs = (
+        at_rest[1]
+        .unionByName(delta[1])
+        .repartition(sc.defaultParallelism, "source", "lang")
+        .groupBy("source", "lang")
+        .agg(F.sum("p_n").alias("n"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_langs"))
+    )
+    md5s = (
+        at_rest[2]
+        .unionByName(delta[2])
+        .repartition(sc.defaultParallelism, "text_md5")
+        .groupBy("text_md5", "source")
+        .agg(F.sum("p_n").alias("n"))
+    )
+    dup_per_source = (
+        md5s.withColumn(
+            "tot", F.sum("n").over(Window.partitionBy("text_md5"))
+        )
+        .filter(F.col("tot") > 1)
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_exact_dup_docs"))
+    )
+    return (
+        per_source.join(langs, "source")
+        .join(dup_per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("s_tokens").cast("bigint").alias("n_tokens"),
+            "n_langs",
+            F.col("s_en").cast("bigint").alias("n_en"),
+            F.coalesce(F.col("n_exact_dup_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.round(
+                F.col("s_q").cast("double") / F.col("n_docs"), 9
+            ).alias("mean_quality"),
+        )
+    )
