@@ -75,3 +75,92 @@ def test_exact_dedup_handles_null_text(spark):
 def test_ffd_packing_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_sequences_ffd(df, "doc_id", "n_tokens", capacity=64).count() == 0
+
+
+# --- round-6 operators --------------------------------------------------------------
+
+
+def test_context_windows_short_and_degenerate_docs(spark):
+    from stock_market_big_data_project_spark.operators.text import (
+        context_windows,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one"),
+            (4, " ".join(f"t{i}" for i in range(100))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = context_windows(d, "doc_id", "text", size=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # NULL/empty/blank docs produce no windows, never a crash
+    assert 1 not in by_doc and 2 not in by_doc
+    # a doc shorter than one window yields exactly one window
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_win_tokens"] == 1
+    # 100 tokens, size 32, stride 24 -> windows start at 1,25,49,73,97
+    w4 = sorted(by_doc[4], key=lambda r: r["window_id"])
+    assert [r["win_start"] for r in w4] == [1, 25, 49, 73, 97]
+    assert [r["n_win_tokens"] for r in w4] == [32, 32, 32, 28, 4]
+    # every token covered exactly ceil(overlap) times in total
+    assert sum(r["n_win_tokens"] for r in w4) == 100 + 3 * 8 + 4
+
+
+def test_duplicated_spans_no_dups_and_exact_copies(spark):
+    from stock_market_big_data_project_spark.operators.text import (
+        duplicated_spans,
+    )
+
+    uniq = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert duplicated_spans(uniq, "doc_id", "text", k=8).count() == 0
+
+    body = " ".join(f"x{j}" for j in range(20))
+    copies = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    spans = duplicated_spans(copies, "doc_id", "text", k=8).collect()
+    # each full copy is one maximal span covering the whole doc
+    assert len(spans) == 2
+    for r in spans:
+        assert (r["span_start"], r["span_end"]) == (1, 20)
+
+
+def test_classifier_single_class_labels(spark):
+    from stock_market_big_data_project_spark.operators.classifier import (
+        hashed_dense_features,
+        train_logreg,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i}", 1) for i in range(6)],
+        "doc_id long, text string, label int",
+    )
+    feats = hashed_dense_features(d, "doc_id", "text").join(
+        d.select("doc_id", "label"), "doc_id"
+    )
+    w, b, losses = train_logreg(feats, "label", n_iter=5)
+    # all-positive labels: loss decreases toward 0, nothing NaNs
+    assert all(x == x for x in w) and b == b
+    assert losses[-1] < losses[0]
+
+
+def test_waterfill_zero_budget_and_zero_sources(spark):
+    from stock_market_big_data_project_spark.operators.mixing import (
+        unimax_waterfill,
+    )
+
+    d = spark.createDataFrame(
+        [("a", 10), ("b", 0)], "src string, n_tokens long"
+    )
+    got = {
+        r["src"]: r["alloc"]
+        for r in unimax_waterfill(d, "src", "n_tokens", 0).collect()
+    }
+    assert got == {"a": 0, "b": 0}
