@@ -24,6 +24,7 @@ STREAMING_HARNESS = {
     "streaming_clean_corpus_parity",
     "streaming_near_dup_parity",
     "streaming_semdedup_parity",
+    "streaming_stats_card_parity",
     "streaming_pysource_ticks_parity",
     "streaming_manifest_export_parity",
 }

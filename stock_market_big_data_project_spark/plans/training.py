@@ -1754,9 +1754,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental data card via mergeable partials (r6) -------------------------------
-@register_local(
-    "incremental_stats_card",
-    oracle=f"""
+_CARD_ORACLE = f"""
     WITH base AS (
       SELECT doc_id, source, lang,
              len({_TOKS}) AS n_tokens,
@@ -1779,8 +1777,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CAST(q AS DECIMAL(28,15))) AS DOUBLE)
                  / count(*), 9) AS mean_quality
     FROM base GROUP BY source
-    """,
-)
+    """
+
+
+@register_local("incremental_stats_card", oracle=_CARD_ORACLE)
 def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data card maintained INCREMENTALLY: docs with doc_id % 5 == 4
     play a freshly-ingested delta (the dedup_incremental_minhash
@@ -1798,41 +1798,48 @@ def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     exposure) is lossless, the same contract as sketch_merge_rollup but
     exact. Defensive post-union repartition per the SCALE.md r5
     union-partitioning note."""
-    sc = spark.sparkContext
     d = _docs(spark, sf_dir)
+    at_rest = _card_partials(d.filter(F.col("doc_id") % 5 != 4))
+    delta = _card_partials(d.filter(F.col("doc_id") % 5 == 4))
+    return _card_from_partials(spark, [at_rest, delta])
 
-    def partials(slice_df):
-        b = slice_df.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.size(tokens(F.col("text"))).alias("n_tokens"),
-            F.md5("text").alias("text_md5"),
-            quality_score(F.col("text")).alias("q"),
-        )
-        per_source = b.groupBy("source").agg(
-            F.count(F.lit(1)).alias("p_docs"),
-            F.sum("n_tokens").alias("p_tokens"),
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias(
-                "p_en"
-            ),
-            F.sum(F.col("q").cast("decimal(28,15)")).alias("p_q"),
-        )
-        lang_counts = b.groupBy("source", "lang").agg(
-            F.count(F.lit(1)).alias("p_n")
-        )
-        md5_counts = b.groupBy("text_md5", "source").agg(
-            F.count(F.lit(1)).alias("p_n")
-        )
-        return per_source, lang_counts, md5_counts
 
-    at_rest = partials(d.filter(F.col("doc_id") % 5 != 4))
-    delta = partials(d.filter(F.col("doc_id") % 5 == 4))
+def _card_partials(slice_df: DataFrame):
+    """Mergeable data-card state for one corpus slice: per-source sums,
+    per-(source, lang) counts, per-(text_md5, source) counts."""
+    b = slice_df.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    per_source = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("p_docs"),
+        F.sum("n_tokens").alias("p_tokens"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("p_en"),
+        F.sum(F.col("q").cast("decimal(28,15)")).alias("p_q"),
+    )
+    lang_counts = b.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("p_n")
+    )
+    md5_counts = b.groupBy("text_md5", "source").agg(
+        F.count(F.lit(1)).alias("p_n")
+    )
+    return per_source, lang_counts, md5_counts
 
-    # merge = union + re-aggregate of each compacted state table
+
+def _card_from_partials(spark: SparkSession, parts) -> DataFrame:
+    """Derive the card from MERGED partial-state tables (union +
+    re-aggregate — no text rescan). `parts` is a list of
+    (per_source, lang_counts, md5_counts) triples."""
+    from functools import reduce
+
+    sc = spark.sparkContext
+    u = lambda i: reduce(lambda x, y: x.unionByName(y), [p[i] for p in parts])
     per_source = (
-        at_rest[0]
-        .unionByName(delta[0])
+        u(0)
         .repartition(sc.defaultParallelism, "source")
         .groupBy("source")
         .agg(
@@ -1843,8 +1850,7 @@ def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     langs = (
-        at_rest[1]
-        .unionByName(delta[1])
+        u(1)
         .repartition(sc.defaultParallelism, "source", "lang")
         .groupBy("source", "lang")
         .agg(F.sum("p_n").alias("n"))
@@ -1852,8 +1858,7 @@ def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_langs"))
     )
     md5s = (
-        at_rest[2]
-        .unionByName(delta[2])
+        u(2)
         .repartition(sc.defaultParallelism, "text_md5")
         .groupBy("text_md5", "source")
         .agg(F.sum("p_n").alias("n"))
@@ -1883,3 +1888,48 @@ def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+@register_local("streaming_stats_card_parity", oracle=_CARD_ORACLE)
+def streaming_stats_card_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE datasheet: the documents fixture replays as 3 micro-
+    batches; each batch compacts to the same mergeable partial state as
+    `incremental_stats_card` (per-source sums, (source, lang) counts,
+    (md5, source) counts) and APPENDS it to the at-rest state dirs —
+    per-tick work is delta-sized, text is scanned once, at tick time.
+    The card then derives from the accumulated state alone (union +
+    re-aggregate), and the full-corpus-recompute oracle hash-proves the
+    whole chain: per-batch compaction, append accounting, and merge
+    algebra. This is how a 100 TB pipeline keeps its release datasheet
+    current while ingesting — the stats twin of the streaming near-dup
+    and SemDeDup parities."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_documents_stream
+
+    td = tempfile.mkdtemp(prefix="stream_card_")
+    src = f"{td}/src"
+    dirs = [f"{td}/state_source", f"{td}/state_lang", f"{td}/state_md5"]
+    try:
+        _docs(spark, sf_dir).repartitionByRange(3, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            for part, path in zip(_card_partials(batch_df), dirs):
+                part.write.mode("append").parquet(path)
+
+        q = (
+            read_documents_stream(spark, src)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        state = [tuple(spark.read.parquet(p) for p in dirs)]
+        # localCheckpoint: the result must outlive the temp dirs
+        return _card_from_partials(spark, state).localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
