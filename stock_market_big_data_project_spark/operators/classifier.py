@@ -230,3 +230,21 @@ def reference_logreg(X, y, lr: float = 1.0, n_iter: int = 15):
 
 def sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def model_blob(w: list[float], bias: float) -> bytes:
+    """Pickle the trained classifier as a self-describing artifact — the
+    same model-registry-as-a-table convention as stats.py::fit_models
+    (OP-09): write it into a binary column, it rides parquet like data."""
+    import pickle
+
+    return pickle.dumps({"kind": "logreg", "w": list(w), "bias": float(bias)})
+
+
+def load_model(blob: bytes) -> tuple[list[float], float]:
+    import pickle
+
+    m = pickle.loads(blob)
+    if m.get("kind") != "logreg":
+        raise ValueError(f"not a logreg artifact: {m.get('kind')!r}")
+    return list(m["w"]), float(m["bias"])

@@ -83,3 +83,27 @@ def test_feature_vectors_are_l1_of_token_hash(spark):
         v = np.array(r["features"])
         assert v.shape == (N_DIMS,)
         assert np.isfinite(v).all()
+
+
+def test_model_blob_roundtrip_through_parquet(spark, tmp_path):
+    from stock_market_big_data_project_spark.operators.classifier import (
+        load_model,
+        model_blob,
+    )
+
+    feats = _featurized(spark)
+    w, b, _ = train_logreg(feats, "label", n_iter=5)
+
+    path = str(tmp_path / "model")
+    spark.createDataFrame(
+        [("quality_v1", bytearray(model_blob(w, b)))],
+        "name string, model binary",
+    ).write.mode("overwrite").parquet(path)
+    blob = spark.read.parquet(path).first()["model"]
+    w2, b2 = load_model(bytes(blob))
+    assert w2 == list(w) and b2 == b
+
+    # reloaded weights score identically
+    a = feats.select("doc_id", predict_proba(feats, w, b).alias("p"))
+    c = feats.select("doc_id", predict_proba(feats, w2, b2).alias("p"))
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
