@@ -137,6 +137,7 @@ EXTRA = [
     "substring_dup_spans",
     "source_overlap_matrix",
     "incremental_stats_card",
+    "ts_motif_search",
 ]
 
 

@@ -99,6 +99,7 @@ TINY_CROSS_OK = {
     "corpus_stats_card",          # the near-dup constituent's 1-row
                                   # corpus-count scalar (same cut as
                                   # dedup_ngram_jaccard)
+    "ts_motif_search",            # 1-row query-window broadcast
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

@@ -425,3 +425,130 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- time-series motif search (r6) ---------------------------------------------------
+_MOTIF_W = 12
+
+
+def _motif_oracle() -> str:
+    W = _MOTIF_W
+    xs = ", ".join(f"lead(v, {k}) OVER w AS x{k}" for k in range(W))
+    s = " + ".join(f"x{k}" for k in range(W))
+    ss = " + ".join(f"x{k} * x{k}" for k in range(W))
+    qa = ", ".join(f"x{k} AS q{k}" for k in range(W))
+    dist = " + ".join(
+        f"((x{k} - m) / sd - (q{k} - qm) / qsd)"
+        f" * ((x{k} - m) / sd - (q{k} - qm) / qsd)"
+        for k in range(W)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS v
+      FROM events GROUP BY 1, 2
+    ), led AS (
+      SELECT event_type, hour_ts, {xs}
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts)
+    ), wins AS (
+      SELECT *, ({s}) / {W} AS m,
+             sqrt(GREATEST(({ss}) / {W}
+                           - (({s}) / {W}) * (({s}) / {W}), 0)) AS sd
+      FROM led WHERE x{W - 1} IS NOT NULL
+    ), wf AS (SELECT * FROM wins WHERE sd > 0),
+    q AS (
+      SELECT hour_ts AS q_hour, {qa}, m AS qm, sd AS qsd
+      FROM wf WHERE event_type = 'click' ORDER BY hour_ts LIMIT 1
+    ), j AS (
+      SELECT wf.*, q.* FROM wf CROSS JOIN q
+      WHERE NOT (wf.event_type = 'click' AND wf.hour_ts = q.q_hour)
+    ), d AS (
+      SELECT event_type, hour_ts, ({dist}) AS dist FROM j
+    ), r AS (
+      SELECT event_type, hour_ts, dist,
+             row_number() OVER (ORDER BY dist, event_type, hour_ts) AS rank
+      FROM d
+    )
+    SELECT event_type, hour_ts, round(dist, 9) AS zdist,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """
+
+
+@register_local("ts_motif_search", oracle=_motif_oracle())
+def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity (motif) search over the hourly grid: find
+    the 10 windows of 12 consecutive hourly observations — across ALL
+    series — most similar in SHAPE to a query window (z-normalized
+    squared distance; the query is the earliest 'click' window). The
+    windows table is grid-sized (series × hours), built with W lead
+    columns over the per-series hourly mean — at 100 TB the hourly grid
+    is ~10⁵ smaller than the event stream, so the corpus-sized work is
+    only the hourly aggregate (decimal-exact means). Both engines
+    evaluate the IDENTICAL double expression tree on identical inputs
+    (left-associated sums, no reassociation), so distances — and the
+    ranking — are bit-exact without any decimal rescore. The 1-row query
+    window rides a broadcast tiny-cross."""
+    import operator
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    W = _MOTIF_W
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_ts", hour_floor("ts")
+    )
+    hourly = ev.groupBy("event_type", "hour_ts").agg(
+        F.try_divide(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+            F.count(F.lit(1)),
+        ).alias("v")
+    )
+    win = Window.partitionBy("event_type").orderBy("hour_ts")
+    led = hourly.select(
+        "event_type",
+        "hour_ts",
+        *[F.lead("v", k).over(win).alias(f"x{k}") for k in range(W)],
+    ).filter(F.col(f"x{W - 1}").isNotNull())
+    s = reduce(operator.add, [F.col(f"x{k}") for k in range(W)])
+    ss = reduce(
+        operator.add, [F.col(f"x{k}") * F.col(f"x{k}") for k in range(W)]
+    )
+    m = s / W
+    wins = led.withColumn("m", m).withColumn(
+        "sd", F.sqrt(F.greatest(ss / W - m * m, F.lit(0.0)))
+    )
+    wf = wins.filter(F.col("sd") > 0)
+    q = (
+        wf.filter(F.col("event_type") == "click")
+        .orderBy("hour_ts")
+        .limit(1)
+        .select(
+            F.col("hour_ts").alias("q_hour"),
+            *[F.col(f"x{k}").alias(f"q{k}") for k in range(W)],
+            F.col("m").alias("qm"),
+            F.col("sd").alias("qsd"),
+        )
+    )
+    j = wf.crossJoin(F.broadcast(q)).filter(
+        ~(
+            (F.col("event_type") == "click")
+            & (F.col("hour_ts") == F.col("q_hour"))
+        )
+    )
+    term = lambda k: (F.col(f"x{k}") - F.col("m")) / F.col("sd") - (
+        F.col(f"q{k}") - F.col("qm")
+    ) / F.col("qsd")
+    dist = reduce(operator.add, [term(k) * term(k) for k in range(W)])
+    ranked = j.withColumn("dist", dist).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy().orderBy("dist", "event_type", "hour_ts")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 10).select(
+        "event_type",
+        "hour_ts",
+        F.round("dist", 9).alias("zdist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
