@@ -436,12 +436,7 @@ def _motif_oracle() -> str:
     xs = ", ".join(f"lead(v, {k}) OVER w AS x{k}" for k in range(W))
     s = " + ".join(f"x{k}" for k in range(W))
     ss = " + ".join(f"x{k} * x{k}" for k in range(W))
-    qa = ", ".join(f"x{k} AS q{k}" for k in range(W))
-    dist = " + ".join(
-        f"((x{k} - m) / sd - (q{k} - qm) / qsd)"
-        f" * ((x{k} - m) / sd - (q{k} - qm) / qsd)"
-        for k in range(W)
-    )
+    xlist = ", ".join(f"x{k}" for k in range(W))
     return f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_ts,
@@ -455,40 +450,53 @@ def _motif_oracle() -> str:
              sqrt(GREATEST(({ss}) / {W}
                            - (({s}) / {W}) * (({s}) / {W}), 0)) AS sd
       FROM led WHERE x{W - 1} IS NOT NULL
-    ), wf AS (SELECT * FROM wins WHERE sd > 0),
-    q AS (
-      SELECT hour_ts AS q_hour, {qa}, m AS qm, sd AS qsd
-      FROM wf WHERE event_type = 'click' ORDER BY hour_ts LIMIT 1
-    ), j AS (
-      SELECT wf.*, q.* FROM wf CROSS JOIN q
-      WHERE NOT (wf.event_type = 'click' AND wf.hour_ts = q.q_hour)
+    ), longz AS (
+      SELECT event_type, hour_ts, m, sd,
+             unnest(range(0, {W})) AS k,
+             unnest([{xlist}]) AS x
+      FROM wins WHERE sd > 0
+    ), zl AS (
+      SELECT event_type, hour_ts, k, (x - m) / sd AS z FROM longz
+    ), qh AS (
+      SELECT min(hour_ts) AS q_hour FROM zl WHERE event_type = 'click'
+    ), qz AS (
+      SELECT k, z AS qz FROM zl, qh
+      WHERE event_type = 'click' AND hour_ts = q_hour
     ), d AS (
-      SELECT event_type, hour_ts, ({dist}) AS dist FROM j
+      SELECT zl.event_type, zl.hour_ts,
+             sum(CAST((zl.z - qz.qz) * (zl.z - qz.qz)
+                      AS DECIMAL(38,18))) AS dist
+      FROM zl JOIN qz USING (k), qh
+      WHERE NOT (zl.event_type = 'click' AND zl.hour_ts = qh.q_hour)
+      GROUP BY 1, 2
     ), r AS (
       SELECT event_type, hour_ts, dist,
              row_number() OVER (ORDER BY dist, event_type, hour_ts) AS rank
       FROM d
     )
-    SELECT event_type, hour_ts, round(dist, 9) AS zdist,
-           CAST(rank AS INT) AS rank
+    SELECT event_type, hour_ts,
+           round(CAST(dist AS DOUBLE), 9) AS zdist, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 10
     """
 
 
 @register_local("ts_motif_search", oracle=_motif_oracle())
 def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series similarity (motif) search over the hourly grid: find
-    the 10 windows of 12 consecutive hourly observations — across ALL
-    series — most similar in SHAPE to a query window (z-normalized
-    squared distance; the query is the earliest 'click' window). The
-    windows table is grid-sized (series × hours), built with W lead
-    columns over the per-series hourly mean — at 100 TB the hourly grid
-    is ~10⁵ smaller than the event stream, so the corpus-sized work is
-    only the hourly aggregate (decimal-exact means). Both engines
-    evaluate the IDENTICAL double expression tree on identical inputs
-    (left-associated sums, no reassociation), so distances — and the
-    ranking — are bit-exact without any decimal rescore. The 1-row query
-    window rides a broadcast tiny-cross."""
+    """Time-series similarity (motif) search over the hourly grid: the 10
+    windows of 12 consecutive hourly observations — across ALL series —
+    most similar in SHAPE to a query window (z-normalized squared
+    distance; the query is the earliest 'click' window). The windows
+    table is grid-sized (series × hours), built from W lead columns over
+    decimal-exact hourly means — at 100 TB the grid is ~10⁵ smaller than
+    the event stream, so the corpus-sized work is only the hourly
+    aggregate. The distance runs in LONG form: windows posexplode to
+    (window, k, z) rows that join the 12-row broadcast query vector, and
+    per-window distances sum the squared diffs in DECIMAL(38,18) —
+    order-independent, so the ranking is bit-exact. (A first draft
+    computed the distance as one wide 12-term Column expression; Catalyst
+    re-inlines the m/sd subtrees into every term — thousands of codegen
+    nodes, 14.6 s at sf0.1 in compile cost. The generator boundary stops
+    the inlining: 0.7 s, same bits.)"""
     import operator
     from functools import reduce
 
@@ -515,32 +523,48 @@ def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         operator.add, [F.col(f"x{k}") * F.col(f"x{k}") for k in range(W)]
     )
     m = s / W
-    wins = led.withColumn("m", m).withColumn(
-        "sd", F.sqrt(F.greatest(ss / W - m * m, F.lit(0.0)))
+    sd = F.sqrt(F.greatest(ss / W - m * m, F.lit(0.0)))
+    # posexplode: the Generate boundary materializes m/sd as VALUES, so
+    # the z/distance expressions below reference plain columns instead of
+    # re-inlined subtrees
+    longz = led.select(
+        "event_type",
+        "hour_ts",
+        m.alias("m"),
+        sd.alias("sd"),
+        F.posexplode(F.array(*[F.col(f"x{k}") for k in range(W)])).alias(
+            "k", "x"
+        ),
+    ).filter(F.col("sd") > 0)
+    zl = longz.select(
+        "event_type",
+        "hour_ts",
+        "k",
+        ((F.col("x") - F.col("m")) / F.col("sd")).alias("z"),
     )
-    wf = wins.filter(F.col("sd") > 0)
-    q = (
-        wf.filter(F.col("event_type") == "click")
-        .orderBy("hour_ts")
-        .limit(1)
-        .select(
-            F.col("hour_ts").alias("q_hour"),
-            *[F.col(f"x{k}").alias(f"q{k}") for k in range(W)],
-            F.col("m").alias("qm"),
-            F.col("sd").alias("qsd"),
+    qh = zl.filter(F.col("event_type") == "click").agg(
+        F.min("hour_ts").alias("q_hour")
+    )
+    qz = (
+        zl.filter(F.col("event_type") == "click")
+        .crossJoin(F.broadcast(qh))
+        .filter(F.col("hour_ts") == F.col("q_hour"))
+        .select("k", F.col("z").alias("qz"))
+    )
+    diff = F.col("z") - F.col("qz")
+    d = (
+        zl.join(F.broadcast(qz), "k")
+        .crossJoin(F.broadcast(qh))
+        .filter(
+            ~(
+                (F.col("event_type") == "click")
+                & (F.col("hour_ts") == F.col("q_hour"))
+            )
         )
+        .groupBy("event_type", "hour_ts")
+        .agg(F.sum((diff * diff).cast("decimal(38,18)")).alias("dist"))
     )
-    j = wf.crossJoin(F.broadcast(q)).filter(
-        ~(
-            (F.col("event_type") == "click")
-            & (F.col("hour_ts") == F.col("q_hour"))
-        )
-    )
-    term = lambda k: (F.col(f"x{k}") - F.col("m")) / F.col("sd") - (
-        F.col(f"q{k}") - F.col("qm")
-    ) / F.col("qsd")
-    dist = reduce(operator.add, [term(k) * term(k) for k in range(W)])
-    ranked = j.withColumn("dist", dist).withColumn(
+    ranked = d.withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy().orderBy("dist", "event_type", "hour_ts")
@@ -549,6 +573,6 @@ def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rank") <= 10).select(
         "event_type",
         "hour_ts",
-        F.round("dist", 9).alias("zdist"),
+        F.round(F.col("dist").cast("double"), 9).alias("zdist"),
         F.col("rank").cast("int").alias("rank"),
     )
