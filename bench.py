@@ -138,6 +138,7 @@ EXTRA = [
     "source_overlap_matrix",
     "incremental_stats_card",
     "ts_motif_search",
+    "dedup_multi_signal",
 ]
 
 

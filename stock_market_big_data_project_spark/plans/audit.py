@@ -77,6 +77,9 @@ PYTHON_STAGE_OK = {
     "quality_classifier_train",      # Arrow matmul gradient pass (weights
                                      # in closure — avoids per-iteration
                                      # codegen recompile)
+    "dedup_multi_signal",            # the SemDeDup side's Arrow IVF
+                                     # assignment, via its audited
+                                     # pre-checkpoint pair constituent
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast
@@ -100,6 +103,9 @@ TINY_CROSS_OK = {
                                   # corpus-count scalar (same cut as
                                   # dedup_ngram_jaccard)
     "ts_motif_search",            # 1-row query-window broadcast
+    "dedup_multi_signal",         # the text side's 1-row corpus-count
+                                  # scalar (same cut as
+                                  # dedup_ngram_jaccard)
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup
@@ -116,6 +122,10 @@ WIDE_PLAN_OK = {
     # dedup_ngram_jaccard width) + the contamination shingle chain (≈ the
     # audited contamination_ngram_overlap width), joined per doc_id
     "corpus_stats_card": 40,
+    # the audited text pair chain + the audited SemDeDup pair chain,
+    # unioned (its audited constituent is the pair union; each half is
+    # individually gated via dedup_ngram_jaccard / embedding_semantic_dedup)
+    "dedup_multi_signal": 24,
 }
 
 

@@ -1757,3 +1757,136 @@ EAGER_ITERATIVE.update(
         "embedding_semantic_dedup": _semdedup_pair_plan,
     }
 )
+
+
+# --- fused multi-signal dedup (r6) ---------------------------------------------------
+@register_local(
+    "dedup_multi_signal",
+    oracle=f"""
+    WITH RECURSIVE {_VECS},
+    {_SEMDEDUP_CELLS},
+    spd AS (
+      SELECT ca.vec_id AS id_a, cb.vec_id AS id_b,
+             CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v a JOIN cells ca ON ca.vec_id = a.vec_id
+      JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id > ca.vec_id
+      JOIN v b ON b.vec_id = cb.vec_id AND b.d = a.d
+      GROUP BY 1, 2
+    ), sem_pairs AS (
+      SELECT id_a, id_b FROM spd
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE dot / (sqrt(na.norm2) * sqrt(nb.norm2)) >= 0.35
+    ),
+    sh0 AS ({oracle_word_shingles(n=3)}),
+    hot AS (
+      SELECT shingle_hash FROM sh0 GROUP BY shingle_hash
+      HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ),
+    sh AS (
+      SELECT * FROM sh0
+      WHERE shingle_hash NOT IN (SELECT shingle_hash FROM hot)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), text_pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    ), upairs AS (
+      SELECT id_a, id_b FROM text_pairs
+      UNION SELECT id_a, id_b FROM sem_pairs
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM upairs
+      UNION SELECT id_b, id_a FROM upairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.u AS node, reach.r
+      FROM edges e JOIN reach ON reach.node = e.v
+    ), comp AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ), q AS (
+      SELECT doc_id,
+             round(LEAST(len({_TOKS}) / 50.0, 1.0) * 0.5
+                   + (1.0 - len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
+                       / len({_TOKS})) * 0.5, 6) AS quality_score
+      FROM documents
+    ), lab AS (
+      SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+             q.quality_score
+      FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
+    )
+    SELECT doc_id, cluster_id, quality_score,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY quality_score DESC, doc_id) = 1
+             AS kept
+    FROM lab
+    """,
+)
+def dedup_multi_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup: a document pair is a duplicate if EITHER the
+    text surface says so (exact 3-gram Jaccard ≥ 0.3, stop-shingle cut)
+    OR the embedding space does (same-IVF-cell cosine ≥ 0.35, the
+    SemDeDup pair definition) — the union of both pair sets feeds ONE
+    connected-components pass, and each fused cluster keeps its
+    highest-quality member. This catches what either signal alone
+    misses: paraphrases with low lexical overlap (semantic side) and
+    template/boilerplate copies whose embeddings drift apart (text
+    side); transitive chains ACROSS signals collapse into one cluster
+    (a—text—b—semantic—c). Each pair generator keeps its own audited
+    scale shape (inverted shingle index; cell-bounded pair space); the
+    union adds one distinct on (id_a, id_b). Full-corpus kept flags,
+    oracle-checked including the recursive-CTE fixpoint over the FUSED
+    edge set."""
+    from ..operators.graph import connected_components
+    from ..operators.text import quality_score
+
+    d = _docs(spark, sf_dir)
+    text_pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3, max_doc_frac=0.05
+    ).select("id_a", "id_b")
+    sem_pairs = semdedup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_cells=8
+    ).select("id_a", "id_b")
+    fused = text_pairs.unionByName(sem_pairs).distinct()
+    cc = connected_components(fused)
+    scored = d.select(
+        "doc_id", quality_score(F.col("text")).alias("quality_score")
+    )
+    lab = scored.join(cc, scored.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        "quality_score",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )
+
+
+def _multi_signal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-clustering constituent of dedup_multi_signal (text ∪ semantic
+    pair union) — audited in place of the checkpoint scan."""
+    text_pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.3,
+        max_doc_frac=0.05,
+    ).select("id_a", "id_b")
+    sem_pairs = semdedup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_cells=8
+    ).select("id_a", "id_b")
+    return text_pairs.unionByName(sem_pairs).distinct()
+
+
+EAGER_ITERATIVE.update({"dedup_multi_signal": _multi_signal_pairs})
