@@ -269,7 +269,21 @@ def context_windows(
     DuckDB's flooring `//` agree and the output is bit-exact
     cross-engine. Returns (id, window_id, win_start, n_win_tokens,
     window_text).
+
+    Requires stride <= size (overlapping-or-adjacent windows): with a
+    coverage GAP (stride > size), positions inside a gap would get
+    w_lo > w_hi and F.sequence would fan them into a DESCENDING range of
+    windows that do not contain them — corrupt output, not an error. Gap
+    strides are not a real chunking regime, so reject them loudly.
     """
+    if stride > size:
+        raise ValueError(
+            f"context_windows requires stride <= size, got stride={stride} "
+            f"> size={size}: gap strides would mis-assign tokens in the "
+            "uncovered positions"
+        )
+    if stride <= 0 or size <= 0:
+        raise ValueError("context_windows requires positive size and stride")
     sc = df.sparkSession.sparkContext
     docs = df.repartition(sc.defaultParallelism, id_col)
     toks = exploded_tokens(docs, id_col, text_col)

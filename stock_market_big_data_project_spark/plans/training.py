@@ -1376,12 +1376,16 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 128-bit key, no join. The first draft broadcast the dup-key set;
     # that side scales with corpus duplicate exposure (commonly 20-40% of
     # a crawl), so a forced broadcast hint is a driver OOM at 100×. Never
-    # hint a side whose size is a function of SF.
+    # hint a side whose size is a function of SF. NULL-text docs all land
+    # in the single NULL-md5 partition, so the window count alone would
+    # flag them as mutual duplicates; the oracle's `text_md5 IN (...)`
+    # yields NULL→0 for NULL keys, so gate the flag on a non-null key.
     flagged = base.withColumn(
         "_dup",
-        (F.count(F.lit(1)).over(Window.partitionBy("text_md5")) > 1).cast(
-            "int"
-        ),
+        (
+            F.col("text_md5").isNotNull()
+            & (F.count(F.lit(1)).over(Window.partitionBy("text_md5")) > 1)
+        ).cast("int"),
     )
     # Near-dup exposure: both sides of every verified 3-gram Jaccard pair
     # (the dedup family's exact definition, stop-shingle cut included).
@@ -1849,16 +1853,24 @@ def _card_from_partials(spark: SparkSession, parts) -> DataFrame:
             F.sum("p_q").alias("s_q"),
         )
     )
+    # NULL-lang state rows stay in the partials (they still carry doc
+    # counts) but must not count toward n_langs: the batch card uses
+    # countDistinct and the oracle count(DISTINCT lang), both of which
+    # ignore NULLs.
     langs = (
         u(1)
+        .filter(F.col("lang").isNotNull())
         .repartition(sc.defaultParallelism, "source", "lang")
         .groupBy("source", "lang")
         .agg(F.sum("p_n").alias("n"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_langs"))
     )
+    # Same NULL discipline as the batch card's _dup flag: NULL-text docs
+    # share the NULL md5 key and must not read as mutual duplicates.
     md5s = (
         u(2)
+        .filter(F.col("text_md5").isNotNull())
         .repartition(sc.defaultParallelism, "text_md5")
         .groupBy("text_md5", "source")
         .agg(F.sum("p_n").alias("n"))
@@ -1872,13 +1884,13 @@ def _card_from_partials(spark: SparkSession, parts) -> DataFrame:
         .agg(F.sum("n").alias("n_exact_dup_docs"))
     )
     return (
-        per_source.join(langs, "source")
+        per_source.join(langs, "source", "left")
         .join(dup_per_source, "source", "left")
         .select(
             "source",
             "n_docs",
             F.col("s_tokens").cast("bigint").alias("n_tokens"),
-            "n_langs",
+            F.coalesce(F.col("n_langs"), F.lit(0)).alias("n_langs"),
             F.col("s_en").cast("bigint").alias("n_en"),
             F.coalesce(F.col("n_exact_dup_docs"), F.lit(0))
             .cast("bigint")

@@ -153,7 +153,24 @@ class ManifestStreamWriter(DataSourceStreamWriter):
                 "fingerprint": 0,
                 "key_column": self.key_col,
             }
-        if any(s.get("batch") == batchId for s in manifest["shards"]):
+        # Replay detection keys on the manifest-level committed_batches
+        # list, NOT only on per-shard "batch" fields: a zero-row epoch
+        # produces no shard entries, so without the list its replay would
+        # be undetectable (harmless only by determinism), and manifests
+        # written before the per-shard field existed carry no markers at
+        # all. Legacy manifests (shards but neither marker form) are
+        # upgraded conservatively: their shard-derived batch set is all
+        # we can recover, and that limitation is recorded in the manifest
+        # (`legacy_batchless: true`) instead of silently assumed away.
+        committed = set(manifest.get("committed_batches", []))
+        committed |= {
+            s["batch"] for s in manifest["shards"] if "batch" in s
+        }
+        if "committed_batches" not in manifest and any(
+            "batch" not in s for s in manifest["shards"]
+        ):
+            manifest["legacy_batchless"] = True
+        if batchId in committed:
             # Replayed batch (crash between sink commit and checkpoint
             # commit): the epoch is already in the manifest. Shard file
             # names are uuid4-per-task-attempt, so the re-run's files are
@@ -172,6 +189,8 @@ class ManifestStreamWriter(DataSourceStreamWriter):
             manifest["n_rows"] += s["n_rows"]
             manifest["fingerprint"] ^= s["fp"]
         manifest["shards"].sort(key=lambda s: s["file"])
+        committed.add(batchId)
+        manifest["committed_batches"] = sorted(committed)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)

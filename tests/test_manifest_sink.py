@@ -134,3 +134,73 @@ def test_abort_tolerates_none_messages(tmp_path):
     live = _fake_commit(path, "shard-live.parquet", 1, 1)
     w.abort([None, live, None])
     assert not os.path.exists(os.path.join(path, "shard-live.parquet"))
+
+
+def test_stream_zero_row_epoch_replay_is_detected(tmp_path):
+    # A zero-row epoch leaves no shard entry, so replay detection must
+    # key on the manifest-level committed_batches list, not per-shard
+    # batch fields. Scenario: batch 0 writes rows, batch 1 is empty,
+    # crash, batch 1 replays WITH rows this time (nondeterministic
+    # upstream would make the old shard-field-only dedup double-append;
+    # with the list the replay is dropped).
+    from stock_market_big_data_project_spark.sources.manifest_sink import (
+        ManifestStreamWriter,
+    )
+
+    path = str(tmp_path / "zero")
+    os.makedirs(path)
+    w = ManifestStreamWriter({"path": path, "keyColumn": "k"}, None)
+    w.commit([_fake_commit(path, "shard-aaa.parquet", 3, 0b100)], batchId=0)
+    w.commit([], batchId=1)  # zero-row epoch
+    m = read_manifest(path)
+    assert m["committed_batches"] == [0, 1]
+
+    replay = [_fake_commit(path, "shard-bbb.parquet", 2, 0b010)]
+    w.commit(replay, batchId=1)
+    m = read_manifest(path)
+    assert m["n_rows"] == 3
+    assert [s["file"] for s in m["shards"]] == ["shard-aaa.parquet"]
+    assert not os.path.exists(os.path.join(path, "shard-bbb.parquet"))
+    assert m["committed_batches"] == [0, 1]
+
+
+def test_stream_legacy_manifest_upgrade(tmp_path):
+    # Manifests written before the committed_batches list existed carry
+    # only per-shard "batch" fields (or, for truly old ones, none).
+    # The upgrade path must (a) seed the committed set from whatever
+    # shard fields exist, (b) flag fully batch-less manifests as
+    # legacy_batchless rather than silently assuming history.
+    import json as _json
+
+    from stock_market_big_data_project_spark.sources.manifest_sink import (
+        MANIFEST_NAME,
+        ManifestStreamWriter,
+    )
+
+    path = str(tmp_path / "legacy")
+    os.makedirs(path)
+    legacy = {
+        "shards": [
+            {"file": "shard-old1.parquet", "n_rows": 4, "fp": 0b1, "batch": 0},
+            {"file": "shard-old2.parquet", "n_rows": 1, "fp": 0b10},  # no batch
+        ],
+        "n_rows": 5,
+        "fingerprint": 0b11,
+        "key_column": "k",
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        _json.dump(legacy, fh)
+
+    w = ManifestStreamWriter({"path": path, "keyColumn": "k"}, None)
+    # replay of batch 0 is still caught via the shard-derived set
+    replay = [_fake_commit(path, "shard-new.parquet", 4, 0b1)]
+    w.commit(replay, batchId=0)
+    m = read_manifest(path)
+    assert m["n_rows"] == 5 and len(m["shards"]) == 2
+
+    # a new epoch appends, upgrades the manifest, and records the caveat
+    w.commit([_fake_commit(path, "shard-n2.parquet", 2, 0b100)], batchId=7)
+    m = read_manifest(path)
+    assert m["n_rows"] == 7
+    assert m["committed_batches"] == [0, 7]
+    assert m.get("legacy_batchless") is True

@@ -100,3 +100,16 @@ def test_duplicated_spans_match_reference(spark, docs, k):
     want = _reference_spans(list(enumerate(docs)), k)
     for did, spans in want.items():
         assert sorted(got.get(did, [])) == spans, (did, docs[did])
+
+
+def test_context_windows_rejects_gap_strides(spark):
+    # stride > size leaves coverage gaps; positions inside a gap would be
+    # fanned into DESCENDING F.sequence ranges of windows that do not
+    # contain them. The operator must refuse loudly, not corrupt output.
+    import pytest
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        context_windows(df, "doc_id", "text", size=4, stride=5)
+    with pytest.raises(ValueError):
+        context_windows(df, "doc_id", "text", size=0, stride=1)
