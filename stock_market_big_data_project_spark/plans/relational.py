@@ -89,9 +89,14 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem is partially aggregated to one row per order key *before*
     the join (decimal partial sums stay exact under re-aggregation), so the
     shuffle join moves one row per order instead of one per lineitem and the
-    count-distinct degenerates to a plain count. customer/nation/region are
-    explicit broadcast joins — zero extra shuffles however large the fact
-    side grows (the 100 TB join strategy)."""
+    count-distinct degenerates to a plain count. nation/region are explicit
+    broadcast joins — fixed-size dimensions (25/5 rows at ANY scale
+    factor), so zero extra shuffles however large the fact side grows.
+    customer is deliberately UNHINTED (the r6 Q3 treatment): its size is
+    proportional to SF (~150k rows/SF → tens of GB at 100 TB), so a forced
+    broadcast would override Spark's size check and OOM the driver at
+    scale; AQE picks broadcast at test SFs and shuffle-hash at cluster
+    scale on measured stats."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -103,7 +108,7 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li_per_order.join(orders, li_per_order.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -133,10 +138,15 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brand_heavy_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # part is UNHINTED: like customer (see revenue_by_region), part scales
+    # with SF (~200k rows/SF), so a forced broadcast is a scale hazard;
+    # AQE broadcasts at test SFs and falls back to shuffle-hash on
+    # measured stats at cluster scale. The selective l_quantity filter
+    # still lands below the join on the fact side.
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30)
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

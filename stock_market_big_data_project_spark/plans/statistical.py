@@ -564,13 +564,22 @@ def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_ts")
         .agg(F.sum((diff * diff).cast("decimal(38,18)")).alias("dist"))
     )
-    ranked = d.withColumn(
+    # Top-10 via orderBy+limit → TakeOrderedAndProject: a per-partition
+    # heap + a 10-row merge on the driver, with the same deterministic
+    # (dist, event_type, hour_ts) tie-break. The first draft ranked with
+    # row_number() over an UNPARTITIONED window — a single-partition sort
+    # of the whole distance table; grid-sized here, but the heap plan is
+    # the shape that survives any scale. The rank column is then a window
+    # over the already-limited 10 rows (constant-bounded, not a scale
+    # concern).
+    top = d.orderBy("dist", "event_type", "hour_ts").limit(10)
+    ranked = top.withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy().orderBy("dist", "event_type", "hour_ts")
         ),
     )
-    return ranked.filter(F.col("rank") <= 10).select(
+    return ranked.select(
         "event_type",
         "hour_ts",
         F.round(F.col("dist").cast("double"), 9).alias("zdist"),
