@@ -139,7 +139,101 @@ EXTRA = [
     "incremental_stats_card",
     "ts_motif_search",
     "dedup_multi_signal",
+    # round-7: the hash-checked structural twin of the recursive
+    # forecaster (runs the same forecaster Arrow stage + the events-side
+    # count join)
+    "forecast_structure",
 ]
+
+
+def _skew_stress(spark, sf_dir: str, n_runs: int = 3) -> dict:
+    """Time the salted-join + two-stage-agg plan against its unsalted twin
+    on a 50%-hot-key fixture (VERDICT r6 #8). Returns the best-of-N pair
+    plus fixture shape. Both variants read the SAME staged parquet and
+    compute the SAME 1000-row result (asserted); only the shuffle layout
+    differs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stock_market_big_data_project_spark.operators.skew import (
+        salted_join,
+        two_stage_agg,
+    )
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    amp = int(os.environ.get("SPARK_GRAFT_SKEW_AMP", "50"))
+    td = tempfile.mkdtemp(prefix="skew_stress_")
+    out: dict = {"amp": amp}
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        rid = F.col("event_id") * amp + F.col("_r")
+        fact = (
+            ev.select("event_id", "value")
+            .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(amp - 1))))
+            .select(
+                rid.alias("row_id"),
+                F.when(rid % 2 == 0, F.lit("hot"))
+                .otherwise(F.concat(F.lit("k"), (rid % 999).cast("string")))
+                .alias("k"),
+                F.col("value"),
+            )
+        )
+        fact.write.mode("overwrite").parquet(f"{td}/fact")
+        staged = spark.read.parquet(f"{td}/fact")
+        out["n_rows"] = staged.count()
+        dim = staged.select("k").distinct().withColumn(
+            "klen", F.length("k").cast("int")
+        )
+        dim.write.mode("overwrite").parquet(f"{td}/dim")
+        dim_staged = spark.read.parquet(f"{td}/dim")
+
+        def unsalted():
+            j = staged.join(dim_staged.hint("merge"), "k")
+            return j.groupBy("k", "klen").agg(
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+
+        def salted():
+            j = salted_join(
+                staged,
+                dim_staged.hint("merge"),
+                on="k",
+                n_salts=8,
+                salt_source="row_id",
+            )
+            return two_stage_agg(
+                j,
+                keys=["k", "klen"],
+                sum_cols=["value"],
+                n_salts=8,
+                salt_source="row_id",
+            )
+
+        # Non-vacuity: same result cardinality (full row-identity is
+        # tests/test_skew.py's job; re-proving it here would time the
+        # comparison, not the plans).
+        assert unsalted().count() == salted().count()
+        for name, build in (("unsalted", unsalted), ("salted", salted)):
+            for r in range(n_runs):
+                df = build()
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t = round(time.perf_counter() - t0, 3)
+                out[name] = min(out.get(name, t), t)
+                print(
+                    f"  [{r}] skew_stress/{name}: {t}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                spark.sparkContext._jvm.System.gc()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -221,6 +315,22 @@ def main() -> None:
     timings = run_set(HEADLINE)
     extra = run_set(EXTRA)
 
+    # Skew-stress pair (VERDICT r6 #8): the salted-join + two-stage-agg
+    # rewrite timed against its unsalted twin on a 50%-hot-key fixture.
+    # tests/test_skew.py proves row-identity; this measures the point —
+    # that splitting the hot key actually buys wall-clock. The fixture is
+    # the events table amplified 50× (sf0.1 → 5M fact rows, staged to
+    # parquet ONCE so both variants pay the identical scan) with half of
+    # all rows on one key and the rest spread over 999 keys. The dim side
+    # is merge-hinted in BOTH variants — at 100 TB a key dimension this
+    # shaped (derived from the fact side) is not broadcastable, and AQE's
+    # skew-join splitting cannot fire here anyway: the downstream groupBy
+    # on the join key requires hash(k) distribution, which pins the
+    # skewed partition to one task in the unsalted plan. That is exactly
+    # the "skew inside an aggregation feeding the join" case
+    # operators/skew.py exists for.
+    skew = _skew_stress(spark, sf_dir, n_runs=N_RUNS)
+
     # Opt-in full-registry sweep (SPARK_GRAFT_BENCH_ALL=1): time every
     # registered query not already covered above, once each, into the
     # detail file's "extra" map — makes the "N timed of M registered"
@@ -291,6 +401,8 @@ def main() -> None:
         # total so `value` stays comparable to the r01 reference line
         "extra": extra,
         "max": maxes,
+        # salted vs unsalted on the 50%-hot-key fixture (VERDICT r6 #8)
+        "skew_stress": skew,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -198,7 +198,10 @@ def granger_causality(
 # Per-group trainer + recursive forecaster (OP-66, analysis_part/main.py:81-125)
 # ---------------------------------------------------------------------------
 
-FORECAST_SCHEMA = "symbol bigint, step int, forecast_c double, rmse double"
+FORECAST_SCHEMA = (
+    "symbol bigint, step int, forecast_c double, rmse double, "
+    "n_obs int, n_train int, n_test int"
+)
 
 # Reference hyperparameters (analysis_part/main.py:95-103), used verbatim
 # when xgboost is importable.
@@ -276,7 +279,12 @@ def recursive_forecast(
 ) -> DataFrame:
     """OP-66 — per symbol: 24 lag features → 80/20 temporal split → fit →
     test RMSE → 168-step *recursive* forecast feeding each prediction back
-    into the lag vector.
+    into the lag vector. Each row also carries the deterministic training
+    skeleton (n_obs, n_train, n_test) so the SQL-expressible projection of
+    the operator — inclusion predicate, step coverage, split sizes, rmse
+    finiteness — can be hash-certified against a relational oracle
+    (`forecast_structure`), the same pattern as granger_structure for the
+    Granger UDTF.
 
     The per-group numpy work is ~1 ms, so per-group applyInPandas overhead
     (Arrow batch + pandas frame per group) would dominate by 10×. Instead
@@ -296,11 +304,13 @@ def recursive_forecast(
             out_syms: list = []
             out_preds: list = []
             out_rmses: list = []
+            out_skel: list = []  # (n_obs, n_train, n_test) per symbol
             # ridge path: fit per symbol (cheap lstsq), then run the
             # 168-step feedback loop ONCE for the whole batch — each step is
             # a vectorized multiply-add over (n_symbols × n_lags) instead of
             # n_symbols separate 1×n_lags predict calls.
             betas, intercepts, windows, rmses, syms = [], [], [], [], []
+            skels = []
             for sym, obs in zip(pdf["symbol"], pdf["obs"]):
                 vals = np.fromiter(
                     (o[val_col] for o in obs), dtype=float, count=len(obs)
@@ -313,6 +323,9 @@ def recursive_forecast(
                         out_syms.append(sym)
                         out_preds.append(res[0])
                         out_rmses.append(res[1])
+                        n_y = len(vals) - n_lags
+                        sp = int(n_y * train_frac)
+                        out_skel.append((len(vals), sp, n_y - sp))
                     continue
                 x = np.column_stack(
                     [vals[n_lags - k : len(vals) - k] for k in range(1, n_lags + 1)]
@@ -329,6 +342,7 @@ def recursive_forecast(
                 intercepts.append(intercept)
                 windows.append(vals[-n_lags:][::-1])  # [0] = most recent
                 rmses.append(rmse)
+                skels.append((len(vals), split, len(y) - split))
             if betas:
                 b_mat = np.stack(betas)
                 c_vec = np.array(intercepts)
@@ -341,7 +355,13 @@ def recursive_forecast(
                 out_syms.extend(syms)
                 out_preds.extend(p_mat)
                 out_rmses.extend(rmses)
+                out_skel.extend(skels)
             n = len(out_syms)
+            skel_arr = (
+                np.asarray(out_skel, dtype=np.int64).reshape(n, 3)
+                if n
+                else np.empty((0, 3), dtype=np.int64)
+            )
             yield pd.DataFrame(
                 {
                     "symbol": np.repeat(np.asarray(out_syms, dtype=object), horizon)
@@ -350,6 +370,9 @@ def recursive_forecast(
                     "step": np.tile(np.arange(1, horizon + 1), n) if n else [],
                     "forecast_c": np.concatenate(out_preds) if n else [],
                     "rmse": np.repeat(np.asarray(out_rmses), horizon) if n else [],
+                    "n_obs": np.repeat(skel_arr[:, 0], horizon),
+                    "n_train": np.repeat(skel_arr[:, 1], horizon),
+                    "n_test": np.repeat(skel_arr[:, 2], horizon),
                 }
             )
 

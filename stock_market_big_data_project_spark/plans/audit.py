@@ -54,6 +54,8 @@ PYTHON_STAGE_OK = {
     "granger_causality",             # per-symbol OLS UDTF
     "granger_structure",             # projection of the Granger UDTF
     "recursive_forecast",            # per-symbol trainer/forecaster
+    "forecast_structure",            # hash-checked projection of the same
+                                     # forecaster Arrow stage
     "multimodal_pipeline_stub",      # fused decode→resize→sample UDTF
     "multimodal_decode_stub",        # codec plumbing
     "multimodal_resize_stub",        # codec plumbing

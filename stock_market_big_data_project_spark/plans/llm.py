@@ -81,7 +81,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- n-gram Jaccard near-dup ----------------------------------------------
-@register(
+@register_local(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh0 AS ({oracle_word_shingles(n=3)}),
@@ -121,7 +121,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH ----------------------------------------------------------
-@register(
+@register_local(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(n=3)}),
@@ -226,7 +226,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash -----------------------------------------------------------------
-@register(
+@register_local(
     "dedup_simhash_pairs",
     oracle=f"""
     WITH toks AS (
@@ -633,7 +633,7 @@ def _lsh_banded_sql(n_planes: int, bands: int) -> str:
     """
 
 
-@register(
+@register_local(
     "embedding_near_dup_pairs",
     oracle=f"""
     WITH {_VECS},
@@ -899,7 +899,7 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- dedup clustering: pairs → connected components -------------------------------
-@register(  # driver tier since r4 (VERDICT r3 #1)
+@register_local(  # demoted r7: CC clustering stays driver-tier via dedup_multi_signal
     "dedup_clusters_ngram",
     oracle=f"""
     WITH RECURSIVE sh AS ({oracle_word_shingles(n=3)}),
@@ -951,7 +951,7 @@ def _ngram_cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "embedding_ivf_topk",
     oracle=f"""
     WITH {_VECS},
@@ -1162,7 +1162,7 @@ def token_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(  # driver tier since r4 (VERDICT r3 #1)
+@register_local(  # demoted r7: driver-covered by its generalization source_overlap_matrix
     "contamination_ngram_overlap",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(5)}),
@@ -1617,7 +1617,7 @@ def _semdedup_pair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(_emb(spark, sf_dir), threshold=0.35, n_cells=8)
 
 
-@register_local("streaming_semdedup_parity", oracle=_SEMDEDUP_ORACLE)
+@register("streaming_semdedup_parity", oracle=_SEMDEDUP_ORACLE)
 def streaming_semdedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on the LIVE embedding append path (VERDICT r5 #5): the
     embeddings fixture replays as 3 vec_id-range micro-batches. Each batch
@@ -1760,7 +1760,7 @@ EAGER_ITERATIVE.update(
 
 
 # --- fused multi-signal dedup (r6) ---------------------------------------------------
-@register_local(
+@register(
     "dedup_multi_signal",
     oracle=f"""
     WITH RECURSIVE {_VECS},

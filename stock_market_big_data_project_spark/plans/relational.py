@@ -830,7 +830,7 @@ def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_local(
+@register(
     "two_stage_agg_hot_keys",
     oracle="""
     SELECT event_type,

@@ -343,7 +343,7 @@ def granger_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("recursive_forecast")  # no oracle: recursive prediction, rows-only check
+@register_local("recursive_forecast")  # no oracle: recursive prediction, rows-only check
 def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-66 (analysis_part/main.py:81-125) — per symbol: 24 lag features,
     80/20 temporal split, fit, test RMSE, 168-step recursive forecast.
@@ -356,6 +356,101 @@ def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recursive_forecast(
         series, key_col="symbol", ts_col="hour_ts", val_col="value",
         n_lags=24, horizon=168, train_frac=0.8,
+    )
+
+
+@register(
+    "forecast_structure",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id AS symbol, count(*) AS n_obs FROM events GROUP BY 1
+    )
+    SELECT symbol,
+           n_obs,
+           (n_obs >= 34) AS included,
+           CAST(CASE WHEN n_obs >= 34 THEN 168 ELSE 0 END AS BIGINT)
+             AS n_forecast_rows,
+           (n_obs >= 34) AS steps_ok,
+           CASE WHEN n_obs >= 34
+                THEN CAST(floor((n_obs - 24) * 0.8) AS INT) END AS n_train,
+           CASE WHEN n_obs >= 34
+                THEN CAST((n_obs - 24) - floor((n_obs - 24) * 0.8) AS INT)
+                END AS n_test,
+           (n_obs >= 34) AS rmse_ok,
+           (n_obs >= 34) AS forecast_finite,
+           (n_obs >= 34) AS skeleton_ok
+    FROM obs
+    """,
+)
+def forecast_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible projection of the recursive forecaster (OP-66),
+    hash-checked — the granger_structure pattern applied to the one
+    remaining rows-only driver row. The operator's ACTUAL output is
+    aggregated per symbol and full-outer-joined to the events-side
+    observation counts, so the oracle's relational re-derivation certifies:
+    the inclusion predicate (n_obs >= n_lags + 10 = 34), exact 168-row
+    step coverage 1..168 per included symbol, the train/test split sizes
+    the operator itself reports (int(0.8·(n_obs−24)) — floor and float
+    truncation agree for nonnegative values), rmse finiteness + per-symbol
+    constancy, forecast finiteness, and skeleton consistency (the
+    operator's n_obs equals the events count). A full-outer join means
+    phantom symbols on either side surface as hash mismatches. The
+    forecast VALUES stay under tests/test_stats.py (not SQL-expressible —
+    recursive feedback); this query certifies everything else.
+
+    Oracle precondition: forecast/rmse finiteness is a prediction, not a
+    tautology — a ridge fit whose recursive feedback overflowed float64
+    would flip forecast_finite and fail the hash. Holds on the fixtures at
+    sf0.001/0.01/0.1."""
+    fc = recursive_forecast_q(spark, sf_dir)
+    per = fc.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.countDistinct("step").alias("_nsteps"),
+        F.min("step").alias("_minstep"),
+        F.max("step").alias("_maxstep"),
+        F.max(F.isnan("rmse").cast("int")).alias("_rmse_nan"),
+        F.countDistinct("rmse").alias("_rmse_card"),
+        F.max(
+            (
+                F.isnan("forecast_c")
+                | (F.abs(F.col("forecast_c")) == F.lit(float("inf")))
+            ).cast("int")
+        ).alias("_fc_bad"),
+        F.countDistinct(F.struct("n_obs", "n_train", "n_test")).alias(
+            "_skel_card"
+        ),
+        F.max("n_obs").alias("_op_nobs"),
+        F.max("n_train").alias("_n_train"),
+        F.max("n_test").alias("_n_test"),
+    )
+    obs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("symbol"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    j = obs.join(per, "symbol", "full_outer")
+    false = F.lit(False)
+    return j.select(
+        "symbol",
+        "n_obs",
+        (F.coalesce(F.col("_rows"), F.lit(0)) > 0).alias("included"),
+        F.coalesce(F.col("_rows"), F.lit(0)).alias("n_forecast_rows"),
+        F.coalesce(
+            (F.col("_nsteps") == 168)
+            & (F.col("_minstep") == 1)
+            & (F.col("_maxstep") == 168),
+            false,
+        ).alias("steps_ok"),
+        F.col("_n_train").alias("n_train"),
+        F.col("_n_test").alias("n_test"),
+        F.coalesce(
+            (F.col("_rmse_nan") == 0) & (F.col("_rmse_card") == 1), false
+        ).alias("rmse_ok"),
+        F.coalesce(F.col("_fc_bad") == 0, false).alias("forecast_finite"),
+        F.coalesce(
+            (F.col("_skel_card") == 1) & (F.col("_op_nobs") == F.col("n_obs")),
+            false,
+        ).alias("skeleton_ok"),
     )
 
 
@@ -480,7 +575,7 @@ def _motif_oracle() -> str:
     """
 
 
-@register_local("ts_motif_search", oracle=_motif_oracle())
+@register("ts_motif_search", oracle=_motif_oracle())
 def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity (motif) search over the hourly grid: the 10
     windows of 12 consecutive hourly observations — across ALL series —

@@ -111,7 +111,7 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- C4-style sub-document chunk dedup --------------------------------------------
-@register(
+@register_local(
     "chunk_dedup_c4",
     oracle=f"""
     WITH {_ORACLE_TOKS},
@@ -439,7 +439,7 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- signed feature hashing (the hashing-trick featurizer) -------------------------
-@register(
+@register_local(
     "doc_feature_hashing",
     oracle=f"""
     WITH tt AS (
@@ -503,7 +503,7 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming corpus ingestion (continuous crawl) ---------------------------------
-@register(
+@register_local(
     "streaming_clean_corpus_parity",
     oracle=f"""
     WITH s AS (
@@ -798,7 +798,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(_emb(spark, sf_dir))
 
 
-@register(
+@register_local(
     "embedding_pq_adc_topk",
     oracle=f"""
     WITH {_PQ_DISTS},
@@ -1278,7 +1278,7 @@ def token_weighted_systematic_sample(
 
 
 # --- corpus data card (r5) ----------------------------------------------------------
-@register_local(
+@register(
     "corpus_stats_card",
     oracle=f"""
     WITH base AS (
@@ -1442,7 +1442,7 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- UniMax training-mix allocation (r6) -------------------------------------------
-@register_local(
+@register(
     "unimax_source_allocation",
     oracle=f"""
     WITH tok AS (
@@ -1570,7 +1570,7 @@ EAGER_ITERATIVE.update(
 
 
 # --- overlapping context windows (r6) ------------------------------------------------
-@register_local(
+@register(
     "doc_context_windows",
     oracle=f"""
     WITH toks AS (
@@ -1622,7 +1622,7 @@ _SPAN_LEADS = ", ".join(
 )
 
 
-@register_local(
+@register(
     "substring_dup_spans",
     oracle=f"""
     WITH toks AS (
@@ -1681,7 +1681,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- cross-source overlap matrix (r6) ------------------------------------------------
-@register_local(
+@register(
     "source_overlap_matrix",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(5)}),
@@ -1784,7 +1784,7 @@ _CARD_ORACLE = f"""
     """
 
 
-@register_local("incremental_stats_card", oracle=_CARD_ORACLE)
+@register("incremental_stats_card", oracle=_CARD_ORACLE)
 def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data card maintained INCREMENTALLY: docs with doc_id % 5 == 4
     play a freshly-ingested delta (the dedup_incremental_minhash
@@ -1902,7 +1902,7 @@ def _card_from_partials(spark: SparkSession, parts) -> DataFrame:
     )
 
 
-@register_local("streaming_stats_card_parity", oracle=_CARD_ORACLE)
+@register("streaming_stats_card_parity", oracle=_CARD_ORACLE)
 def streaming_stats_card_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE datasheet: the documents fixture replays as 3 micro-
     batches; each batch compacts to the same mergeable partial state as

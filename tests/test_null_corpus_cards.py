@@ -16,12 +16,19 @@ import pytest
 from stock_market_big_data_project_spark.plans import (
     LOCAL_ORACLES,
     LOCAL_QUERIES,
+    ORACLES,
+    QUERIES,
     load_all_plans,
 )
 
 from .oracle_utils import compare
 
 load_all_plans()
+
+# Tier-agnostic lookups: the r7 rotation promoted both cards to the
+# driver tier; this test is about NULL semantics, not tier.
+ALL_QUERIES = {**QUERIES, **LOCAL_QUERIES}
+ALL_ORACLES = {**ORACLES, **LOCAL_ORACLES}
 
 ROWS = [
     # doc_id, text, lang, source, n_chars
@@ -60,7 +67,7 @@ def null_con(null_sf_dir):
     "name", ["corpus_stats_card", "incremental_stats_card"]
 )
 def test_card_parity_with_nulls(name, spark, null_sf_dir, null_con):
-    spark_df = LOCAL_QUERIES[name](spark, null_sf_dir)
-    oracle_pdf = null_con.execute(LOCAL_ORACLES[name]).fetchdf()
+    spark_df = ALL_QUERIES[name](spark, null_sf_dir)
+    oracle_pdf = null_con.execute(ALL_ORACLES[name]).fetchdf()
     errs = compare(spark_df, oracle_pdf, name)
     assert not errs, "\n".join(errs)

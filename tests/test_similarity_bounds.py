@@ -39,16 +39,21 @@ def test_ivf_probe_recall_and_consistency(spark):
     must beat the random-cell floor (n_probe/n_cells = 0.25, minus margin
     for the tiny fixture), and any pair both searches return must carry the
     identical exact-decimal cosine (the rescore path is shared)."""
-    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        QUERIES,
+        load_all_plans,
+    )
 
     load_all_plans()
+    all_q = {**QUERIES, **LOCAL_QUERIES}
     bf = {
         (r.query_id, r.neighbor_id): r.cosine
-        for r in QUERIES["embedding_bruteforce_topk"](spark, SF_DIR).collect()
+        for r in all_q["embedding_bruteforce_topk"](spark, SF_DIR).collect()
     }
     ivf = {
         (r.query_id, r.neighbor_id): r.cosine
-        for r in QUERIES["embedding_ivf_topk"](spark, SF_DIR).collect()
+        for r in all_q["embedding_ivf_topk"](spark, SF_DIR).collect()
     }
     common = set(bf) & set(ivf)
     assert len(common) / len(bf) >= 0.2
@@ -82,7 +87,9 @@ def test_lsh_near_dup_subset_of_bruteforce(spark):
     }
     lsh = {
         (r.id_a, r.id_b): r.cosine
-        for r in QUERIES["embedding_near_dup_pairs"](spark, SF_DIR).collect()
+        for r in {**QUERIES, **LOCAL_QUERIES}["embedding_near_dup_pairs"](
+            spark, SF_DIR
+        ).collect()
     }
     assert set(lsh) <= set(exact)
     assert len(lsh) > 0

@@ -61,10 +61,13 @@ def test_granger_independent_series():
 
 
 def test_forecast_query_shape(spark, sf_dir):
-    from stock_market_big_data_project_spark.plans import QUERIES, load_all_plans
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_QUERIES,
+        load_all_plans,
+    )
 
     load_all_plans()
-    pdf = QUERIES["recursive_forecast"](spark, sf_dir).toPandas()
+    pdf = LOCAL_QUERIES["recursive_forecast"](spark, sf_dir).toPandas()
     # every symbol with enough history emits exactly 168 steps
     counts = pdf.groupby("symbol")["step"].count()
     assert (counts == 168).all() and len(counts) > 0
