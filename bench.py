@@ -143,6 +143,11 @@ EXTRA = [
     # forecaster (runs the same forecaster Arrow stage + the events-side
     # count join)
     "forecast_structure",
+    # round-7 retrieval/scoring family (plans/retrieval.py)
+    "bm25_retrieval_topk",
+    "perplexity_quality_buckets",
+    "temperature_sampling_mix",
+    "bpe_apply_encode",
 ]
 
 

@@ -108,6 +108,9 @@ TINY_CROSS_OK = {
     "dedup_multi_signal",         # the text side's 1-row corpus-count
                                   # scalar (same cut as
                                   # dedup_ngram_jaccard)
+    "bm25_retrieval_topk",        # 1-row (N, Σdl) scalar for idf/avgdl
+    "perplexity_quality_buckets", # 1-row en-token-total scalar for the
+                                  # LM denominator
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

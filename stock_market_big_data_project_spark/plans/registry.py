@@ -38,6 +38,7 @@ _PLAN_MODULES = (
     "llm",
     "statistical",
     "training",
+    "retrieval",
 )
 
 

@@ -1,0 +1,478 @@
+"""Round-7 corpus-scoring queries: BM25 multi-query lexical retrieval,
+hashed-LM perplexity quality bucketing (the CCNet recipe), temperature-
+sampled training-mix allocation, and the registered form of the BPE
+encoder (trainer → apply, closing the tokenizer loop).
+
+These extend the reference's collected-but-never-analyzed text surface
+(twitter/main.py:11-28, OP-68) the same way plans/training.py does: each
+is an operator a 100 TB training-data pipeline runs between "crawl" and
+"tokenize". `tfidf_search_topk` (plans/training.py) answers ONE fixed
+query with an ln-free idf; `bm25_retrieval_topk` generalizes it to a
+BATCH of data-derived queries with the BM25 saturation + length
+normalization that lexical retrieval actually uses. `dsir_importance_
+weights` scores documents against a target-vs-raw ratio LM;
+`perplexity_quality_buckets` scores them against the target LM alone —
+the Wenzek et al. (2020) CCNet head/middle/tail split. `unimax_source_
+allocation` is the cap-at-1-epoch mix; `temperature_sampling_mix` is the
+n^alpha alternative (mT5/mC4), registered so a user can compare both
+allocations on the same corpus.
+
+Exactness contract: log/pow are libm functions whose last ulp differs
+across engines (the `top10_significant_lineitems` precedent), so every
+log/pow-valued quantity is rounded BEFORE any cross-row arithmetic —
+per-term scores round to 12dp and then sum as exact decimals (order-
+independent), and rankings compare the decimal sums, never raw doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import md5_hash64, oracle_md5_hash64, tokens
+from ..sources.tables import load_table
+from .audit import EAGER_ITERATIVE
+from .llm import _TOKS
+from .registry import register_local
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- BM25 batch retrieval ------------------------------------------------------------
+# k1 = 1.2, b = 0.75 (the Robertson/Sparck-Jones defaults). The query
+# workload is user-supplied and CONSTANT-SIZE in a real deployment; the
+# stand-in derives up to 20 queries from the corpus itself (first 3
+# tokens of docs with doc_id % 25 == 1, capped at doc_id <= 500) — the
+# cap keeps the query table SF-invariant, so broadcasting it is safe at
+# any corpus size (the r6 broadcast-hint-hygiene rule: never hint a
+# data-proportional side).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 5
+
+
+@register_local(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, tok, count(*) AS tf FROM t GROUP BY 1, 2, 3
+    ), q AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(({_TOKS})[1:3]) AS tok
+      FROM documents WHERE doc_id % 25 = 1 AND doc_id <= 500
+    ), cand AS (
+      SELECT tf.doc_id, tf.dl, tf.tok, tf.tf, q.query_id
+      FROM tf JOIN q USING (tok)
+    ), dfq AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM cand GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n_docs, CAST(SUM(len({_TOKS})) AS BIGINT) AS sum_dl
+      FROM documents
+    ), terms AS (
+      SELECT query_id, cand.doc_id,
+             CAST(round(
+               ln(1 + (tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (cand.tf * ({_BM25_K1} + 1))
+               / (cand.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * cand.dl
+                     / (CAST(tot.sum_dl AS DOUBLE) / tot.n_docs))),
+               12) AS DECIMAL(38,12)) AS term
+      FROM cand JOIN dfq USING (tok) CROSS JOIN tot
+    ), s AS (
+      SELECT query_id, doc_id, SUM(term) AS s_dec
+      FROM terms GROUP BY 1, 2
+    ), r AS (
+      SELECT query_id, doc_id, s_dec,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s_dec DESC, doc_id) AS rank
+      FROM s
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+           round(CAST(s_dec AS DOUBLE), 9) AS bm25
+    FROM r WHERE rank <= {_BM25_K}
+    """,
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 per query over a batch of queries — the lexical half of
+    a retrieval stack (the embedding half is the IVF/PQ family in
+    operators/similarity.py). Okapi BM25 with k1=1.2, b=0.75: per-term
+    idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), idf = ln(1+(N−df+0.5)/
+    (df+0.5)).
+
+    Exactness: ln's last ulp is libm-dependent, so each TERM score is
+    rounded to 12dp and cast to decimal(38,12); per-(query, doc) scores
+    sum as exact decimals (order-independent across partitions), and the
+    ranking compares the decimal sums with a doc_id tie-break — bit-
+    deterministic given the 12dp terms, which hold to ~1e-16 relative.
+
+    Scale shape: ONE corpus tokenize feeds the (doc, token) tf aggregate;
+    the constant-size query-token table broadcasts onto it, so only
+    candidate rows (docs sharing a query token) survive past the probe.
+    df comes from the candidates themselves (a query token's df is
+    countable from cand because cand holds EVERY (doc, tok) pair for
+    query tokens), so no second corpus aggregate; N and Σdl come from a
+    1-row narrow-scan aggregate (no shuffle). The candidate table is
+    localCheckpoint'd once for its two consumers (df rollup + scoring) —
+    the DSIR "stage the compacted table, not the corpus" idiom. Top-k is
+    a window partitioned BY QUERY — parallel across queries, never a
+    global sort."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
+    )
+    tf = base.groupBy("doc_id", "dl", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    q = (
+        d.filter((F.col("doc_id") % 25 == 1) & (F.col("doc_id") <= 500))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, 3)).alias("tok"),
+        )
+        .distinct()
+    )
+    cand = tf.join(F.broadcast(q), "tok").localCheckpoint(eager=True)
+    dfq = cand.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    terms = (
+        cand.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(term, 12).cast("decimal(38,12)").alias("term"),
+        )
+    )
+    s = terms.groupBy("query_id", "doc_id").agg(F.sum("term").alias("s_dec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("s_dec"), "doc_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round(F.col("s_dec").cast("double"), 9).alias("bm25"),
+        )
+    )
+
+
+# --- hashed-LM perplexity quality buckets ---------------------------------------------
+# CCNet (Wenzek et al. 2020) scores every document against a target-
+# domain LM and splits the corpus at the scored percentiles into
+# head/middle/tail quality tiers. Target LM here: add-1-smoothed hashed
+# unigram frequencies from the lang='en' slice (the same zero-vocabulary
+# 256-bucket trick as DSIR/doc_feature_hashing; CCNet's KenLM 5-gram is
+# out of container scope). Bucket thresholds are CONSTANTS: CCNet derives
+# them from a percentile pass over the scored corpus — at scale that is
+# one `percentile_approx` (mergeable sketch), but a sketch estimate is
+# not bit-exact cross-engine, so the registered query pins the cutoffs
+# (chosen once from the sf0.01 distribution so all three tiers are
+# populated at every SF).
+_PPL_B = 256
+_PPL_THETA1 = 3.375
+_PPL_THETA2 = 3.392
+
+
+@register_local(
+    "perplexity_quality_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+    ), fb AS (
+      SELECT doc_id, lang,
+             {oracle_md5_hash64("'ppl:' || tok")} % {_PPL_B} AS b
+      FROM t
+    ), nb AS (
+      SELECT doc_id, lang, b, count(*) AS c FROM fb GROUP BY 1, 2, 3
+    ), lm AS (
+      SELECT b, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS c_t
+      FROM nb GROUP BY 1
+    ), tot AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS n_t FROM nb
+    ), lnp AS (
+      SELECT b, CAST(round(
+               ln(CAST(lm.c_t + 1 AS DOUBLE) / (tot.n_t + {_PPL_B})), 12)
+             AS DECIMAL(14,12)) AS lnp
+      FROM lm CROSS JOIN tot
+    ), sc AS (
+      SELECT nb.doc_id,
+             SUM(CAST(nb.c AS DECIMAL(10,0)) * lnp.lnp) AS s_dec,
+             CAST(SUM(nb.c) AS BIGINT) AS n_toks
+      FROM nb JOIN lnp USING (b) GROUP BY 1
+    )
+    SELECT doc_id, n_toks,
+           round(-CAST(s_dec AS DOUBLE) / n_toks, 9) AS avg_nll,
+           CASE WHEN -CAST(s_dec AS DOUBLE) / n_toks < {_PPL_THETA1}
+                  THEN 'head'
+                WHEN -CAST(s_dec AS DOUBLE) / n_toks < {_PPL_THETA2}
+                  THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM sc
+    """,
+)
+def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity against the target-domain LM, bucketed
+    head/middle/tail (CCNet). avg_nll = −(Σ_tok ln p(bucket(tok)))/n_toks
+    with p(b) = (c_en(b)+1)/(n_en+256).
+
+    Exactness: ln p takes only ≤256 DISTINCT values (one per hash
+    bucket), so the log is evaluated once per BUCKET, rounded to 12dp,
+    and cast to decimal; each document's Σ is then decimal × integer-
+    count — exact and order-independent — with ONE double division at
+    the end (rounded to 9dp). Stronger than rounding per token: the
+    cross-engine surface is 256 libm calls, not one per corpus token.
+    The decimal types are deliberately tight — lnp decimal(14,12) ×
+    count decimal(10,0) → decimal(25,12), exact: a bigint ×
+    decimal(38,12) product overflows precision 38, and both engines
+    degrade SILENTLY (Spark reduces the scale, DuckDB promotes to
+    double), observed as ~1e-8 divergence before this sizing.
+
+    Scale shape (the DSIR lesson, plans/training.py): ONE corpus pass
+    builds the compacted (doc, lang, bucket) counts, localCheckpoint'd
+    for its two consumers (LM rollup + scoring join); the LM is ≤256
+    rows — broadcast — so the corpus never shuffles again after the
+    feature explode. Docs with zero tokens have no nb rows and drop out
+    (no NULL-division path)."""
+    sc_ = spark.sparkContext
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "text")
+        .repartition(sc_.defaultParallelism, "doc_id")
+    )
+    exploded = base.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    fb = exploded.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            md5_hash64(F.concat(F.lit("ppl:"), F.col("tok"))), F.lit(_PPL_B)
+        ).alias("b"),
+    )
+    nb = (
+        fb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    is_t = F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))
+    lm = nb.groupBy("b").agg(F.sum(is_t).alias("c_t"))
+    tot = nb.agg(F.sum(is_t).alias("n_t"))
+    lnp = (
+        lm.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.col("c_t") + 1).cast("double")
+                    / (F.col("n_t") + _PPL_B)
+                ),
+                12,
+            )
+            .cast("decimal(14,12)")
+            .alias("lnp"),
+        )
+    )
+    sc = (
+        nb.join(F.broadcast(lnp), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c").cast("decimal(10,0)") * F.col("lnp")).alias(
+                "s_dec"
+            ),
+            F.sum("c").cast("long").alias("n_toks"),
+        )
+    )
+    nll = -F.col("s_dec").cast("double") / F.col("n_toks")
+    return sc.select(
+        "doc_id",
+        "n_toks",
+        F.round(nll, 9).alias("avg_nll"),
+        F.when(nll < _PPL_THETA1, F.lit("head"))
+        .when(nll < _PPL_THETA2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+# --- temperature-sampled training mix -------------------------------------------------
+_TEMP_ALPHA = 0.3
+
+
+@register_local(
+    "temperature_sampling_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_tokens,
+             POWER(n_tokens, {_TEMP_ALPHA})
+               / SUM(POWER(n_tokens, {_TEMP_ALPHA})) OVER () AS wr,
+             (19 * SUM(n_tokens) OVER ()) // 20 AS budget
+      FROM tok
+    )
+    SELECT source, n_tokens,
+           round(wr, 9) AS weight,
+           CAST(floor(round(budget * wr, 3)) AS BIGINT) AS alloc_tokens,
+           CASE WHEN n_tokens = 0 THEN NULL
+                ELSE round(budget * wr / n_tokens, 6) END AS epochs
+    FROM w
+    """,
+)
+def temperature_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled training-mix allocation (the mT5/mC4 recipe):
+    source weights ∝ n_tokens^α with α=0.3, against the same 19/20-of-
+    corpus token budget as `unimax_source_allocation` — registering both
+    lets a user diff the two mixes on one corpus (UniMax caps at 1 epoch;
+    temperature sampling happily oversamples small sources, visible in
+    the epochs column).
+
+    Exactness: pow's last ulp is libm-dependent (the reason UniMax chose
+    the integer waterfill), so every pow-derived output is rounded —
+    weight to 9dp, the token allocation as floor(round(budget·w, 3)) (the
+    round pins the value before the floor can amplify a last-ulp
+    difference across an integer boundary), epochs to 6dp with an
+    explicit zero-token guard (NULL, matching SQL).
+
+    Scale shape: identical to UniMax — the corpus-sized work is ONE
+    per-source token aggregate; the weighting runs windowed over the
+    per-source table (one row per source, driver-size by construction).
+    Feeds `token_weighted_systematic_sample` to realize each source's
+    quota, like the waterfill does."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(_TEMP_ALPHA))
+    wr = pw / F.expr(
+        f"sum(power(cast(n_tokens as double), {_TEMP_ALPHA})) over ()"
+    )
+    budget = F.expr("(19 * sum(n_tokens) over ()) div 20")
+    staged = counts.select(
+        "source",
+        "n_tokens",
+        wr.alias("wr"),
+        budget.alias("budget"),
+    )
+    return staged.select(
+        "source",
+        "n_tokens",
+        F.round(F.col("wr"), 9).alias("weight"),
+        F.floor(F.round(F.col("budget") * F.col("wr"), 3))
+        .cast("long")
+        .alias("alloc_tokens"),
+        F.when(
+            F.col("n_tokens") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(F.col("budget") * F.col("wr") / F.col("n_tokens"), 6)
+        )
+        .alias("epochs"),
+    )
+
+
+# --- BPE encode (trainer → apply, registered) -----------------------------------------
+@register_local("bpe_apply_encode")  # no oracle BY DESIGN: the merge list
+# comes from the K-round iterative trainer (driver-argmax per round, the
+# same declaration as bpe_learn_merges/k-means); the strong check is the
+# subword-nmt-reference differential in tests/test_bpe.py, which this
+# query extends with a per-doc rollup parity check.
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY — the other half of the BPE loop: learn 12 merges
+    on the corpus (operators/bpe.py::train_bpe), then encode every
+    document with them and roll up per doc: word count, subword-token
+    count, and an md5 fingerprint of the full space-joined encoding (word
+    order preserved), so the rows-only driver check still pins the exact
+    segmentation bytes.
+
+    Scale shape: the merge table is vocabulary-bounded and ships in the
+    plan as literals; `apply_bpe` is a pure narrow map after the word
+    explode (chained regexp_replace — codegen, no Python, no shuffle), so
+    encoding cost is one corpus pass. The per-doc rollup re-assembles
+    word order with sort_array(collect_list(struct(pos, tokens))) under
+    ONE doc-keyed shuffle. At 100 TB the learned merges come off the
+    at-rest trainer output (operators/stats.py's model sink); re-learning
+    here keeps the registered query self-contained."""
+    from ..operators.bpe import apply_bpe, train_bpe
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        (r["pair"], r["merged"])
+        for r in train_bpe(d, "text", n_merges=12).collect()
+    ]
+    wp = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
+    )
+    enc = apply_bpe(d, merges, "text")
+    # apply_bpe explodes words independently; join encodings back onto
+    # the positioned word stream so repeated words keep every position.
+    enc_vocab = enc.select("word", "bpe_tokens").distinct()
+    joined = wp.join(enc_vocab, "word")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("bpe_tokens")).cast("long").alias("n_subword_tokens"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "bpe_tokens"))
+                        ),
+                        lambda s: s["bpe_tokens"],
+                    )
+                ),
+                " ",
+            )
+        ).alias("encoding_md5"),
+    )
+    return per_doc.select(
+        "doc_id", "n_words", "n_subword_tokens", "encoding_md5"
+    )
+
+
+def _bpe_apply_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit constituent of bpe_apply_encode: the encode + rollup plan
+    with a fixed 1-merge table (the trainer's own rounds are audited via
+    bpe_learn_merges' constituent)."""
+    from ..operators.bpe import apply_bpe
+
+    d = _docs(spark, sf_dir)
+    wp = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
+    )
+    enc_vocab = (
+        apply_bpe(d, [("t h", "th")], "text")
+        .select("word", "bpe_tokens")
+        .distinct()
+    )
+    joined = wp.join(enc_vocab, "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("bpe_tokens")).cast("long").alias("n_subword_tokens"),
+    )
+
+
+EAGER_ITERATIVE.update({"bpe_apply_encode": _bpe_apply_plan})

@@ -87,6 +87,8 @@ def test_eager_iterative_list_is_current(spark):
     assert set(EAGER_ITERATIVE) <= set(registered)
     iterative_trainers = {
         "bpe_learn_merges",
+        "bpe_apply_encode",  # trainer-then-apply: the merge list is the
+        # trainer's collected output, shipped into the encode plan
         "embedding_kmeans_train",
         "quality_classifier_train",
     }
