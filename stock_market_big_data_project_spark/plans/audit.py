@@ -82,6 +82,8 @@ PYTHON_STAGE_OK = {
     "dedup_multi_signal",            # the SemDeDup side's Arrow IVF
                                      # assignment, via its audited
                                      # pre-checkpoint pair constituent
+    "hybrid_rrf_retrieval",          # cosine_topk's matmul candidate
+                                     # prescreen inside the semantic leg
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast
@@ -111,6 +113,12 @@ TINY_CROSS_OK = {
     "bm25_retrieval_topk",        # 1-row (N, Σdl) scalar for idf/avgdl
     "perplexity_quality_buckets", # 1-row en-token-total scalar for the
                                   # LM denominator
+    "lsh_dedup_recall_eval",      # the truth side's 1-row corpus-count
+                                  # scalar (same cut as
+                                  # dedup_ngram_jaccard) + the 1-row
+                                  # n_truth broadcast onto the per-config
+                                  # rollup
+    "hybrid_rrf_retrieval",       # the BM25 leg's 1-row (N, Σdl) scalar
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup
@@ -131,6 +139,11 @@ WIDE_PLAN_OK = {
     # unioned (its audited constituent is the pair union; each half is
     # individually gated via dedup_ngram_jaccard / embedding_semantic_dedup)
     "dedup_multi_signal": 24,
+    # the audited exact-Jaccard truth chain + the audited MinHash banding
+    # chain × 2 configs, joined once (audited via its pre-checkpoint
+    # constituent _lsh_recall_plan; each half is individually gated via
+    # dedup_ngram_jaccard / dedup_minhash_lsh)
+    "lsh_dedup_recall_eval": 24,
 }
 
 

@@ -1890,3 +1890,172 @@ def _multi_signal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EAGER_ITERATIVE.update({"dedup_multi_signal": _multi_signal_pairs})
+
+
+# --- LSH dedup recall evaluation (r7) ---------------------------------------------
+# The dedup twin of ann_recall_eval: the banding parameters (bands × rows)
+# set the LSH S-curve, and a deployment tunes them by measuring candidate
+# RECALL against exact Jaccard ground truth on a slice — here expressed
+# in-engine so the tuning loop scales with the corpus. Two configs over
+# the SAME 16-permutation signature: 4 bands × 4 rows (high precision,
+# collision needs 4 agreeing minima) vs 8 bands × 2 rows (high recall,
+# any 2-minima band collides).
+@register_local(
+    "lsh_dedup_recall_eval",
+    oracle=f"""
+    WITH sh0 AS ({oracle_word_shingles(n=3)}),
+    hot AS (
+      SELECT shingle_hash FROM sh0 GROUP BY shingle_hash
+      HAVING count(*) > 0.05 * (SELECT count(*) FROM documents)
+    ),
+    shc AS (
+      SELECT * FROM sh0
+      WHERE shingle_hash NOT IN (SELECT shingle_hash FROM hot)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM shc a JOIN shc b ON a.shingle_hash = b.shingle_hash
+                           AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.3
+    ),
+    idx AS (SELECT unnest(range(0, 16)) AS i),
+    sig AS (
+      SELECT doc_id, i,
+             min(((2*i + 1) * (shingle_hash % {MOD}) + 7919*i) % {MOD}) AS mh
+      FROM sh0 CROSS JOIN idx GROUP BY doc_id, i
+    ),
+    banded44 AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             sum(mh * CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                                 WHEN 2 THEN 961 ELSE 29791 END) AS band_hash
+      FROM sig GROUP BY 1, 2
+    ),
+    banded82 AS (
+      SELECT doc_id, CAST(i // 2 AS INT) AS band,
+             sum(mh * CASE i % 2 WHEN 0 THEN 1 ELSE 31 END) AS band_hash
+      FROM sig GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT '4x4' AS lsh_config, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded44 a JOIN banded44 b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT '8x2' AS lsh_config, a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded82 a JOIN banded82 b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT count(*) AS n_truth FROM truth),
+    per AS (
+      SELECT lsh_config, count(*) AS n_cand,
+             sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM cand c LEFT JOIN truth t USING (id_a, id_b)
+      GROUP BY 1
+    )
+    SELECT lsh_config,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(tot.n_truth AS BIGINT) AS n_truth,
+           CASE WHEN tot.n_truth = 0 THEN NULL
+                ELSE round(n_hit / tot.n_truth, 9) END AS recall,
+           round(n_hit / n_cand, 9) AS prec
+    FROM per CROSS JOIN tot
+    """,
+)
+def lsh_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall/precision of banded MinHash LSH vs exact 3-gram
+    Jaccard ≥ 0.3 ground truth, per banding config — the in-engine tuning
+    loop for the dedup index (the `ann_recall_eval` pattern applied to the
+    dedup family). One row per config: candidate count, hit count, truth
+    count, recall (= found true pairs / all true pairs) and candidate
+    precision (= true pairs / candidates, the verify-stage workload the
+    config buys).
+
+    Exactness: every quantity is an integer count over md5-derived hashes;
+    the two divisions are exact small-integer double divisions (IEEE
+    correctly-rounded, not libm) — bit-deterministic cross-engine.
+
+    Scale shape: ground truth comes from the inverted-shingle-index pair
+    generator (stop-shingle cut — never corpus²; at 100 TB you run this
+    eval on a SLICE, which is what the corpus here stands in for). Both
+    candidate sets band the SAME 16-permutation signature (one signature
+    aggregate, two vocabulary-width banding aggregates), so adding a config
+    to the sweep costs one banded equi-join, not a new corpus pass. The
+    final rollup is one groupBy over the unioned candidate pairs with the
+    1-row truth count broadcast onto it. Truth pairs and the signature are
+    localCheckpoint'd once for their two consumers each (the DSIR staging
+    idiom); each staged constituent's relational shape is itself an
+    audited query (dedup_ngram_jaccard / dedup_minhash_lsh), and the
+    post-stage join structure is audited via _lsh_recall_plan."""
+    d = _docs(spark, sf_dir)
+    truth = (
+        ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.3, max_doc_frac=0.05
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signatures(d, "doc_id", "text", n=3, k=16).localCheckpoint(
+        eager=True
+    )
+    cands = None
+    for bands, rows in ((4, 4), (8, 2)):
+        c = lsh_candidate_pairs(sig, "doc_id", bands=bands, rows=rows).select(
+            F.lit(f"{bands}x{rows}").alias("lsh_config"), "id_a", "id_b"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    joined = cands.join(
+        truth.withColumn("is_true", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    per = joined.groupBy("lsh_config").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hit"),
+    )
+    return per.crossJoin(F.broadcast(n_truth)).select(
+        "lsh_config",
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_hit") / F.col("n_truth"), 9))
+        .alias("recall"),
+        F.round(F.col("n_hit") / F.col("n_cand"), 9).alias("prec"),
+    )
+
+
+def _lsh_recall_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit constituent of lsh_dedup_recall_eval: the full relational
+    shape with the two staged tables inlined (no checkpoints) — the
+    registered callable stages truth + signature via localCheckpoint, which
+    would hide the candidate-join structure from the plan gate."""
+    d = _docs(spark, sf_dir)
+    truth = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.3, max_doc_frac=0.05
+    ).select("id_a", "id_b")
+    sig = minhash_signatures(d, "doc_id", "text", n=3, k=16)
+    cands = None
+    for bands, rows in ((4, 4), (8, 2)):
+        c = lsh_candidate_pairs(sig, "doc_id", bands=bands, rows=rows).select(
+            F.lit(f"{bands}x{rows}").alias("lsh_config"), "id_a", "id_b"
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    return cands.join(
+        truth.withColumn("is_true", F.lit(1)), ["id_a", "id_b"], "left"
+    ).groupBy("lsh_config").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_hit"),
+    )
+
+
+EAGER_ITERATIVE.update({"lsh_dedup_recall_eval": _lsh_recall_plan})

@@ -29,10 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.similarity import cosine_topk
 from ..operators.text import md5_hash64, oracle_md5_hash64, tokens
 from ..sources.tables import load_table
 from .audit import EAGER_ITERATIVE
-from .llm import _TOKS
+from .llm import _TOKS, _VECS
 from .registry import register_local
 
 
@@ -119,6 +120,21 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DSIR "stage the compacted table, not the corpus" idiom. Top-k is
     a window partitioned BY QUERY — parallel across queries, never a
     global sort."""
+    return (
+        _bm25_ranked(spark, sf_dir, _BM25_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round(F.col("s_dec").cast("double"), 9).alias("bm25"),
+        )
+    )
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(query_id, doc_id, s_dec, rank ≤ k): the BM25 scoring pipeline
+    shared by `bm25_retrieval_topk` (k=5 output) and the RRF fusion
+    (k=10 lexical list) — one definition so the two can never drift."""
     d = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     base = d.select(
@@ -165,15 +181,8 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = terms.groupBy("query_id", "doc_id").agg(F.sum("term").alias("s_dec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("s_dec"), "doc_id")
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_K)
-        .select(
-            "query_id",
-            F.col("rank").cast("int").alias("rank"),
-            "doc_id",
-            F.round(F.col("s_dec").cast("double"), 9).alias("bm25"),
-        )
+    return s.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 
@@ -476,3 +485,153 @@ def _bpe_apply_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EAGER_ITERATIVE.update({"bpe_apply_encode": _bpe_apply_plan})
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (r7) -------------------------------------
+# RRF (Cormack et al. 2009): fuse the lexical (BM25) and semantic (exact
+# cosine) rankings per query by score(d) = Σ_lists 1/(C + rank_list(d)),
+# C = 60 — the standard hybrid-search combiner (rank-based, so it needs no
+# score calibration between the two systems). Both input lists are top-10;
+# the fused output is top-5.
+_RRF_C = 60
+_RRF_IN_K = 10
+_RRF_OUT_K = 5
+
+# The BM25 CTE chain (to ranked list `r`), shared textually with the
+# bm25_retrieval_topk oracle's structure — see _bm25_ranked for the Spark
+# twin. Kept as a function so the fused oracle and any future consumer
+# take the SAME text.
+def _bm25_oracle_ctes() -> str:
+    return f"""
+    t AS (
+      SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, tok, count(*) AS tf FROM t GROUP BY 1, 2, 3
+    ), q AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(({_TOKS})[1:3]) AS tok
+      FROM documents WHERE doc_id % 25 = 1 AND doc_id <= 500
+    ), cand AS (
+      SELECT tf.doc_id, tf.dl, tf.tok, tf.tf, q.query_id
+      FROM tf JOIN q USING (tok)
+    ), dfq AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM cand GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n_docs, CAST(SUM(len({_TOKS})) AS BIGINT) AS sum_dl
+      FROM documents
+    ), terms AS (
+      SELECT query_id, cand.doc_id,
+             CAST(round(
+               ln(1 + (tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (cand.tf * ({_BM25_K1} + 1))
+               / (cand.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * cand.dl
+                     / (CAST(tot.sum_dl AS DOUBLE) / tot.n_docs))),
+               12) AS DECIMAL(38,12)) AS term
+      FROM cand JOIN dfq USING (tok) CROSS JOIN tot
+    ), s AS (
+      SELECT query_id, doc_id, SUM(term) AS s_dec
+      FROM terms GROUP BY 1, 2
+    ), r AS (
+      SELECT query_id, doc_id, s_dec,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s_dec DESC, doc_id) AS rank
+      FROM s
+    )
+    """
+
+
+@register_local(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH {_bm25_oracle_ctes()},
+    {_VECS},
+    cdots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v a JOIN v b ON a.d = b.d AND a.vec_id != b.vec_id
+      WHERE a.vec_id % 25 = 1 AND a.vec_id <= 500
+      GROUP BY 1, 2
+    ), cosr AS (
+      SELECT query_id, neighbor_id AS doc_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / (sqrt(na.norm2) * sqrt(nb.norm2)) DESC,
+                          neighbor_id) AS rank
+        FROM cdots
+        JOIN norms na ON na.vec_id = query_id
+        JOIN norms nb ON nb.vec_id = neighbor_id
+      ) WHERE rank <= {_RRF_IN_K}
+    ), bmr AS (
+      SELECT query_id, doc_id, rank FROM r WHERE rank <= {_RRF_IN_K}
+    ), fused AS (
+      SELECT query_id, doc_id, b.rank AS r_bm, c.rank AS r_cos
+      FROM bmr b FULL JOIN cosr c USING (query_id, doc_id)
+    ), scored AS (
+      SELECT query_id, doc_id, r_bm, r_cos,
+             COALESCE(CAST(1 AS DOUBLE) / ({_RRF_C} + r_bm), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_C} + r_cos), 0) AS rrf
+      FROM fused
+    ), ranked AS (
+      SELECT query_id, doc_id, r_bm, r_cos, rrf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id) AS fused_rank
+      FROM scored
+    )
+    SELECT query_id, CAST(fused_rank AS INT) AS fused_rank, doc_id,
+           round(rrf, 9) AS rrf_score,
+           CAST(r_bm AS INT) AS bm25_rank, CAST(r_cos AS INT) AS cos_rank
+    FROM ranked WHERE fused_rank <= {_RRF_OUT_K}
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion: per
+    query, BM25 top-10 and exact-cosine top-10 (over the aligned
+    embeddings table) fuse by Σ 1/(60+rank), fused top-5 out. The fused
+    rows keep both source ranks (NULL when a doc appears in only one
+    list) so a user can see which system surfaced each hit.
+
+    Exactness: RRF is rank arithmetic — 1/(60+r) for integer r is one
+    IEEE correctly-rounded division (not libm), and the fusion sum is a
+    single addition of two such terms, so scores are bit-identical
+    cross-engine with no rounding staging needed. Both input rankings are
+    already bit-deterministic (decimal BM25 sums; decimal-exact cosine).
+
+    Scale shape: the two retrieval legs are the audited pipelines
+    (`_bm25_ranked`: candidate-probe + per-query window;
+    `cosine_topk`: broadcast-query Arrow matmul prescreen + decimal
+    rescore, corpus never shuffles). Fusion itself touches only the two
+    top-10 lists — ≤ 20·queries rows — one full-outer equi-join + one
+    per-query window, driver-scale regardless of corpus size. The
+    embedding leg runs on the CONSTANT query set, so at 100 TB the
+    brute-force leg is the sampled-eval form; swap in ivf_probe_topk for
+    the production path (identical output columns)."""
+    bm = _bm25_ranked(spark, sf_dir, _RRF_IN_K).select(
+        "query_id", "doc_id", F.col("rank").alias("r_bm")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter((F.col("vec_id") % 25 == 1) & (F.col("vec_id") <= 500))
+    cos = cosine_topk(emb, qv, k=_RRF_IN_K).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_cos"),
+    )
+    fused = bm.join(cos, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_bm")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("r_cos")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= _RRF_OUT_K)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "doc_id",
+            F.round("rrf", 9).alias("rrf_score"),
+            F.col("r_bm").cast("int").alias("bm25_rank"),
+            F.col("r_cos").cast("int").alias("cos_rank"),
+        )
+    )

@@ -263,3 +263,66 @@ def test_bpe_apply_encode_fingerprints(spark):
         assert got.loc[did, "n_subword_tokens"] == len(parts), did
         assert got.loc[did, "encoding_md5"] == md5, did
     assert len(got) == len(doc_words)
+
+
+# --- hybrid RRF fusion ------------------------------------------------------------
+
+
+def test_rrf_fusion_matches_pure_python(spark):
+    """Recompute the fusion from the two collected top-10 input lists —
+    checks the RRF arithmetic and ranking independent of the SQL oracle
+    (the two legs themselves are covered by their own differentials)."""
+    from stock_market_big_data_project_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from stock_market_big_data_project_spark.plans.retrieval import (
+        _bm25_ranked,
+    )
+    from stock_market_big_data_project_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    bm = {
+        (r.query_id, r.doc_id): r["rank"]
+        for r in _bm25_ranked(spark, SF_DIR, 10).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = emb.filter((F.col("vec_id") % 25 == 1) & (F.col("vec_id") <= 500))
+    cos = {
+        (r.query_id, r.neighbor_id): r["rank"]
+        for r in cosine_topk(emb, qv, k=10).collect()
+    }
+    # pure-Python fusion
+    scores: dict = {}
+    for (q, doc), r in bm.items():
+        scores[(q, doc)] = scores.get((q, doc), 0.0) + 1.0 / (60 + r)
+    for (q, doc), r in cos.items():
+        scores[(q, doc)] = scores.get((q, doc), 0.0) + 1.0 / (60 + r)
+    expected = {}
+    for q in {k[0] for k in scores}:
+        docs = sorted(
+            (d for (qq, d) in scores if qq == q),
+            key=lambda d: (-scores[(q, d)], d),
+        )
+        for i, d in enumerate(docs[:5], start=1):
+            expected[(q, i)] = (d, scores[(q, d)])
+    got = LOCAL_QUERIES["hybrid_rrf_retrieval"](spark, SF_DIR).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        doc, s = expected[(r.query_id, r.fused_rank)]
+        assert r.doc_id == doc
+        assert float(r.rrf_score) == float(_round_dec(s, 9))
+        # provenance ranks round-trip
+        assert (r.bm25_rank is None) == ((r.query_id, r.doc_id) not in bm)
+        if r.bm25_rank is not None:
+            assert r.bm25_rank == bm[(r.query_id, r.doc_id)]
+        if r.cos_rank is not None:
+            assert r.cos_rank == cos[(r.query_id, r.doc_id)]
+
+
+def test_rrf_doc_in_both_lists_beats_single_list_peer(spark):
+    """A doc ranked 1st in BOTH legs must outrank any doc appearing in
+    only one leg: 1/61+1/61 > 1/(60+r) for every r ≥ 1."""
+    rows = LOCAL_QUERIES["hybrid_rrf_retrieval"](spark, SF_DIR).collect()
+    for r in rows:
+        if r.bm25_rank == 1 and r.cos_rank == 1:
+            assert r.fused_rank == 1
