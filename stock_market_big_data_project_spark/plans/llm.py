@@ -2059,3 +2059,115 @@ def _lsh_recall_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EAGER_ITERATIVE.update({"lsh_dedup_recall_eval": _lsh_recall_plan})
+
+
+# --- count-min sketch heavy hitters (r7) --------------------------------------------
+# The OTHER mergeable sketch the 100 TB path needs (sketch_merge_rollup
+# covers HLL cardinality): count-min (Cormode & Muthukrishnan 2005)
+# approximates per-item FREQUENCY in fixed space — d×w integer counters
+# that merge by cell-wise addition, the per-day/per-shard persist-and-
+# merge pattern. Unlike HLL's engine-specific blobs, CMS counters are
+# plain integer aggregates, so the WHOLE sketch is relational and the
+# estimates get a full cross-engine hash oracle.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 20
+
+
+@register_local(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    jj AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+    cms AS (
+      SELECT j,
+             {oracle_md5_hash64("'cm' || CAST(j AS VARCHAR) || ':' || tok")}
+               % {_CMS_W} AS b,
+             count(*) AS c
+      FROM t CROSS JOIN jj GROUP BY 1, 2
+    ),
+    exact AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1),
+    top20 AS (
+      SELECT tok, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, tok LIMIT {_CMS_TOPK}
+    ),
+    probe AS (
+      SELECT tok, exact_cnt, j,
+             {oracle_md5_hash64("'cm' || CAST(j AS VARCHAR) || ':' || tok")}
+               % {_CMS_W} AS b
+      FROM top20 CROSS JOIN jj
+    )
+    SELECT tok, exact_cnt,
+           CAST(min(c) AS BIGINT) AS cms_est,
+           CAST(min(c) - exact_cnt AS BIGINT) AS overcount
+    FROM probe JOIN cms USING (j, b)
+    GROUP BY tok, exact_cnt
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (d=4 md5-derived hash
+    rows × w=1024 buckets), evaluated on the exact top-20 tokens: per
+    token, the exact count, the CMS estimate (min over the d counters),
+    and the overcount (≥ 0 by construction — CMS never underestimates).
+
+    Exactness: counters and estimates are integer sums over md5-derived
+    bucket ids — the sketch itself is bit-identical cross-engine (the
+    reason CMS gets a hash oracle where HLL's sketch_merge_rollup is
+    rows-only: DataSketches blobs are engine-specific, integer counters
+    are not).
+
+    Scale shape: the sketch build is ONE map-side-combined aggregate over
+    (j, bucket) — 4×1024 cells of state regardless of corpus size, and
+    two day-shard sketches merge by cell-wise addition (the HLL rollup
+    pattern with exact arithmetic). The exact side (ground truth for the
+    error accounting) is one token aggregate + TakeOrderedAndProject
+    top-20; at 100 TB you keep only the sketch and probe it with the
+    candidate heavy hitters instead. The probe is 80 rows broadcast onto
+    the 4096-cell counter table."""
+    d = _docs(spark, sf_dir)
+    t = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def bucket(j: int, col) -> F.Column:
+        return F.pmod(
+            md5_hash64(F.concat(F.lit(f"cm{j}:"), col)), F.lit(_CMS_W)
+        )
+
+    jb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), bucket(j, F.col("tok")).alias("b")
+                )
+                for j in range(_CMS_D)
+            ]
+        )
+    ).alias("s")
+    cms = (
+        t.select(jb)
+        .select(F.col("s.j").alias("j"), F.col("s.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = t.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_CMS_TOPK)
+    probe = top.select("tok", "exact_cnt", jb).select(
+        "tok",
+        "exact_cnt",
+        F.col("s.j").alias("j"),
+        F.col("s.b").alias("b"),
+    )
+    est = (
+        cms.join(F.broadcast(probe), ["j", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias(
+            "overcount"
+        ),
+    )

@@ -95,3 +95,70 @@ def test_sketch_merge_rollup_accuracy_and_losslessness(spark):
         .est
     )
     assert got["__all__"] == whole
+
+
+# --- count-min sketch ---------------------------------------------------------------
+
+
+def test_countmin_merge_law_and_no_underestimate(spark):
+    """The CMS scale contract: (1) sketches of disjoint corpus halves
+    merge CELL-WISE into the whole-corpus sketch (exact integer
+    addition — the per-shard persist-and-merge pattern), and (2) the
+    estimate never underestimates ANY token, not just the top-20 the
+    registered query reports."""
+    import pyspark.sql.functions as F
+
+    from stock_market_big_data_project_spark.operators.text import (
+        md5_hash64,
+        tokens,
+    )
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+
+    def sketch(df):
+        jb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            md5_hash64(F.concat(F.lit(f"cm{j}:"), F.col("tok"))),
+                            F.lit(1024),
+                        ).alias("b"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("s")
+        return {
+            (r.j, r.b): r.c
+            for r in df.select(jb)
+            .select(F.col("s.j").alias("j"), F.col("s.b").alias("b"))
+            .groupBy("j", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    whole = sketch(t)
+    lo = sketch(t.filter(F.col("doc_id") % 2 == 0))
+    hi = sketch(t.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole
+
+    exact = {
+        r.tok: r.c
+        for r in t.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    import hashlib
+
+    for tok, cnt in exact.items():
+        est = min(
+            whole[(j, int(hashlib.md5(f"cm{j}:{tok}".encode()).hexdigest()[:15], 16) % 1024)]
+            for j in range(4)
+        )
+        assert est >= cnt
