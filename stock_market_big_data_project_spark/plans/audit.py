@@ -27,6 +27,7 @@ STREAMING_HARNESS = {
     "streaming_stats_card_parity",
     "streaming_pysource_ticks_parity",
     "streaming_manifest_export_parity",
+    "streaming_bm25_index_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

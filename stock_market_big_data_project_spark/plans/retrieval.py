@@ -143,7 +143,18 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     tf = base.groupBy("doc_id", "dl", "tok").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    q = (
+    q = _bm25_queries(d)
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+    )
+    return _bm25_from_index(tf, q, tot, k)
+
+
+def _bm25_queries(d: DataFrame) -> DataFrame:
+    """(query_id, tok): the SF-invariant data-derived query workload."""
+    toks = tokens(F.col("text"))
+    return (
         d.filter((F.col("doc_id") % 25 == 1) & (F.col("doc_id") <= 500))
         .select(
             F.col("doc_id").alias("query_id"),
@@ -151,12 +162,20 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _bm25_from_index(
+    tf: DataFrame, q: DataFrame, tot: DataFrame, k: int
+) -> DataFrame:
+    """BM25 scoring from an AT-REST index: ``tf`` is the postings table
+    (doc_id, dl, tok, tf), ``q`` the query tokens, ``tot`` the 1-row
+    (n_docs, sum_dl) corpus stats. Shared by the from-scratch batch path
+    (`_bm25_ranked`) and the incrementally-maintained index
+    (`streaming_bm25_index_parity`) — the scoring arithmetic has exactly
+    one definition, so the streamed index is proven by construction to
+    feed the identical formula."""
     cand = tf.join(F.broadcast(q), "tok").localCheckpoint(eager=True)
     dfq = cand.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    tot = d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
-    )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = F.log(
         F.lit(1.0)
@@ -635,3 +654,91 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_cos").cast("int").alias("cos_rank"),
         )
     )
+
+
+# --- streaming retrieval-index maintenance (r7) ----------------------------------------
+@register_local(
+    "streaming_bm25_index_parity",
+    oracle=f"""
+    WITH {_bm25_oracle_ctes()}
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+           round(CAST(s_dec AS DOUBLE), 9) AS bm25
+    FROM r WHERE rank <= {_BM25_K}
+    """,
+)
+def streaming_bm25_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval index maintained on the LIVE append path: the corpus
+    replays as 3 doc_id-range micro-batches; each batch appends its
+    delta's postings (doc_id, dl, tok, tf), per-doc stats (doc_id, dl),
+    and newly-registered query tokens to at-rest state dirs — per-tick
+    index work is DELTA-sized (one narrow tokenize + one delta-keyed
+    aggregate), the existing index is never rescanned. After the replay,
+    BM25 top-5 is scored from the maintained index through the SAME
+    `_bm25_from_index` used by the batch query, and the full-corpus
+    oracle hash-checks it — proving streamed maintenance ≡ from-scratch
+    index build.
+
+    Why per-batch postings are globally correct: micro-batches partition
+    the corpus BY DOCUMENT (doc_id ranges), so each doc's (tok, tf) rows
+    are computed entirely within its own batch — the appended union IS
+    the global postings table (the streaming_near_dup_parity argument).
+    Corpus stats (N, Σdl) re-derive from the docstats state, which is
+    one row per doc — zero-token docs included, keeping N identical to
+    the batch count(*). At 100 TB the postings state lives tok-bucketed
+    so the query-token probe is a bucket-pruned equi-join."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_documents_stream
+
+    td = tempfile.mkdtemp(prefix="stream_bm25_")
+    src = f"{td}/src"
+    postings_dir = f"{td}/state_postings"
+    docstats_dir = f"{td}/state_docstats"
+    queries_dir = f"{td}/state_queries"
+    try:
+        _docs(spark, sf_dir).repartitionByRange(3, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src)
+        # seed queries so a workload-free replay still reads back
+        spark.createDataFrame(
+            [], "query_id long, tok string"
+        ).write.mode("overwrite").parquet(queries_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            delta = batch_df.select("doc_id", "text")
+            toks = tokens(F.col("text"))
+            delta.select(
+                "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
+            ).groupBy("doc_id", "dl", "tok").agg(
+                F.count(F.lit(1)).alias("tf")
+            ).write.mode("append").parquet(postings_dir)
+            delta.select("doc_id", F.size(toks).alias("dl")).write.mode(
+                "append"
+            ).parquet(docstats_dir)
+            _bm25_queries(delta).write.mode("append").parquet(queries_dir)
+
+        q = (
+            read_documents_stream(spark, src)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        tf = spark.read.parquet(postings_dir)
+        queries = spark.read.parquet(queries_dir)
+        tot = spark.read.parquet(docstats_dir).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        out = _bm25_from_index(tf, queries, tot, _BM25_K).select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round(F.col("s_dec").cast("double"), 9).alias("bm25"),
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
