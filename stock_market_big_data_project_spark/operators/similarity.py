@@ -1022,3 +1022,80 @@ def semantic_dedup(
         "cluster_id",
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+def pca_power_components(
+    cov_rows: list, dim: int = 64, n_components: int = 2, n_iter: int = 50_000
+) -> "np.ndarray":
+    """Top-k principal components by power iteration with deflation, from
+    the COLLECTED upper-triangle covariance rows (d1, d2, cov) — the
+    matrix is dim², vocabulary-bounded like the k-means centroid grid, so
+    the driver-side eigensolve costs nothing at any corpus size. Init is
+    md5-derived (the hyperplane constants), not RNG — deterministic on
+    any cluster. Convergence-stopped (Δv < 1e-13 between iterations):
+    natural-data covariance spectra can be near-degenerate, where the
+    (λ₂/λ₁)^n rate needs thousands of the ~4k-flop dim² matmuls — still
+    microseconds. Sign convention: the largest-|component| coordinate is
+    made positive (eigenvectors are sign-ambiguous)."""
+    from ._planes import hyperplane_component
+
+    c = np.zeros((dim, dim))
+    for r in cov_rows:
+        c[r["d1"], r["d2"]] = r["cov"]
+        c[r["d2"], r["d1"]] = r["cov"]
+    comps = []
+    for k in range(n_components):
+        v = np.array(
+            [hyperplane_component(k, d, "pca:") for d in range(dim)]
+        )
+        v /= np.linalg.norm(v)
+        for _ in range(n_iter):
+            w = c @ v
+            for u in comps:
+                w -= (w @ u) * u
+            n = np.linalg.norm(w)
+            if n == 0.0:
+                break
+            w /= n
+            if np.linalg.norm(w - v) < 1e-13:
+                v = w
+                break
+            v = w
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+    return np.stack(comps)
+
+
+def pca_project(
+    emb: DataFrame,
+    components: "np.ndarray",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Project every embedding onto the given components — one Arrow
+    matmul pass (batch @ compsᵀ), the XᵀX-partials production shape; the
+    component matrix (k × dim floats) ships in the task closure. Output:
+    (id, pc1..pck) rounded to 6dp."""
+    id_t = emb.schema[id_col].dataType.simpleString()
+    k = components.shape[0]
+    comps = components.copy()
+    out_schema = f"{id_col} {id_t}, " + ", ".join(
+        f"pc{i + 1} double" for i in range(k)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            proj = np.round(mat @ comps.T, 6)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for i in range(k):
+                out[f"pc{i + 1}"] = proj[:, i]
+            yield pd.DataFrame(out)
+
+    return _rebalance_for_compute(emb.select(id_col, emb_col)).mapInPandas(
+        gen, schema=out_schema
+    )

@@ -85,6 +85,10 @@ PYTHON_STAGE_OK = {
                                      # pre-checkpoint pair constituent
     "hybrid_rrf_retrieval",          # cosine_topk's matmul candidate
                                      # prescreen inside the semantic leg
+    "embedding_pca_project",         # Arrow matmul projection (components
+                                     # in closure; the covariance feeding
+                                     # the eigensolve is its own audited
+                                     # query)
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

@@ -2171,3 +2171,113 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overcount"
         ),
     )
+
+
+# --- embedding covariance + PCA (r7) ---------------------------------------------------
+# The eigen-analysis half of the embedding toolkit (the PQ/IVF family
+# covers quantization): the covariance matrix is the sufficient statistic
+# for PCA/whitening, and at scale it is ONE mergeable aggregate — d×d
+# moment sums that add cell-wise across shards, exactly like the CMS/HLL
+# rollups. 64 dims → 2080 upper-triangle cells of state, corpus-size-free.
+@register_local(
+    "embedding_covariance",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, unnest(embedding) AS val,
+             unnest(range(0, len(embedding))) AS d
+      FROM embeddings
+    ), p AS (
+      SELECT a.d AS d1, b.d AS d2, a.val AS v1, b.val AS v2
+      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.d <= b.d
+    ), m AS (
+      SELECT d1, d2, count(*) AS n,
+             sum(CAST(CAST(v1 AS DOUBLE) * CAST(v2 AS DOUBLE)
+                      AS DECIMAL(18,15))) AS sxy,
+             sum(CAST(CAST(v1 AS DOUBLE) AS DECIMAL(18,15))) AS sx,
+             sum(CAST(CAST(v2 AS DOUBLE) AS DECIMAL(18,15))) AS sy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT CAST(d1 AS INT) AS d1, CAST(d2 AS INT) AS d2,
+           CAST(n AS BIGINT) AS n,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                 / (n - 1), 9) AS cov
+    FROM m
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of the embedding table (upper triangle,
+    d1 ≤ d2): cov = (Σxy − ΣxΣy/n)/(n−1) from decimal-exact moment sums.
+
+    Exactness: per-pair products are correctly-rounded double products
+    cast to decimal(18,15) (the cosine-family idiom), so the three moment
+    sums are order-independent; the final combine is a fixed sequence of
+    IEEE double ops from identical inputs, rounded to 9dp.
+
+    Scale shape: ONE map-side-combined aggregate — the (d1, d2) pair
+    stream comes from two chained generators per row (no join Spark-side),
+    and the state is 2080 cells × 3 decimal sums regardless of corpus
+    size, merging cell-wise across shards (the count-min/HLL rollup
+    pattern — this query IS the mergeable sufficient statistic for
+    PCA/whitening). The 64× generated-row blow-up is the price of
+    decimal exactness; the float production path computes per-Arrow-batch
+    XᵀX partials instead (see embedding_pca_project, which consumes this
+    matrix)."""
+    emb = _emb(spark, sf_dir)
+    e1 = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("embedding").alias("d1", "v1"),
+    )
+    e2 = e1.select(
+        "vec_id",
+        "d1",
+        "v1",
+        F.posexplode("embedding").alias("d2", "v2"),
+    ).filter(F.col("d1") <= F.col("d2"))
+    dec = "decimal(18,15)"
+    m = e2.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("v1").cast("double") * F.col("v2").cast("double")).cast(
+                dec
+            )
+        ).alias("sxy"),
+        F.sum(F.col("v1").cast("double").cast(dec)).alias("sx"),
+        F.sum(F.col("v2").cast("double").cast(dec)).alias("sy"),
+    )
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        F.col("d1").cast("int").alias("d1"),
+        F.col("d2").cast("int").alias("d2"),
+        F.col("n").cast("long").alias("n"),
+        F.round(cov, 9).alias("cov"),
+    )
+
+
+@register_local("embedding_pca_project")  # no oracle BY DESIGN: the
+# components come from an iterative eigensolve (driver-side power
+# iteration over the dim²-bounded covariance — the k-means/BPE trainer
+# declaration); the strong check is the numpy eigendecomposition
+# differential in tests/test_pca.py.
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding table onto its top-2 principal
+    components — dimensionality reduction / whitening as an in-engine
+    query (the eigen-analysis sibling of the PQ/IVF compression family).
+
+    Scale shape: the covariance sufficient statistic is the audited
+    `embedding_covariance` aggregate (2080 mergeable cells); its COLLECT
+    is dim²-bounded — never corpus-sized — like the k-means centroid
+    grid. The eigensolve is driver-side power iteration with md5-derived
+    deterministic init (operators/similarity.py::pca_power_components),
+    and the projection is one Arrow matmul pass over the corpus with the
+    k×dim component matrix in the task closure (the cosine_topk shape) —
+    the corpus never shuffles."""
+    from ..operators.similarity import pca_power_components, pca_project
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    comps = pca_power_components(cov_rows, dim=64, n_components=2)
+    return pca_project(_emb(spark, sf_dir), comps)

@@ -1,0 +1,80 @@
+"""PCA family differentials: the power-iteration components against
+numpy's full eigendecomposition of the SAME covariance matrix, and the
+registered projection query against a pure-numpy recompute."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from stock_market_big_data_project_spark.operators.similarity import (
+    pca_power_components,
+    pca_project,
+)
+from stock_market_big_data_project_spark.plans import (
+    LOCAL_QUERIES,
+    load_all_plans,
+)
+
+from .conftest import SF_DIR
+
+load_all_plans()
+
+
+def _emb_matrix(sf_dir: str) -> np.ndarray:
+    pdf = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float64), pdf[
+        "vec_id"
+    ].to_numpy()
+
+
+def test_power_iteration_matches_numpy_eigh(spark):
+    cov_rows = LOCAL_QUERIES["embedding_covariance"](spark, SF_DIR).collect()
+    comps = pca_power_components(cov_rows, dim=64, n_components=2)
+    c = np.zeros((64, 64))
+    for r in cov_rows:
+        c[r["d1"], r["d2"]] = r["cov"]
+        c[r["d2"], r["d1"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(c)
+    order = np.argsort(evals)[::-1]
+    for k in range(2):
+        v_ref = evecs[:, order[k]]
+        pivot = int(np.argmax(np.abs(v_ref)))
+        if v_ref[pivot] < 0:
+            v_ref = -v_ref
+        assert np.allclose(comps[k], v_ref, atol=1e-6), k
+    # orthonormal, descending Rayleigh quotients
+    assert abs(comps[0] @ comps[1]) < 1e-9
+    assert abs(np.linalg.norm(comps[0]) - 1) < 1e-12
+    assert comps[0] @ c @ comps[0] >= comps[1] @ c @ comps[1]
+
+
+def test_projection_matches_numpy(spark):
+    cov_rows = LOCAL_QUERIES["embedding_covariance"](spark, SF_DIR).collect()
+    comps = pca_power_components(cov_rows, dim=64, n_components=2)
+    mat, ids = _emb_matrix(SF_DIR)
+    expected = np.round(mat @ comps.T, 6)
+    exp = {int(i): (expected[j, 0], expected[j, 1]) for j, i in enumerate(ids)}
+    got = LOCAL_QUERIES["embedding_pca_project"](spark, SF_DIR).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        e1, e2 = exp[r.vec_id]
+        assert r.pc1 == e1 and r.pc2 == e2, r.vec_id
+
+
+def test_projection_partitioning_invariance(spark):
+    """Same projections regardless of physical layout — the Arrow matmul
+    is per-row arithmetic, so repartitioning cannot change values."""
+    cov_rows = LOCAL_QUERIES["embedding_covariance"](spark, SF_DIR).collect()
+    comps = pca_power_components(cov_rows, dim=64, n_components=2)
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {r.vec_id: (r.pc1, r.pc2) for r in pca_project(emb, comps).collect()}
+    b = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in pca_project(emb.repartition(7), comps).collect()
+    }
+    assert a == b
