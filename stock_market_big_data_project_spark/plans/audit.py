@@ -124,6 +124,10 @@ TINY_CROSS_OK = {
                                   # n_truth broadcast onto the per-config
                                   # rollup
     "hybrid_rrf_retrieval",       # the BM25 leg's 1-row (N, Σdl) scalar
+    "ks_drift_matrix",            # source-pair theta-join: distinct
+                                  # sources × distinct sources (a < b),
+                                  # both driver-size — the
+                                  # trend_column_matcher shape
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

@@ -2281,3 +2281,130 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_rows = embedding_covariance(spark, sf_dir).collect()
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
     return pca_project(_emb(spark, sf_dir), comps)
+
+
+# --- distribution-drift matrix: two-sample KS across sources (r7) ----------------------
+# The data-QA twin of source_overlap_matrix: overlap asks "do sources
+# share CONTENT"; this asks "do sources differ in DISTRIBUTION" — the
+# exact two-sample Kolmogorov–Smirnov statistic on the quality score,
+# per source pair. The same query monitors batch-over-batch drift when
+# one "source" is yesterday's corpus.
+@register_local(
+    "ks_drift_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             round(LEAST(len({_TOKS}) / 50.0, 1.0) * 0.5
+                   + (1.0 - len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
+                         / len({_TOKS})) * 0.5, 6) AS q
+      FROM documents
+    ), sc AS (
+      SELECT source, q, count(*) AS cnt FROM s
+      WHERE q IS NOT NULL GROUP BY 1, 2
+    ), srcs AS (SELECT DISTINCT source FROM sc),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ), t AS (
+      SELECT src_a, src_b, q, cnt AS ca_inc, 0 AS cb_inc
+      FROM sc JOIN pairs ON source = src_a
+      UNION ALL
+      SELECT src_a, src_b, q, 0 AS ca_inc, cnt AS cb_inc
+      FROM sc JOIN pairs ON source = src_b
+    ), r AS (
+      SELECT src_a, src_b,
+             sum(ca_inc) OVER (PARTITION BY src_a, src_b ORDER BY q
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS ca,
+             sum(cb_inc) OVER (PARTITION BY src_a, src_b ORDER BY q
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cb,
+             sum(ca_inc) OVER (PARTITION BY src_a, src_b) AS n_a,
+             sum(cb_inc) OVER (PARTITION BY src_a, src_b) AS n_b
+      FROM t
+    )
+    SELECT src_a, src_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS ks_num,
+           round(CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+                 / (n_a * n_b), 9) AS ks_stat
+    FROM r GROUP BY src_a, src_b, n_a, n_b
+    """,
+)
+def ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic on the per-document
+    quality score, for every source pair: KS = max_x |F_a(x) − F_b(x)|,
+    computed as max |ca·n_b − cb·n_a| / (n_a·n_b) over the merged ECDF
+    grid — pure integer cross-multiplication (no per-step division), so
+    the statistic is bit-deterministic; the single division happens once
+    per pair at the end.
+
+    Scale shape: the corpus-sized work is ONE (source, q) count aggregate
+    — q is rounded to 6dp, so the compacted grid is value-bounded (the
+    ts_motif_search lesson: window over the GRID, never the corpus). The
+    grid replicates onto the driver-size pair table via two broadcast
+    equi-joins (rows ∝ sources·grid, the source_overlap_matrix bound),
+    and the per-pair RANGE windows run over grid-sized partitions. The
+    int64 cross-products are exact up to ~3×10⁹ docs per source; past
+    that, widen to decimal(19,0)·decimal(19,0) (precision 38)."""
+    from ..operators.text import quality_score
+
+    d = _docs(spark, sf_dir)
+    s = d.select("source", quality_score(F.col("text")).alias("q")).filter(
+        F.col("q").isNotNull()
+    )
+    sc = s.groupBy("source", "q").agg(F.count(F.lit(1)).alias("cnt"))
+    srcs = sc.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(
+            srcs.alias("b"),
+            F.col("a.source") < F.col("b.source"),
+        )
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    ta = sc.join(F.broadcast(pairs), F.col("source") == F.col("src_a")).select(
+        "src_a",
+        "src_b",
+        "q",
+        F.col("cnt").alias("ca_inc"),
+        F.lit(0).cast("bigint").alias("cb_inc"),
+    )
+    tb = sc.join(F.broadcast(pairs), F.col("source") == F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        "q",
+        F.lit(0).cast("bigint").alias("ca_inc"),
+        F.col("cnt").alias("cb_inc"),
+    )
+    t = ta.unionByName(tb)
+    wr = (
+        Window.partitionBy("src_a", "src_b")
+        .orderBy("q")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("src_a", "src_b")
+    r = t.select(
+        "src_a",
+        "src_b",
+        F.sum("ca_inc").over(wr).alias("ca"),
+        F.sum("cb_inc").over(wr).alias("cb"),
+        F.sum("ca_inc").over(wp).alias("n_a"),
+        F.sum("cb_inc").over(wp).alias("n_b"),
+    )
+    diff = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    out = r.groupBy("src_a", "src_b", "n_a", "n_b").agg(
+        F.max(diff).alias("ks_num")
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("ks_num").cast("long").alias("ks_num"),
+        F.round(
+            F.col("ks_num").cast("double") / (F.col("n_a") * F.col("n_b")), 9
+        ).alias("ks_stat"),
+    )
