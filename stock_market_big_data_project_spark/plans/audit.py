@@ -89,6 +89,9 @@ PYTHON_STAGE_OK = {
                                      # in closure; the covariance feeding
                                      # the eigensolve is its own audited
                                      # query)
+    "unigram_lm_segment",            # Arrow per-word lattice DP (EM
+                                     # E-step + Viterbi segmentation;
+                                     # pieces vocab-bounded in closure)
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

@@ -742,3 +742,84 @@ def streaming_bm25_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+# --- unigram-LM tokenizer (r7) ---------------------------------------------------------
+@register_local("unigram_lm_segment")  # no oracle BY DESIGN: the piece
+# probabilities come from the iterative EM trainer (the k-means/BPE
+# declaration); the strong checks are the EXACT pure-Python EM
+# differential, the monotone-likelihood EM guarantee, and the Viterbi
+# segmentation differential in tests/test_unigram.py.
+def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece-style unigram-LM tokenizer end to end (Kudo
+    2018): seed an over-complete piece vocabulary from substring counts,
+    fit piece probabilities by EM over each word's segmentation lattice,
+    prune to the target vocabulary (single chars kept for coverage),
+    then Viterbi-segment every document and roll up per doc: word count,
+    piece count, and an md5 of the full segmentation bytes in word order
+    — the rows-only driver check pins the exact segmentation.
+
+    Scale shape (operators/unigram.py): the corpus-sized work is ONE
+    word-count aggregate; EM rounds run Arrow-batched over the
+    vocabulary-bounded word table with the piece table in the closure
+    (per-word lattice DP), and expected counts cross words through
+    decimal 12dp-rounded sums — the whole trainer is layout/rerun-
+    invariant. Segmentation reuses the distinct-word table (one Arrow
+    pass) and joins back onto the positioned word stream under ONE
+    doc-keyed shuffle (the bpe_apply_encode shape)."""
+    from ..operators.unigram import (
+        train_unigram,
+        unigram_segment_words,
+        word_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    logp, _ = train_unigram(
+        d, "text", seed_size=60, vocab_size=48, n_iters=3
+    )
+    seg = unigram_segment_words(word_counts(d, "text"), logp)
+    wp = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
+    )
+    joined = wp.join(seg, "word")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_subword_pieces"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "pieces"))
+                        ),
+                        lambda s: s["pieces"],
+                    )
+                ),
+                " ",
+            )
+        ).alias("segmentation_md5"),
+    )
+
+
+def _unigram_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit constituent of unigram_lm_segment: the segmentation + rollup
+    plan with a FIXED 2-piece LM (the trainer's own EM rounds execute at
+    build time, like the BPE trainer — audited via this constituent)."""
+    from ..operators.unigram import unigram_segment_words, word_counts
+
+    d = _docs(spark, sf_dir)
+    seg = unigram_segment_words(
+        word_counts(d, "text"), {"t": -1.0, "h": -2.0}, max_piece_len=2
+    )
+    wp = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
+    )
+    return wp.join(seg, "word").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_subword_pieces"),
+    )
+
+
+EAGER_ITERATIVE.update({"unigram_lm_segment": _unigram_segment_plan})

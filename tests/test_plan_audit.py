@@ -91,6 +91,8 @@ def test_eager_iterative_list_is_current(spark):
         # trainer's collected output, shipped into the encode plan
         "embedding_kmeans_train",
         "quality_classifier_train",
+        "unigram_lm_segment",  # trainer-then-apply: EM-fitted piece LM,
+        # segmentation audited via the fixed-LM constituent
     }
     for name, builder in EAGER_ITERATIVE.items():
         assert (
