@@ -148,6 +148,16 @@ EXTRA = [
     "perplexity_quality_buckets",
     "temperature_sampling_mix",
     "bpe_apply_encode",
+    # round-7 second wave: eval loops, sketches, drift, PCA, tokenizer.
+    # streaming_bm25_index_parity is excluded for the replay-at-call-time
+    # reason above; its batch scoring path is timed via bm25_retrieval_topk.
+    "lsh_dedup_recall_eval",
+    "hybrid_rrf_retrieval",
+    "countmin_heavy_hitters",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "ks_drift_matrix",
+    "unigram_lm_segment",
 ]
 
 

@@ -28,6 +28,7 @@ STREAMING_HARNESS = {
     "streaming_pysource_ticks_parity",
     "streaming_manifest_export_parity",
     "streaming_bm25_index_parity",
+    "streaming_countmin_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

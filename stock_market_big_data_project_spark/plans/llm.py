@@ -2074,9 +2074,7 @@ _CMS_W = 1024
 _CMS_TOPK = 20
 
 
-@register_local(
-    "countmin_heavy_hitters",
-    oracle=f"""
+_CMS_ORACLE = f"""
     WITH t AS (
       SELECT unnest({_TOKS}) AS tok FROM documents
     ),
@@ -2104,7 +2102,12 @@ _CMS_TOPK = 20
            CAST(min(c) - exact_cnt AS BIGINT) AS overcount
     FROM probe JOIN cms USING (j, b)
     GROUP BY tok, exact_cnt
-    """,
+    """
+
+
+@register_local(
+    "countmin_heavy_hitters",
+    oracle=_CMS_ORACLE,
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream (d=4 md5-derived hash
@@ -2121,38 +2124,57 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sketch build is ONE map-side-combined aggregate over
     (j, bucket) — 4×1024 cells of state regardless of corpus size, and
     two day-shard sketches merge by cell-wise addition (the HLL rollup
-    pattern with exact arithmetic). The exact side (ground truth for the
+    pattern with exact arithmetic; `streaming_countmin_parity` proves the
+    merge on the live append path). The exact side (ground truth for the
     error accounting) is one token aggregate + TakeOrderedAndProject
     top-20; at 100 TB you keep only the sketch and probe it with the
     candidate heavy hitters instead. The probe is 80 rows broadcast onto
     the 4096-cell counter table."""
-    d = _docs(spark, sf_dir)
-    t = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    t = _cms_token_stream(_docs(spark, sf_dir))
+    return _cms_report(_cms_cells(t), t)
 
-    def bucket(j: int, col) -> F.Column:
-        return F.pmod(
-            md5_hash64(F.concat(F.lit(f"cm{j}:"), col)), F.lit(_CMS_W)
-        )
 
-    jb = F.explode(
+def _cms_token_stream(d: DataFrame) -> DataFrame:
+    return d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+
+
+def _cms_bucket(j: int, col) -> F.Column:
+    return F.pmod(
+        md5_hash64(F.concat(F.lit(f"cm{j}:"), col)), F.lit(_CMS_W)
+    )
+
+
+def _cms_jb(col) -> F.Column:
+    """The d (j, bucket) cells of one token, as an exploded struct array."""
+    return F.explode(
         F.array(
             *[
-                F.struct(
-                    F.lit(j).alias("j"), bucket(j, F.col("tok")).alias("b")
-                )
+                F.struct(F.lit(j).alias("j"), _cms_bucket(j, col).alias("b"))
                 for j in range(_CMS_D)
             ]
         )
     ).alias("s")
-    cms = (
-        t.select(jb)
+
+
+def _cms_cells(t: DataFrame) -> DataFrame:
+    """(j, b, c): the count-min counter cells of a token stream — one
+    map-side-combined aggregate; partial sketches from disjoint streams
+    merge by a further groupBy(j, b).sum(c)."""
+    return (
+        t.select(_cms_jb(F.col("tok")))
         .select(F.col("s.j").alias("j"), F.col("s.b").alias("b"))
         .groupBy("j", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _cms_report(cms: DataFrame, t: DataFrame) -> DataFrame:
+    """Exact top-20 ground truth from token stream ``t``, probed against
+    sketch ``cms`` — shared by the batch query and the streaming-merge
+    parity so the evaluation has one definition."""
     exact = t.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_CMS_TOPK)
-    probe = top.select("tok", "exact_cnt", jb).select(
+    probe = top.select("tok", "exact_cnt", _cms_jb(F.col("tok"))).select(
         "tok",
         "exact_cnt",
         F.col("s.j").alias("j"),
@@ -2171,6 +2193,67 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overcount"
         ),
     )
+
+
+# --- streaming count-min merge parity (r7) ---------------------------------------------
+@register_local(
+    "streaming_countmin_parity",
+    oracle=_CMS_ORACLE,
+)
+def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained on the LIVE append path: the corpus
+    replays as 3 doc_id-range micro-batches; each batch appends its
+    delta's PARTIAL sketch (the 4×1024 cells of just that batch — one
+    delta-sized aggregate) to at-rest state, and the serving sketch is
+    the cell-wise sum over the state — the mergeable-sketch contract,
+    exercised end to end under Structured Streaming. The probe then runs
+    against the MERGED sketch through the same `_cms_report` as the batch
+    query, and the full-corpus oracle hash-checks it: streamed cell-wise
+    merge ≡ one-pass batch sketch, integer-exact.
+
+    Per-tick state written is 4096 rows regardless of delta size; the
+    at-rest state grows by one partial per epoch and compacts by the same
+    groupBy(j, b) — at 100 TB this is the persist-per-day/merge-on-read
+    stats pattern with exact arithmetic (HLL's blob twin is
+    sketch_merge_rollup, rows-only; CMS's integer cells make this one
+    hash-certified)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_documents_stream
+
+    td = tempfile.mkdtemp(prefix="stream_cms_")
+    src_dir = f"{td}/src"
+    state_dir = f"{td}/state_cells"
+    try:
+        _docs(spark, sf_dir).repartitionByRange(3, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            delta_t = batch_df.select(
+                F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            _cms_cells(delta_t).write.mode("append").parquet(state_dir)
+
+        q = (
+            read_documents_stream(spark, src_dir)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(state_dir)
+            .groupBy("j", "b")
+            .agg(F.sum("c").alias("c"))
+        )
+        t = _cms_token_stream(_docs(spark, sf_dir))
+        # localCheckpoint: the result must outlive the temp dirs
+        return _cms_report(merged, t).localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 # --- embedding covariance + PCA (r7) ---------------------------------------------------
