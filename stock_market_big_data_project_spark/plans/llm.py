@@ -2281,9 +2281,10 @@ def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(d1 AS INT) AS d1, CAST(d2 AS INT) AS d2,
            CAST(n AS BIGINT) AS n,
-           round((CAST(sxy AS DOUBLE)
-                  - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / n)
-                 / (n - 1), 9) AS cov
+           CASE WHEN n > 1 THEN
+             round((CAST(sxy AS DOUBLE)
+                    - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / n)
+                   / (n - 1), 9) END AS cov
     FROM m JOIN dims sa ON sa.d = d1 JOIN dims sb ON sb.d = d2
     """,
 )
@@ -2347,11 +2348,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy").cast("double")
         - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
+    # n == 1 ⇒ sample covariance is undefined (and ANSI mode makes the
+    # (n−1)=0 division an error, not an Inf) — explicit NULL, both engines
     return m.select(
         F.col("d1").cast("int").alias("d1"),
         F.col("d2").cast("int").alias("d2"),
         F.col("n").cast("long").alias("n"),
-        F.round(cov, 9).alias("cov"),
+        F.when(F.col("n") > 1, F.round(cov, 9)).alias("cov"),
     )
 
 
