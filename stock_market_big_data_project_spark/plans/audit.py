@@ -29,6 +29,7 @@ STREAMING_HARNESS = {
     "streaming_manifest_export_parity",
     "streaming_bm25_index_parity",
     "streaming_countmin_parity",
+    "streaming_covariance_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

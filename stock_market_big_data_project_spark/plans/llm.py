@@ -2262,9 +2262,7 @@ def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for PCA/whitening, and at scale it is ONE mergeable aggregate — d×d
 # moment sums that add cell-wise across shards, exactly like the CMS/HLL
 # rollups. 64 dims → 2080 upper-triangle cells of state, corpus-size-free.
-@register_local(
-    "embedding_covariance",
-    oracle="""
+_COV_ORACLE = """
     WITH v AS (
       SELECT vec_id, unnest(embedding) AS val,
              unnest(range(0, len(embedding))) AS d
@@ -2286,7 +2284,12 @@ def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE) / n)
                    / (n - 1), 9) END AS cov
     FROM m JOIN dims sa ON sa.d = d1 JOIN dims sb ON sb.d = d2
-    """,
+    """
+
+
+@register_local(
+    "embedding_covariance",
+    oracle=_COV_ORACLE,
 )
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample covariance matrix of the embedding table (upper triangle,
@@ -2311,11 +2314,24 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path computes per-Arrow-batch XᵀX partials instead (see
     embedding_pca_project, which consumes this matrix)."""
     emb = _emb(spark, sf_dir)
-    dec = "decimal(18,15)"
+    return _cov_combine(_cov_moment_cells(emb), _cov_dim_sums(emb))
+
+
+_COV_DEC = "decimal(18,15)"
+
+
+def _cov_dim_sums(emb: DataFrame) -> DataFrame:
+    """(d, s): per-dimension first-moment decimal sums — a 64-row
+    mergeable partial (merge = groupBy(d).sum(s))."""
     v = emb.select("vec_id", F.posexplode("embedding").alias("d", "val"))
-    dims = v.groupBy("d").agg(
-        F.sum(F.col("val").cast("double").cast(dec)).alias("s")
+    return v.groupBy("d").agg(
+        F.sum(F.col("val").cast("double").cast(_COV_DEC)).alias("s")
     )
+
+
+def _cov_moment_cells(emb: DataFrame) -> DataFrame:
+    """(d1, d2, n, sxy): upper-triangle cross-moment cells — 2080
+    mergeable partials (merge = groupBy(d1, d2).sum(n), .sum(sxy))."""
     e1 = emb.select(
         "vec_id",
         "embedding",
@@ -2333,14 +2349,20 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("off", "v2"),
     ).select("d1", (F.col("d1") + F.col("off")).alias("d2"), "v1", "v2")
-    m = e2.groupBy("d1", "d2").agg(
+    return e2.groupBy("d1", "d2").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             (F.col("v1").cast("double") * F.col("v2").cast("double")).cast(
-                dec
+                _COV_DEC
             )
         ).alias("sxy"),
     )
+
+
+def _cov_combine(m: DataFrame, dims: DataFrame) -> DataFrame:
+    """Final covariance combine from the two moment tables — shared by
+    the batch query and the streaming-merge parity so the arithmetic has
+    one definition."""
     sa = dims.select(F.col("d").alias("d1"), F.col("s").alias("sx"))
     sb = dims.select(F.col("d").alias("d2"), F.col("s").alias("sy"))
     m = m.join(F.broadcast(sa), "d1").join(F.broadcast(sb), "d2")
@@ -2356,6 +2378,66 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.when(F.col("n") > 1, F.round(cov, 9)).alias("cov"),
     )
+
+
+# --- streaming covariance merge parity (r7) ---------------------------------------------
+@register_local(
+    "streaming_covariance_parity",
+    oracle=_COV_ORACLE,
+)
+def streaming_covariance_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The covariance sufficient statistic maintained on the LIVE
+    embedding append path: each micro-batch appends its delta's moment
+    partials — 2080 (d1, d2, n, sxy) cells + 64 (d, s) dim sums, both
+    delta-sized aggregates with constant-size state writes — and the
+    serving matrix derives from the cell-wise-merged state through the
+    same `_cov_combine` as the batch query. Decimal sums merge exactly
+    (order-independent), so the full-corpus oracle hash-checks the
+    streamed merge ≡ one-pass batch matrix, bit for bit. With
+    `streaming_countmin_parity` and the stats-card parity, every
+    mergeable statistic in the engine now has a live-path twin."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_embeddings_stream
+
+    td = tempfile.mkdtemp(prefix="stream_cov_")
+    src_dir = f"{td}/src"
+    cells_dir = f"{td}/state_cells"
+    dims_dir = f"{td}/state_dims"
+    try:
+        _emb(spark, sf_dir).repartitionByRange(3, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            _cov_moment_cells(batch_df).write.mode("append").parquet(
+                cells_dir
+            )
+            _cov_dim_sums(batch_df).write.mode("append").parquet(dims_dir)
+
+        q = (
+            read_embeddings_stream(spark, src_dir)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        m = (
+            spark.read.parquet(cells_dir)
+            .groupBy("d1", "d2")
+            .agg(F.sum("n").alias("n"), F.sum("sxy").alias("sxy"))
+        )
+        dims = (
+            spark.read.parquet(dims_dir)
+            .groupBy("d")
+            .agg(F.sum("s").alias("s"))
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return _cov_combine(m, dims).localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 @register_local("embedding_pca_project")  # no oracle BY DESIGN: the
