@@ -94,6 +94,8 @@ PYTHON_STAGE_OK = {
     "unigram_lm_segment",            # Arrow per-word lattice DP (EM
                                      # E-step + Viterbi segmentation;
                                      # pieces vocab-bounded in closure)
+    "training_pipeline_e2e",         # prefix_sum's interior-cumsum Arrow
+                                     # pass inside the sampling stage
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast
@@ -133,6 +135,9 @@ TINY_CROSS_OK = {
                                   # sources × distinct sources (a < b),
                                   # both driver-size — the
                                   # trend_column_matcher shape
+    "training_pipeline_e2e",      # the sampling stage's 1-row
+                                  # total-tokens scalar (same as
+                                  # token_weighted_systematic_sample)
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

@@ -1945,3 +1945,141 @@ def streaming_stats_card_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _card_from_partials(spark, state).localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+# --- the training-data pipeline END TO END (r7) ---------------------------------------
+# Every stage exists as its own audited, oracle-checked query; this
+# registers the COMPOSITION — crawl-ready corpus in, training-ready
+# context windows out, ONE Catalyst DAG with no driver round-trips —
+# because "a user could run the whole pipeline" should itself be a
+# hash-checked fact, not an inference from the parts. Clean (lang +
+# quality) → exact dedup (min-doc_id winner per md5) → token-weighted
+# systematic sample (k=64, integer-exact) → overlapping 32/24 context
+# windows, md5-fingerprinted.
+_E2E_K = 64
+
+
+@register_local(
+    "training_pipeline_e2e",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             {_lang_score_sql(LANG_MARKERS["en"])} AS s_en,
+             {_lang_score_sql(LANG_MARKERS["es"])} AS s_es,
+             {_lang_score_sql(LANG_MARKERS["zh"])} AS s_zh,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL}))) AS n_stop
+      FROM documents
+    ), clean AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+                    WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pl,
+               round(LEAST(n_tokens / 50.0, 1.0) * 0.5
+                     + (1.0 - n_stop / n_tokens) * 0.5, 6) AS q
+        FROM s
+      ) WHERE pl = 'en' AND q >= 0.55
+    ), winner AS (
+      SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)
+    ), kept AS (
+      SELECT c.doc_id, c.text FROM clean c
+      JOIN winner w ON c.doc_id = w.doc_id
+    ), dl AS (
+      SELECT doc_id, text, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM kept
+    ), c AS (
+      SELECT doc_id, text, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      FROM dl
+    ), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM dl),
+    sel AS (
+      SELECT doc_id, text FROM c CROSS JOIN t
+      WHERE ((2*{_E2E_K}*cum + total) // (2*total))
+          > ((2*{_E2E_K}*(cum - n_tokens) + total) // (2*total))
+    ), toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM sel
+    ), fanned AS (
+      SELECT doc_id, pos, tok,
+             unnest(range(
+               CASE WHEN pos <= 32 THEN 0
+                    ELSE (pos - 32 + 24 - 1) // 24 END,
+               (pos - 1) // 24 + 1)) AS window_id
+      FROM toks
+    )
+    SELECT doc_id, CAST(window_id AS INT) AS window_id,
+           CAST(window_id * 24 + 1 AS INT) AS win_start,
+           CAST(count(*) AS INT) AS n_win_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS window_md5
+    FROM fanned GROUP BY doc_id, window_id
+    """,
+)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE DAG: language-ID + quality
+    filter → exact dedup (min-doc_id winner per md5) → token-weighted
+    systematic sample (k=64; integer-exact — the selection cannot drift
+    across engines or layouts) → overlapping 32-token/stride-24 context
+    windows with md5-fingerprinted bytes. The output is what a trainer
+    ingests; every intermediate stage is also registered standalone
+    (clean_corpus_pipeline, dedup_exact_documents,
+    token_weighted_systematic_sample, doc_context_windows), so a failure
+    here bisects against the parts.
+
+    Scale shape: the stages compose WITHOUT materialization barriers —
+    clean is a narrow map; the dedup winner is one md5-keyed aggregate +
+    a doc_id semi-join; the sample is the distributed two-pass prefix
+    sum + a broadcast 1-row total; the windows fan out in the same
+    doc-keyed shuffle the position window needs. No collect anywhere;
+    Catalyst sees the whole pipeline and prunes `text` until the
+    tokenize that needs it."""
+    from ..operators.packing import prefix_sum
+    from ..operators.text import (
+        context_windows,
+        predict_lang,
+        quality_score,
+        tokens,
+    )
+
+    d = _docs(spark, sf_dir)
+    clean = (
+        d.select(
+            "doc_id",
+            "text",
+            predict_lang(F.col("text")).alias("pl"),
+            quality_score(F.col("text")).alias("q"),
+        )
+        .filter((F.col("pl") == "en") & (F.col("q") >= 0.55))
+        .select("doc_id", "text")
+    )
+    winner = clean.groupBy(F.md5("text").alias("m")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = clean.join(winner.select("doc_id"), "doc_id")
+    dl = kept.select(
+        "doc_id",
+        "text",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    c = prefix_sum(
+        dl.select("doc_id", "n_tokens"), "doc_id", "n_tokens", "cum"
+    )
+    tot = dl.agg(F.sum("n_tokens").alias("total"))
+    k = _E2E_K
+    g_hi = F.expr(f"(2*{k}*cum + total) DIV (2*total)")
+    g_lo = F.expr(f"(2*{k}*(cum - n_tokens) + total) DIV (2*total)")
+    sel = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(g_hi > g_lo)
+        .select("doc_id")
+    )
+    sampled = kept.join(sel, "doc_id")
+    return context_windows(
+        sampled, "doc_id", "text", size=32, stride=24
+    ).select(
+        "doc_id",
+        F.col("window_id").cast("int").alias("window_id"),
+        F.col("win_start").cast("int").alias("win_start"),
+        "n_win_tokens",
+        F.md5("window_text").alias("window_md5"),
+    )
