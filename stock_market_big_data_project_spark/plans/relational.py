@@ -1024,3 +1024,211 @@ def compacted_scan_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min/max pruning not effective"
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Z-order (multi-dimensional) clustering: `compacted_scan_pricing` proves
+# single-key range compaction; real tables get sliced along MORE than one
+# dimension (order ranges AND part ranges), and a single-key sort leaves
+# the second dimension's min/max stats useless. Interleaving the bits of
+# both keys (Morton/Z-curve — Delta's OPTIMIZE ZORDER mechanism) gives
+# every output file a compact rectangle in (orderkey, partkey) space, so
+# min/max pruning fires on EITHER dimension.
+# --------------------------------------------------------------------------
+_Z_BITS = 10  # 10+10-bit grid → 20-bit z-value
+
+
+def _zvalue(a, b, bits: int = _Z_BITS):
+    """Morton interleave of two `bits`-bit nonnegative ints — a fixed
+    2·bits-term codegen expression (shift/mask/or), integer-exact and
+    SQL-expressible on both engines."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + F.shiftleft(
+            F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("bigint"), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("bigint"),
+            2 * i + 1,
+        )
+    return z
+
+
+def _zvalue_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1)::BIGINT << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1)::BIGINT << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register_local(
+    "zorder_compacted_scan",
+    oracle="""
+    WITH b AS (
+      SELECT max(l_orderkey) // 4 AS ob, max(l_partkey) // 4 AS pb
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem CROSS JOIN b
+    WHERE l_orderkey < b.ob AND l_partkey < b.pb
+    GROUP BY l_returnflag
+    """,
+)
+def zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem rewritten in Z-order on (l_orderkey, l_partkey): both keys
+    quantize to a 1024-cell grid, their bits interleave into a 20-bit
+    Morton value, and the rewrite range-partitions + sorts on it — every
+    output file covers a compact RECTANGLE of the key plane, so a scan
+    restricted in either dimension (here: bottom quarter of both) prunes
+    files via ordinary parquet min/max stats. Self-checks that the 2-D
+    scan reads fewer files than the layout holds AND that each single-
+    dimension predicate prunes on its own — the property a single-key
+    sort cannot give the second key. The aggregate hash-matches the
+    oracle on the ORIGINAL table: layout must never change results.
+
+    At 100 TB this is the OPTIMIZE ZORDER pattern: one
+    repartitionByRange(zv) pass per partition-directory; the z-value is
+    a pure codegen expression, never a UDF."""
+    import glob
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    ).collect()[0]
+    mo, mp = mx["mo"], mx["mp"]
+    grid = 1 << _Z_BITS
+    a = (F.col("l_orderkey") * grid / F.lit(mo + 1)).cast("bigint")
+    b = (F.col("l_partkey") * grid / F.lit(mp + 1)).cast("bigint")
+    td = tempfile.mkdtemp(prefix="zorder_q_")
+    dest = f"{td}/zordered"
+    # kept for the session: the returned plan is the real post-rewrite
+    # scan (visible to the plan audit), the compacted_scan idiom
+    (
+        li.withColumn("zv", _zvalue(a, b))
+        .repartitionByRange(16, "zv")
+        .sortWithinPartitions("zv")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    ob, pb = mo // 4, mp // 4
+    zli = spark.read.parquet(dest)
+    out = (
+        zli.filter((F.col("l_orderkey") < ob) & (F.col("l_partkey") < pb))
+        .groupBy("l_returnflag")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    n_files = len(glob.glob(f"{dest}/*.parquet"))
+
+    def _n_read(cond) -> int:
+        return (
+            zli.filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    if n_files > 2:
+        checks = {
+            "2-D": (F.col("l_orderkey") < ob) & (F.col("l_partkey") < pb),
+            "orderkey-only": F.col("l_orderkey") < ob,
+            "partkey-only": F.col("l_partkey") < pb,
+        }
+        for label, cond in checks.items():
+            n_read = _n_read(cond)
+            if n_read >= n_files:
+                raise AssertionError(
+                    f"z-ordered {label} scan read {n_read}/{n_files} "
+                    "files — multi-dimensional pruning not effective"
+                )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Schema evolution on read: long-lived at-rest tables GROW columns (a new
+# quality score starts being written mid-stream); old files lack the
+# column, new files carry it, and the reader must reconcile —
+# `mergeSchema` unions the file footers and back-fills NULL for files
+# missing the column. A 100 TB table cannot be rewritten every time the
+# pipeline adds a field, so this read path is the operational contract.
+# --------------------------------------------------------------------------
+@register_local(
+    "schema_evolution_read",
+    oracle="""
+    WITH evolved AS (
+      SELECT source,
+             CASE WHEN doc_id % 2 = 1
+                  THEN round(LEAST(len(string_split_regex(trim(text),
+                                                          '\\s+')) / 50.0,
+                                   1.0) * 0.5, 6) END AS quality
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           count(quality) AS n_with_quality,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+    FROM evolved GROUP BY source
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two write generations of one table — the ORIGINAL schema (even
+    doc_ids) and an EVOLVED schema that added a `quality` column (odd
+    doc_ids) — read back together with `mergeSchema`: the union schema
+    surfaces, legacy rows get NULL quality, and the per-source rollup
+    (doc counts, evolved-row counts, decimal-exact quality sum)
+    hash-matches an oracle that recomputes the generation split. The
+    query self-checks that the merged schema actually contains the
+    evolved column and that legacy files read as NULLs rather than
+    erroring.
+
+    Scale note: `mergeSchema` costs one footer read per FILE at planning
+    time — fine per partition-directory, a driver hazard across 10⁸
+    files; at 100 TB pin the union schema from the catalog (read with an
+    explicit schema) and keep this path for the migration window."""
+    import tempfile
+
+    from ..operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    td = tempfile.mkdtemp(prefix="schema_ev_")
+    legacy = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "source"
+    )
+    # the evolved generation adds a simple length-saturation quality
+    # column (6dp-rounded → exact in decimal)
+    q = F.round(
+        F.least(
+            F.size(tokens(F.col("text"))) / F.lit(50.0), F.lit(1.0)
+        )
+        * 0.5,
+        6,
+    )
+    evolved = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "source", q.alias("quality")
+    )
+    legacy.write.mode("overwrite").parquet(f"{td}/gen=0")
+    evolved.write.mode("overwrite").parquet(f"{td}/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{td}/gen=0", f"{td}/gen=1"
+    )
+    if "quality" not in merged.columns:
+        raise AssertionError(
+            "mergeSchema read lost the evolved column: "
+            + str(merged.columns)
+        )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum(F.col("quality").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_quality"),
+    )
