@@ -96,6 +96,9 @@ PYTHON_STAGE_OK = {
                                      # pieces vocab-bounded in closure)
     "training_pipeline_e2e",         # prefix_sum's interior-cumsum Arrow
                                      # pass inside the sampling stage
+    "tokenizer_fertility_compare",   # the unigram Viterbi segmentation
+                                     # Arrow pass over the distinct-word
+                                     # table (vocab-bounded)
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast

@@ -823,3 +823,70 @@ def _unigram_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EAGER_ITERATIVE.update({"unigram_lm_segment": _unigram_segment_plan})
+
+
+# --- tokenizer fertility comparison (r7) -----------------------------------------------
+@register_local("tokenizer_fertility_compare")  # no oracle BY DESIGN:
+# both subword segmentations come from the iterative trainers (BPE
+# merges / unigram EM); the strong check is the pure-Python recompute
+# from the two reference segmenters in tests/test_retrieval.py.
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer DECISION loop: train BPE (12 merges) and the
+    unigram LM (48 pieces) on the same corpus and compare fertility —
+    subword units per word — plus corpus-level unit counts, one row per
+    tokenizer (whitespace baseline fertility ≡ 1). Fertility is THE
+    number a tokenizer choice is made on (lower = cheaper training for
+    the same text); registering the comparison makes it a query, not a
+    notebook.
+
+    Scale shape: both trainers are the audited vocabulary-bounded loops;
+    the comparison itself re-segments only the DISTINCT word table (two
+    vocab-bounded passes) and weights by word counts — one aggregate,
+    no new corpus pass."""
+    from ..operators.bpe import apply_bpe, train_bpe
+    from ..operators.unigram import (
+        train_unigram,
+        unigram_segment_words,
+        word_counts,
+    )
+
+    d = _docs(spark, sf_dir)
+    wc = word_counts(d, "text").localCheckpoint(eager=True)
+    merges = [
+        (r["pair"], r["merged"])
+        for r in train_bpe(d, "text", n_merges=12).collect()
+    ]
+    bpe_seg = (
+        apply_bpe(d, merges, "text")
+        .select("word", F.size("bpe_tokens").alias("n_units"))
+        .distinct()
+    )
+    logp, _ = train_unigram(d, "text", seed_size=60, vocab_size=48, n_iters=3)
+    uni_seg = unigram_segment_words(wc, logp).select(
+        "word", F.col("n_pieces").alias("n_units")
+    )
+
+    def rollup(seg: DataFrame, name: str) -> DataFrame:
+        j = wc.join(seg, "word")
+        return j.agg(
+            F.lit(name).alias("tokenizer"),
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_units")).cast("long").alias(
+                "n_units"
+            ),
+            F.round(
+                F.sum(F.col("n") * F.col("n_units"))
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+
+    ws = wc.agg(
+        F.lit("whitespace").alias("tokenizer"),
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum("n").cast("long").alias("n_units"),
+        F.lit(1.0).alias("fertility"),
+    )
+    return ws.unionByName(rollup(bpe_seg, "bpe_12")).unionByName(
+        rollup(uni_seg, "unigram_48")
+    )

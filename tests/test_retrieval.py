@@ -326,3 +326,48 @@ def test_rrf_doc_in_both_lists_beats_single_list_peer(spark):
     for r in rows:
         if r.bm25_rank == 1 and r.cos_rank == 1:
             assert r.fused_rank == 1
+
+
+# --- tokenizer fertility --------------------------------------------------------------
+
+
+def test_fertility_matches_reference_segmenters(spark):
+    """Recompute all three fertility rows from the pure-Python reference
+    segmenters (test_bpe's subword-nmt reference; the unigram Viterbi)."""
+    from stock_market_big_data_project_spark.operators.unigram import (
+        train_unigram,
+        viterbi_segment,
+        word_counts,
+    )
+
+    d = _docs_pdf(SF_DIR)
+    wc: dict[str, int] = {}
+    for text in d["text"]:
+        for w in _toks(text):
+            wc[w] = wc.get(w, 0) + 1
+    n_words = sum(wc.values())
+
+    from stock_market_big_data_project_spark.sources.tables import load_table
+
+    sdf = load_table(spark, SF_DIR, "documents")
+    merges = _ref_train(wc, 12)
+    bpe_units = sum(n * len(_ref_segment(w, merges)) for w, n in wc.items())
+    logp, _ = train_unigram(sdf, "text", seed_size=60, vocab_size=48, n_iters=3)
+    uni_units = sum(n * len(viterbi_segment(w, logp)) for w, n in wc.items())
+
+    got = {
+        r.tokenizer: r
+        for r in LOCAL_QUERIES["tokenizer_fertility_compare"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got["whitespace"].n_words == n_words
+    assert got["whitespace"].n_units == n_words
+    assert got["bpe_12"].n_units == bpe_units
+    assert got["unigram_48"].n_units == uni_units
+    for r in got.values():
+        assert r.n_words == n_words
+        assert r.fertility == float(_round_dec(r.n_units / n_words, 6))
+    # subword tokenizers split words -> fertility >= 1
+    assert got["bpe_12"].fertility >= 1.0
+    assert got["unigram_48"].fertility >= 1.0
