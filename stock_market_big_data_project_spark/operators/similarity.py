@@ -1041,8 +1041,12 @@ def pca_power_components(
 
     c = np.zeros((dim, dim))
     for r in cov_rows:
-        c[r["d1"], r["d2"]] = r["cov"]
-        c[r["d2"], r["d1"]] = r["cov"]
+        # cov is NULL when the corpus has a single vector (sample
+        # covariance undefined at n=1) — treat as the zero matrix so the
+        # eigensolve degrades to the deterministic init, never a crash
+        v = r["cov"] if r["cov"] is not None else 0.0
+        c[r["d1"], r["d2"]] = v
+        c[r["d2"], r["d1"]] = v
     comps = []
     for k in range(n_components):
         v = np.array(
@@ -1071,16 +1075,21 @@ def pca_power_components(
 def pca_project(
     emb: DataFrame,
     components: "np.ndarray",
+    mean: "np.ndarray | None" = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Project every embedding onto the given components — one Arrow
-    matmul pass (batch @ compsᵀ), the XᵀX-partials production shape; the
-    component matrix (k × dim floats) ships in the task closure. Output:
-    (id, pc1..pck) rounded to 6dp."""
+    matmul pass ((batch − mean) @ compsᵀ), the XᵀX-partials production
+    shape; the component matrix (k × dim floats) and the mean vector
+    ship in the task closure. The components come from the mean-CENTERED
+    covariance, so true PCA scores require subtracting the same mean —
+    omit it only when you want raw projections. Output: (id, pc1..pck)
+    rounded to 6dp."""
     id_t = emb.schema[id_col].dataType.simpleString()
     k = components.shape[0]
     comps = components.copy()
+    mu = None if mean is None else np.asarray(mean, dtype=np.float64)
     out_schema = f"{id_col} {id_t}, " + ", ".join(
         f"pc{i + 1} double" for i in range(k)
     )
@@ -1090,6 +1099,8 @@ def pca_project(
             if pdf.empty:
                 continue
             mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            if mu is not None:
+                mat = mat - mu[None, :]
             proj = np.round(mat @ comps.T, 6)
             out = {id_col: pdf[id_col].to_numpy()}
             for i in range(k):

@@ -64,6 +64,23 @@ def seed_pieces(
     aggregate over the vocabulary-bounded word table; the collected
     seed is (seed_size + alphabet)-bounded. Deterministic order:
     (count desc, piece asc)."""
+    if max_piece_len < 2:
+        # sequence(2, 1) would generate a DESCENDING [2, 1] in Spark —
+        # no multi-char seeding below length 2
+        return sorted(
+            (
+                (r["piece"], int(r["cnt"]))
+                for r in words.select(
+                    F.col("n"),
+                    F.explode(F.split(F.col("word"), "")).alias("piece"),
+                )
+                .filter(F.col("piece") != "")
+                .groupBy("piece")
+                .agg(F.sum("n").alias("cnt"))
+                .collect()
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
     subs = F.expr(
         "flatten(transform(sequence(1, length(word)), i ->"
         f" transform(sequence(2, {max_piece_len}), l ->"
@@ -224,13 +241,20 @@ def train_unigram(
     vocab_size: int = 48,
     n_iters: int = 4,
     max_piece_len: int = 4,
+    words: DataFrame | None = None,
 ) -> tuple[dict[str, float], list[Decimal]]:
     """Full unigram-LM training: seed → `n_iters` EM rounds → prune to
     `vocab_size` pieces (single chars always kept) → one final EM round
     to refit the pruned vocabulary. Returns (piece → logp, corpus
     log-likelihood per EM round — monotone non-decreasing over the
-    pre-prune rounds, the classic EM guarantee asserted in tests)."""
-    words = word_counts(df, text_col).localCheckpoint(eager=True)
+    pre-prune rounds, the classic EM guarantee asserted in tests).
+
+    ``words`` lets a caller that ALSO needs the word table (the
+    registered segmentation queries) stage `word_counts` once and share
+    it — otherwise the trainer would rebuild the one corpus-sized
+    aggregate the caller already paid for."""
+    if words is None:
+        words = word_counts(df, text_col).localCheckpoint(eager=True)
     seed = seed_pieces(words, max_piece_len, seed_size)
     alphabet = {p for p, _ in seed if len(p) == 1}
     total = sum(c for _, c in seed)
@@ -278,9 +302,11 @@ def viterbi_segment(
                 continue
             score = best[i - l][0] + lp
             npieces = best[i - l][1] + 1
-            key = (score, -npieces, piece)
-            cur = (cand[0], -cand[1], cand[2] or "")
-            if cand[2] is None or key > cur:
+            if (
+                cand[2] is None
+                or (score, -npieces) > (cand[0], -cand[1])
+                or ((score, npieces) == (cand[0], cand[1]) and piece < cand[2])
+            ):
                 cand = (score, npieces, piece)
         best[i] = cand
     if best[n][2] is None:

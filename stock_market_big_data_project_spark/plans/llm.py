@@ -2455,14 +2455,24 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     is dim²-bounded — never corpus-sized — like the k-means centroid
     grid. The eigensolve is driver-side power iteration with md5-derived
     deterministic init (operators/similarity.py::pca_power_components),
-    and the projection is one Arrow matmul pass over the corpus with the
-    k×dim component matrix in the task closure (the cosine_topk shape) —
-    the corpus never shuffles."""
+    and the projection is one Arrow matmul pass over the MEAN-CENTERED
+    corpus (true PCA scores — the components come from the centered
+    covariance, so the projection must subtract the same mean; the mean
+    itself reuses the covariance query's 64-row dim-sum aggregate) with
+    the k×dim component matrix + mean in the task closure (the
+    cosine_topk shape) — the corpus never shuffles."""
+    import numpy as np
+
     from ..operators.similarity import pca_power_components, pca_project
 
+    emb = _emb(spark, sf_dir)
     cov_rows = embedding_covariance(spark, sf_dir).collect()
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
-    return pca_project(_emb(spark, sf_dir), comps)
+    n_vecs = emb.count()
+    mean = np.zeros(64)
+    for r in _cov_dim_sums(emb).collect():
+        mean[r["d"]] = float(r["s"]) / n_vecs
+    return pca_project(emb, comps, mean=mean)
 
 
 # --- distribution-drift matrix: two-sample KS across sources (r7) ----------------------

@@ -1054,14 +1054,6 @@ def _zvalue(a, b, bits: int = _Z_BITS):
     return z
 
 
-def _zvalue_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({a} >> {i}) & 1)::BIGINT << {2 * i})")
-        terms.append(f"((({b} >> {i}) & 1)::BIGINT << {2 * i + 1})")
-    return " + ".join(terms)
-
-
 @register_local(
     "zorder_compacted_scan",
     oracle="""

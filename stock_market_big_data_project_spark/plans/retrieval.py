@@ -54,10 +54,13 @@ _BM25_B = 0.75
 _BM25_K = 5
 
 
-@register_local(
-    "bm25_retrieval_topk",
-    oracle=f"""
-    WITH t AS (
+# The BM25 CTE chain (to ranked list `r`), shared textually with the
+# bm25_retrieval_topk oracle's structure — see _bm25_ranked for the Spark
+# twin. Kept as a function so the fused oracle and any future consumer
+# take the SAME text.
+def _bm25_oracle_ctes() -> str:
+    return f"""
+    t AS (
       SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS tok
       FROM documents
     ), tf AS (
@@ -91,6 +94,14 @@ _BM25_K = 5
                                 ORDER BY s_dec DESC, doc_id) AS rank
       FROM s
     )
+    """
+
+
+
+@register_local(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH {_bm25_oracle_ctes()}
     SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
            round(CAST(s_dec AS DOUBLE), 9) AS bm25
     FROM r WHERE rank <= {_BM25_K}
@@ -516,49 +527,6 @@ _RRF_C = 60
 _RRF_IN_K = 10
 _RRF_OUT_K = 5
 
-# The BM25 CTE chain (to ranked list `r`), shared textually with the
-# bm25_retrieval_topk oracle's structure — see _bm25_ranked for the Spark
-# twin. Kept as a function so the fused oracle and any future consumer
-# take the SAME text.
-def _bm25_oracle_ctes() -> str:
-    return f"""
-    t AS (
-      SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS tok
-      FROM documents
-    ), tf AS (
-      SELECT doc_id, dl, tok, count(*) AS tf FROM t GROUP BY 1, 2, 3
-    ), q AS (
-      SELECT DISTINCT doc_id AS query_id, unnest(({_TOKS})[1:3]) AS tok
-      FROM documents WHERE doc_id % 25 = 1 AND doc_id <= 500
-    ), cand AS (
-      SELECT tf.doc_id, tf.dl, tf.tok, tf.tf, q.query_id
-      FROM tf JOIN q USING (tok)
-    ), dfq AS (
-      SELECT tok, count(DISTINCT doc_id) AS df FROM cand GROUP BY 1
-    ), tot AS (
-      SELECT count(*) AS n_docs, CAST(SUM(len({_TOKS})) AS BIGINT) AS sum_dl
-      FROM documents
-    ), terms AS (
-      SELECT query_id, cand.doc_id,
-             CAST(round(
-               ln(1 + (tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
-               * (cand.tf * ({_BM25_K1} + 1))
-               / (cand.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * cand.dl
-                     / (CAST(tot.sum_dl AS DOUBLE) / tot.n_docs))),
-               12) AS DECIMAL(38,12)) AS term
-      FROM cand JOIN dfq USING (tok) CROSS JOIN tot
-    ), s AS (
-      SELECT query_id, doc_id, SUM(term) AS s_dec
-      FROM terms GROUP BY 1, 2
-    ), r AS (
-      SELECT query_id, doc_id, s_dec,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY s_dec DESC, doc_id) AS rank
-      FROM s
-    )
-    """
-
-
 @register_local(
     "hybrid_rrf_retrieval",
     oracle=f"""
@@ -774,10 +742,11 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
+    wc = word_counts(d, "text").localCheckpoint(eager=True)
     logp, _ = train_unigram(
-        d, "text", seed_size=60, vocab_size=48, n_iters=3
+        d, "text", seed_size=60, vocab_size=48, n_iters=3, words=wc
     )
-    seg = unigram_segment_words(word_counts(d, "text"), logp)
+    seg = unigram_segment_words(wc, logp)
     wp = d.select(
         "doc_id",
         F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
@@ -861,7 +830,9 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", F.size("bpe_tokens").alias("n_units"))
         .distinct()
     )
-    logp, _ = train_unigram(d, "text", seed_size=60, vocab_size=48, n_iters=3)
+    logp, _ = train_unigram(
+        d, "text", seed_size=60, vocab_size=48, n_iters=3, words=wc
+    )
     uni_seg = unigram_segment_words(wc, logp).select(
         "word", F.col("n_pieces").alias("n_units")
     )

@@ -153,3 +153,56 @@ def test_rrf_single_leg_queries(spark):
     # single-leg rows exist in the fixture and carry a valid fused rank
     assert single_leg
     assert all(1 <= r.fused_rank <= 5 for r in single_leg)
+
+
+def test_pca_project_single_vector_corpus(spark):
+    """The n=1 corpus end to end: all-NULL covariance feeds the
+    eigensolve (treated as the zero matrix — deterministic init comes
+    back), and the projection still runs. Caught in review: the NULL
+    cells used to raise TypeError inside the ndarray fill."""
+    from stock_market_big_data_project_spark.plans.llm import (
+        embedding_pca_project,
+    )
+
+    one = spark.createDataFrame(
+        [(0, [float(i) / 100 for i in range(64)], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    td = f"/tmp/pca_degen_{id(one)}"
+    one.write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+    rows = embedding_pca_project(spark, td).collect()
+    assert len(rows) == 1
+    assert math.isfinite(rows[0].pc1) and math.isfinite(rows[0].pc2)
+    # centered single vector projects to ~0 on every component
+    assert abs(rows[0].pc1) < 1e-9 and abs(rows[0].pc2) < 1e-9
+
+
+def test_seed_pieces_max_len_one(spark):
+    """max_piece_len=1 must seed ONLY single characters (review catch:
+    Spark's sequence(2, 1) is a descending [2, 1] range)."""
+    from stock_market_big_data_project_spark.operators.unigram import (
+        seed_pieces,
+        word_counts,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "ab ab ba")], "doc_id long, text string"
+    )
+    seed = seed_pieces(word_counts(d, "text"), max_piece_len=1)
+    assert {p for p, _ in seed} == {"a", "b"}
+
+
+def test_viterbi_tie_breaks_to_smaller_piece():
+    """Exact (score, piece-count) tie resolves to the lexicographically
+    SMALLER piece at the split — the documented contract."""
+    from stock_market_big_data_project_spark.operators.unigram import (
+        viterbi_segment,
+    )
+
+    logp = {"x": -1.0, "y": -1.0, "xy": -2.0, "yx": -2.0}
+    # "xyxy": ['xy','xy'] vs ['x','y','x','y'] differ in count; force a
+    # genuine tie: two single-piece options with equal logp
+    assert viterbi_segment("x", logp) == ["x"]
+    logp2 = {"ab": -2.0, "a": -1.0, "b": -1.0, "ba": -2.0}
+    # "ab": ['ab'] (score -2, 1 piece) beats ['a','b'] (score -2, 2)
+    assert viterbi_segment("ab", logp2) == ["ab"]

@@ -52,16 +52,40 @@ def test_power_iteration_matches_numpy_eigh(spark):
 
 
 def test_projection_matches_numpy(spark):
+    """True PCA scores: the projection subtracts the SAME mean the
+    covariance was centered on (the dim-sum/n mean the query collects),
+    so per-component score means are ~0."""
     cov_rows = LOCAL_QUERIES["embedding_covariance"](spark, SF_DIR).collect()
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
     mat, ids = _emb_matrix(SF_DIR)
-    expected = np.round(mat @ comps.T, 6)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # replicate the query's mean: decimal(18,15) dim sums / n
+    mean = np.array(
+        [
+            float(
+                sum(
+                    Decimal(repr(float(x))).quantize(
+                        Decimal("1e-15"), ROUND_HALF_UP
+                    )
+                    for x in mat[:, d]
+                )
+            )
+            / mat.shape[0]
+            for d in range(64)
+        ]
+    )
+    expected = np.round((mat - mean[None, :]) @ comps.T, 6)
     exp = {int(i): (expected[j, 0], expected[j, 1]) for j, i in enumerate(ids)}
     got = LOCAL_QUERIES["embedding_pca_project"](spark, SF_DIR).collect()
     assert len(got) == len(exp)
     for r in got:
         e1, e2 = exp[r.vec_id]
         assert r.pc1 == e1 and r.pc2 == e2, r.vec_id
+    # centered scores: each component averages to ~0
+    for k in (0, 1):
+        vals = [r.pc1 if k == 0 else r.pc2 for r in got]
+        assert abs(sum(vals) / len(vals)) < 1e-4
 
 
 def test_projection_partitioning_invariance(spark):
@@ -71,10 +95,16 @@ def test_projection_partitioning_invariance(spark):
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
     from stock_market_big_data_project_spark.sources.tables import load_table
 
+    import numpy as np
+
     emb = load_table(spark, SF_DIR, "embeddings")
-    a = {r.vec_id: (r.pc1, r.pc2) for r in pca_project(emb, comps).collect()}
+    mu = np.full(64, 0.01)
+    a = {
+        r.vec_id: (r.pc1, r.pc2)
+        for r in pca_project(emb, comps, mean=mu).collect()
+    }
     b = {
         r.vec_id: (r.pc1, r.pc2)
-        for r in pca_project(emb.repartition(7), comps).collect()
+        for r in pca_project(emb.repartition(7), comps, mean=mu).collect()
     }
     assert a == b
