@@ -67,7 +67,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact dedup ---------------------------------------------------------
-@register(
+@register_local(
     "dedup_exact_documents",
     oracle="""
     SELECT md5(text) AS text_md5, min(doc_id) AS kept_id, count(*) AS n_copies
@@ -517,7 +517,7 @@ _VECS = """
 """
 
 
-@register(
+@register_local(
     "embedding_bruteforce_topk",
     oracle=f"""
     WITH {_VECS},
@@ -1049,7 +1049,7 @@ def doc_sample_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- the end-to-end C4-style cleaning chain -------------------------------------
-@register(
+@register_local(
     "clean_corpus_pipeline",
     oracle=f"""
     WITH s AS (
@@ -1268,7 +1268,7 @@ def pii_redact_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- ANN recall evaluation (r5) ----------------------------------------------------
-@register(
+@register_local(
     "ann_recall_eval",
     oracle=f"""
     WITH {_VECS},
@@ -1595,7 +1595,7 @@ _SEMDEDUP_ORACLE = f"""
     """
 
 
-@register("embedding_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+@register_local("embedding_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end to end: IVF-cell bucketing → exact
     within-cell cosine pairs ≥ 0.35 → connected components → keep the
@@ -1617,7 +1617,7 @@ def _semdedup_pair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(_emb(spark, sf_dir), threshold=0.35, n_cells=8)
 
 
-@register("streaming_semdedup_parity", oracle=_SEMDEDUP_ORACLE)
+@register_local("streaming_semdedup_parity", oracle=_SEMDEDUP_ORACLE)
 def streaming_semdedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on the LIVE embedding append path (VERDICT r5 #5): the
     embeddings fixture replays as 3 vec_id-range micro-batches. Each batch
@@ -1900,7 +1900,7 @@ EAGER_ITERATIVE.update({"dedup_multi_signal": _multi_signal_pairs})
 # the SAME 16-permutation signature: 4 bands × 4 rows (high precision,
 # collision needs 4 agreeing minima) vs 8 bands × 2 rows (high recall,
 # any 2-minima band collides).
-@register_local(
+@register(
     "lsh_dedup_recall_eval",
     oracle=f"""
     WITH sh0 AS ({oracle_word_shingles(n=3)}),
@@ -2105,7 +2105,7 @@ _CMS_ORACLE = f"""
     """
 
 
-@register_local(
+@register(
     "countmin_heavy_hitters",
     oracle=_CMS_ORACLE,
 )
@@ -2196,7 +2196,7 @@ def _cms_report(cms: DataFrame, t: DataFrame) -> DataFrame:
 
 
 # --- streaming count-min merge parity (r7) ---------------------------------------------
-@register_local(
+@register(
     "streaming_countmin_parity",
     oracle=_CMS_ORACLE,
 )
@@ -2287,7 +2287,7 @@ _COV_ORACLE = """
     """
 
 
-@register_local(
+@register(
     "embedding_covariance",
     oracle=_COV_ORACLE,
 )
@@ -2381,7 +2381,7 @@ def _cov_combine(m: DataFrame, dims: DataFrame) -> DataFrame:
 
 
 # --- streaming covariance merge parity (r7) ---------------------------------------------
-@register_local(
+@register(
     "streaming_covariance_parity",
     oracle=_COV_ORACLE,
 )
@@ -2481,7 +2481,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact two-sample Kolmogorov–Smirnov statistic on the quality score,
 # per source pair. The same query monitors batch-over-batch drift when
 # one "source" is yesterday's corpus.
-@register_local(
+@register(
     "ks_drift_matrix",
     oracle=f"""
     WITH s AS (

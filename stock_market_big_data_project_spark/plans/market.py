@@ -1626,7 +1626,7 @@ def manifest_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
+@register_local(
     "streaming_manifest_export_parity",
     oracle=_feed_oracle_sql(_FEED_N),
 )

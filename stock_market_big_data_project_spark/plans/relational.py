@@ -830,7 +830,7 @@ def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_local(
     "two_stage_agg_hot_keys",
     oracle="""
     SELECT event_type,
@@ -1054,7 +1054,7 @@ def _zvalue(a, b, bits: int = _Z_BITS):
     return z
 
 
-@register_local(
+@register(
     "zorder_compacted_scan",
     oracle="""
     WITH b AS (
@@ -1154,7 +1154,7 @@ def zorder_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # missing the column. A 100 TB table cannot be rewritten every time the
 # pipeline adds a field, so this read path is the operational contract.
 # --------------------------------------------------------------------------
-@register_local(
+@register(
     "schema_evolution_read",
     oracle="""
     WITH evolved AS (

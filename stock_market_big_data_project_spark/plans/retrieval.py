@@ -34,7 +34,7 @@ from ..operators.text import md5_hash64, oracle_md5_hash64, tokens
 from ..sources.tables import load_table
 from .audit import EAGER_ITERATIVE
 from .llm import _TOKS, _VECS
-from .registry import register_local
+from .registry import register, register_local
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +98,7 @@ def _bm25_oracle_ctes() -> str:
 
 
 
-@register_local(
+@register(
     "bm25_retrieval_topk",
     oracle=f"""
     WITH {_bm25_oracle_ctes()}
@@ -233,7 +233,7 @@ _PPL_THETA1 = 3.375
 _PPL_THETA2 = 3.392
 
 
-@register_local(
+@register(
     "perplexity_quality_buckets",
     oracle=f"""
     WITH t AS (
@@ -358,7 +358,7 @@ def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_ALPHA = 0.3
 
 
-@register_local(
+@register(
     "temperature_sampling_mix",
     oracle=f"""
     WITH tok AS (
@@ -527,7 +527,7 @@ _RRF_C = 60
 _RRF_IN_K = 10
 _RRF_OUT_K = 5
 
-@register_local(
+@register(
     "hybrid_rrf_retrieval",
     oracle=f"""
     WITH {_bm25_oracle_ctes()},
@@ -625,7 +625,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming retrieval-index maintenance (r7) ----------------------------------------
-@register_local(
+@register(
     "streaming_bm25_index_parity",
     oracle=f"""
     WITH {_bm25_oracle_ctes()}

@@ -575,7 +575,7 @@ def _motif_oracle() -> str:
     """
 
 
-@register("ts_motif_search", oracle=_motif_oracle())
+@register_local("ts_motif_search", oracle=_motif_oracle())
 def ts_motif_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity (motif) search over the hourly grid: the 10
     windows of 12 consecutive hourly observations — across ALL series —

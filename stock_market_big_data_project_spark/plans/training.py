@@ -567,7 +567,7 @@ def streaming_clean_corpus_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --- streaming near-dup dedup (the LIVE append path) -------------------------------
-@register(
+@register_local(
     "streaming_near_dup_parity",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(n=3)}),
@@ -1220,7 +1220,7 @@ def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SYS_K = 100
 
 
-@register(
+@register_local(
     "token_weighted_systematic_sample",
     oracle=f"""
     WITH dl AS (
@@ -1442,7 +1442,7 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- UniMax training-mix allocation (r6) -------------------------------------------
-@register(
+@register_local(
     "unimax_source_allocation",
     oracle=f"""
     WITH tok AS (
@@ -1570,7 +1570,7 @@ EAGER_ITERATIVE.update(
 
 
 # --- overlapping context windows (r6) ------------------------------------------------
-@register(
+@register_local(
     "doc_context_windows",
     oracle=f"""
     WITH toks AS (
@@ -1784,7 +1784,7 @@ _CARD_ORACLE = f"""
     """
 
 
-@register("incremental_stats_card", oracle=_CARD_ORACLE)
+@register_local("incremental_stats_card", oracle=_CARD_ORACLE)
 def incremental_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data card maintained INCREMENTALLY: docs with doc_id % 5 == 4
     play a freshly-ingested delta (the dedup_incremental_minhash
@@ -1959,7 +1959,7 @@ def streaming_stats_card_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E2E_K = 64
 
 
-@register_local(
+@register(
     "training_pipeline_e2e",
     oracle=f"""
     WITH s AS (
