@@ -15,14 +15,19 @@ No scipy/statsmodels/xgboost in this container:
 - the F-distribution survival function is implemented here via the
   regularized incomplete beta (Lentz continued fraction — the standard
   published algorithm);
-- the forecaster uses closed-form ridge regression (numpy lstsq on the
-  augmented system); the xgboost path is gated behind an import-try with the
-  reference's exact hyperparameters (analysis_part/main.py:95-103).
+- the forecaster's DEFAULT model is the in-repo histogram gradient-boosted
+  trees (operators/gbt.py) with the reference's hyperparameters — the same
+  model FAMILY as the reference's XGBRegressor (analysis_part/main.py:95-103)
+  without the blocked dependency; the true xgboost path stays gated behind
+  an import-try with the reference's exact settings, and the closed-form
+  ridge fallback survives as a last resort
+  (``SPARK_GRAFT_FORECAST_MODEL=ridge``).
 """
 
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import EXACT_DECIMAL
+from .gbt import GBTParams, train_forest_batch
 
 # ---------------------------------------------------------------------------
 # F-distribution survival function (no scipy): p = I_x(d2/2, d1/2) with
@@ -237,12 +243,39 @@ try:  # pragma: no cover - xgboost not present in this container
         model.fit(x_tr, y_tr)
         return model.predict
 
-except Exception:  # numpy ridge fallback — deterministic, closed form
+except Exception:  # in-repo GBT is the default tier instead
     _HAVE_XGB = False
 
     def _fit_predict(x_tr, y_tr):
         beta, intercept = _fit_ridge(x_tr, y_tr)
         return lambda x: x @ beta + intercept
+
+
+def _forecast_model() -> str:
+    """Model tier: true xgboost when importable, else the in-repo histogram
+    GBT (same family, reference hyperparameters); ridge only on request."""
+    forced = os.environ.get("SPARK_GRAFT_FORECAST_MODEL", "").lower()
+    if forced in ("gbt", "ridge"):
+        return forced
+    return "xgb" if _HAVE_XGB else "gbt"
+
+
+# the reference's XGB settings mapped onto the in-repo trainer
+GBT_FORECAST_PARAMS = GBTParams(
+    n_trees=XGB_PARAMS["n_estimators"],
+    learning_rate=XGB_PARAMS["learning_rate"],
+    max_depth=XGB_PARAMS["max_depth"],
+    subsample=XGB_PARAMS["subsample"],
+    colsample=XGB_PARAMS["colsample_bytree"],
+    seed=XGB_PARAMS["random_state"],
+)
+
+
+def _seqmean(a: np.ndarray) -> float:
+    """Index-order mean (matches a pure-Python running sum bitwise)."""
+    from .gbt import _seqsum
+
+    return _seqsum(a) / len(a)
 
 
 def _forecast_one(vals: np.ndarray, n_lags: int, horizon: int, train_frac: float):
@@ -293,11 +326,25 @@ def recursive_forecast(
     sequential loop over whole Arrow batches of symbols: one Python
     round-trip per partition, thousands of models per batch."""
 
-    packed = series.groupBy(F.col(key_col).alias("symbol")).agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(ts_col), F.col(val_col)))
-        ).alias("obs")
+    # AQE coalesces the tiny packed-series shuffle by BYTES, which would
+    # serialize the compute-bound GBT training onto 1-2 tasks. Pin an
+    # explicit symbol-keyed repartition BEFORE the groupBy: it satisfies
+    # the aggregation's distribution requirement, so no coalescable
+    # ENSURE_REQUIREMENTS exchange is added — an explicit repartition
+    # placed AFTER the aggregate is optimized away as redundant with that
+    # exchange (measured: 12.6 s single-task vs spread, sf0.01).
+    # Per-series RNG seeding makes the result partition-invariant.
+    sc = series.sparkSession.sparkContext
+    packed = (
+        series.repartition(sc.defaultParallelism, key_col)
+        .groupBy(F.col(key_col).alias("symbol"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_col), F.col(val_col)))
+            ).alias("obs")
+        )
     )
+    model = _forecast_model()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -305,10 +352,11 @@ def recursive_forecast(
             out_preds: list = []
             out_rmses: list = []
             out_skel: list = []  # (n_obs, n_train, n_test) per symbol
-            # ridge path: fit per symbol (cheap lstsq), then run the
-            # 168-step feedback loop ONCE for the whole batch — each step is
-            # a vectorized multiply-add over (n_symbols × n_lags) instead of
+            # gbt/ridge paths: fit per symbol, then run the 168-step
+            # feedback loop ONCE for the whole batch — each step is one
+            # vectorized pass over (n_symbols × n_lags) instead of
             # n_symbols separate 1×n_lags predict calls.
+            xs_tr, ys_tr, x_te, y_te = [], [], [], []
             betas, intercepts, windows, rmses, syms = [], [], [], [], []
             skels = []
             for sym, obs in zip(pdf["symbol"], pdf["obs"]):
@@ -317,7 +365,7 @@ def recursive_forecast(
                 )
                 if len(vals) < n_lags + 10:
                     continue
-                if _HAVE_XGB:  # sequential per-symbol path (opaque model)
+                if model == "xgb":  # sequential per-symbol path (opaque)
                     res = _forecast_one(vals, n_lags, horizon, train_frac)
                     if res is not None:
                         out_syms.append(sym)
@@ -332,18 +380,46 @@ def recursive_forecast(
                 )
                 y = vals[n_lags:]
                 split = int(len(y) * train_frac)
-                beta, intercept = _fit_ridge(x[:split], y[:split])
-                rmse = float("nan")
-                if split < len(y):
-                    err = x[split:] @ beta + intercept - y[split:]
-                    rmse = float(np.sqrt(np.mean(err**2)))
+                if model == "gbt":
+                    xs_tr.append(x[:split])
+                    ys_tr.append(y[:split])
+                    x_te.append(x[split:])
+                    y_te.append(y[split:])
+                else:
+                    beta, intercept = _fit_ridge(x[:split], y[:split])
+                    rmse = float("nan")
+                    if split < len(y):
+                        err = x[split:] @ beta + intercept - y[split:]
+                        rmse = float(np.sqrt(np.mean(err**2)))
+                    betas.append(beta)
+                    intercepts.append(intercept)
+                    rmses.append(rmse)
                 syms.append(sym)
-                betas.append(beta)
-                intercepts.append(intercept)
                 windows.append(vals[-n_lags:][::-1])  # [0] = most recent
-                rmses.append(rmse)
                 skels.append((len(vals), split, len(y) - split))
-            if betas:
+            if model == "gbt" and syms:
+                forest = train_forest_batch(
+                    xs_tr, ys_tr, syms, GBT_FORECAST_PARAMS
+                )
+                for i, (xt, yt) in enumerate(zip(x_te, y_te)):
+                    if len(yt):
+                        err = (
+                            forest.predict_rows(np.full(len(yt), i), xt) - yt
+                        )
+                        rmses.append(float(np.sqrt(_seqmean(err * err))))
+                    else:
+                        rmses.append(float("nan"))
+                w_mat = np.stack(windows)
+                p_mat = np.empty((len(syms), horizon))
+                for step in range(horizon):
+                    p = forest.predict_step(w_mat)
+                    p_mat[:, step] = p
+                    w_mat = np.hstack([p[:, None], w_mat[:, :-1]])
+                out_syms.extend(syms)
+                out_preds.extend(p_mat)
+                out_rmses.extend(rmses)
+                out_skel.extend(skels)
+            elif betas:
                 b_mat = np.stack(betas)
                 c_vec = np.array(intercepts)
                 w_mat = np.stack(windows)
@@ -424,18 +500,42 @@ def fit_models(
                 )
                 y = vals[n_lags:]
                 split = int(len(y) * train_frac)
-                # closed-form ridge fit, coefficients pickled explicitly
-                # (an xgboost artifact would pickle the booster instead)
-                beta, intercept = _fit_ridge(x[:split], y[:split])
-                rmse = float("nan")
-                if split < len(y):
-                    err = x[split:] @ beta + intercept - y[split:]
-                    rmse = float(np.sqrt(np.mean(err**2)))
-                blob = pickle.dumps(
-                    {"kind": "ridge", "n_lags": n_lags, "beta": beta,
-                     "intercept": intercept}
-                )
-                rows.append((sym, blob, rmse))
+                if _forecast_model() == "ridge":
+                    # closed-form ridge, coefficients pickled explicitly
+                    beta, intercept = _fit_ridge(x[:split], y[:split])
+                    rmse = float("nan")
+                    if split < len(y):
+                        err = x[split:] @ beta + intercept - y[split:]
+                        rmse = float(np.sqrt(np.mean(err**2)))
+                    payload = {"kind": "ridge", "n_lags": n_lags,
+                               "beta": beta, "intercept": intercept}
+                else:
+                    # in-repo GBT (same artifact whether xgboost imports or
+                    # not, so a registry written here reloads anywhere);
+                    # per-series seeding ⇒ identical to the forest this
+                    # symbol gets inside recursive_forecast's batch.
+                    forest = train_forest_batch(
+                        [x[:split]], [y[:split]], [sym], GBT_FORECAST_PARAMS
+                    )
+                    rmse = float("nan")
+                    if split < len(y):
+                        err = (
+                            forest.predict_rows(
+                                np.zeros(len(y) - split, dtype=np.int64),
+                                x[split:],
+                            )
+                            - y[split:]
+                        )
+                        rmse = float(np.sqrt(_seqmean(err * err)))
+                    payload = {
+                        "kind": "gbt", "n_lags": n_lags,
+                        "feat": forest.feat, "thr": forest.thr,
+                        "left": forest.left, "right": forest.right,
+                        "val": forest.val, "is_leaf": forest.is_leaf,
+                        "roots": forest.roots, "base": forest.base,
+                        "lr": forest.lr, "max_depth": forest.max_depth,
+                    }
+                rows.append((sym, pickle.dumps(payload), rmse))
             yield pd.DataFrame(rows, columns=["symbol", "model", "rmse"])
 
     return packed.mapInPandas(fn, schema=MODEL_SCHEMA)
@@ -445,7 +545,18 @@ def predict_from_blob(blob: bytes, window: np.ndarray) -> float:
     """Reload a persisted model artifact and predict one step."""
     import pickle
 
+    from .gbt import Forest
+
     m = pickle.loads(blob)
+    if m.get("kind") == "gbt":
+        forest = Forest(
+            feat=m["feat"], thr=m["thr"], left=m["left"], right=m["right"],
+            val=m["val"], is_leaf=m["is_leaf"], roots=m["roots"],
+            base=m["base"], learning_rate=m["lr"], max_depth=m["max_depth"],
+        )
+        return float(
+            forest.predict_rows(np.zeros(1, dtype=np.int64), window[None, :])[0]
+        )
     return float(np.dot(m["beta"], window) + m["intercept"])
 
 

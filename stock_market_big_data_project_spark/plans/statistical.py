@@ -347,8 +347,11 @@ def granger_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
 def recursive_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-66 (analysis_part/main.py:81-125) — per symbol: 24 lag features,
     80/20 temporal split, fit, test RMSE, 168-step recursive forecast.
-    xgboost (reference's exact hyperparameters) behind an import-try; closed-
-    form ridge otherwise. applyInPandas: all symbols train in parallel."""
+    xgboost (reference's exact hyperparameters) behind an import-try; the
+    in-repo histogram GBT (operators/gbt.py — same model family, same
+    hyperparameters, pure-Python differential in tests/test_gbt.py)
+    otherwise; ridge only on SPARK_GRAFT_FORECAST_MODEL=ridge.
+    mapInPandas over packed series: all symbols train in parallel."""
     ev = load_table(spark, sf_dir, "events")
     series = ev.select(
         F.col("user_id").alias("symbol"), F.col("ts").alias("hour_ts"), F.col("value")
