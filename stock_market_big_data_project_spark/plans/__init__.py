@@ -3,6 +3,7 @@ from .registry import (
     LOCAL_QUERIES,
     ORACLES,
     QUERIES,
+    get_query,
     load_all_plans,
     register,
     register_local,
@@ -16,4 +17,5 @@ __all__ = [
     "register",
     "register_local",
     "load_all_plans",
+    "get_query",
 ]

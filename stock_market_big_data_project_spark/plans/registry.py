@@ -75,3 +75,12 @@ def load_all_plans() -> None:
     """Import every plan module so registrations run (idempotent)."""
     for mod in _PLAN_MODULES:
         importlib.import_module(f"{__package__}.{mod}")
+
+
+def get_query(name: str) -> QueryFn:
+    """Tier-agnostic lookup (driver or local) — tests use this so that
+    per-round driver-slot rotations never touch them."""
+    load_all_plans()
+    if name in QUERIES:
+        return QUERIES[name]
+    return LOCAL_QUERIES[name]

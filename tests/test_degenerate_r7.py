@@ -58,6 +58,7 @@ def test_ks_drops_tokenless_docs_and_single_source_pairs(spark):
     # srcA/srcB both keep ≥1 scored doc → exactly one pair row
     from stock_market_big_data_project_spark.plans import (
         LOCAL_QUERIES,
+        get_query,
         load_all_plans,
     )
 
@@ -67,7 +68,7 @@ def test_ks_drops_tokenless_docs_and_single_source_pairs(spark):
     d.withColumn("lang", F.lit("en")).withColumn(
         "n_chars", F.length("text")
     ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
-    rows = LOCAL_QUERIES["ks_drift_matrix"](spark, td).collect()
+    rows = get_query("ks_drift_matrix")(spark, td).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r.src_a, r.src_b) == ("srcA", "srcB")
@@ -139,12 +140,12 @@ def test_rrf_single_leg_queries(spark):
     """Queries whose doc has no embedding row (or vice versa) still rank
     on the one available leg — the full-outer fusion never drops them."""
     from stock_market_big_data_project_spark.plans import (
-        LOCAL_QUERIES,
+        get_query,
         load_all_plans,
     )
 
     load_all_plans()
-    rows = LOCAL_QUERIES["hybrid_rrf_retrieval"](
+    rows = get_query("hybrid_rrf_retrieval")(
         spark, "/root/testdata/sf0.001"
     ).collect()
     single_leg = [

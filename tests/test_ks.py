@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 
 from stock_market_big_data_project_spark.operators.text import quality_score
 from stock_market_big_data_project_spark.plans import (
+    get_query,
     LOCAL_QUERIES,
     load_all_plans,
 )
@@ -41,7 +42,7 @@ def test_ks_matches_pure_python(spark):
     by_src: dict = {}
     for r in s.collect():
         by_src.setdefault(r.source, []).append(float(r.q))
-    got = LOCAL_QUERIES["ks_drift_matrix"](spark, SF_DIR).collect()
+    got = get_query("ks_drift_matrix")(spark, SF_DIR).collect()
     assert len(got) == len(by_src) * (len(by_src) - 1) // 2
     for r in got:
         xs, ys = by_src[r.src_a], by_src[r.src_b]
@@ -68,7 +69,7 @@ def test_ks_planted_distributions(spark):
     ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
     got = {
         (r.src_a, r.src_b): r
-        for r in LOCAL_QUERIES["ks_drift_matrix"](spark, td).collect()
+        for r in get_query("ks_drift_matrix")(spark, td).collect()
     }
     assert got[("same1", "same2")].ks_stat == 0.0
     assert got[("same1", "shifted")].ks_stat == 1.0  # disjoint supports

@@ -19,6 +19,7 @@ from stock_market_big_data_project_spark.operators.dedup import (
 )
 from stock_market_big_data_project_spark.plans.registry import (
     LOCAL_QUERIES,
+    get_query,
     load_all_plans,
 )
 
@@ -74,7 +75,7 @@ def test_band_refinement_subset(planted):
 def test_recall_eval_bounds(spark):
     rows = {
         r["lsh_config"]: r
-        for r in LOCAL_QUERIES["lsh_dedup_recall_eval"](spark, SF_DIR).collect()
+        for r in get_query("lsh_dedup_recall_eval")(spark, SF_DIR).collect()
     }
     assert set(rows) == {"4x4", "8x2"}
     n_truth = {r["n_truth"] for r in rows.values()}

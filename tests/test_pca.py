@@ -14,6 +14,7 @@ from stock_market_big_data_project_spark.operators.similarity import (
     pca_project,
 )
 from stock_market_big_data_project_spark.plans import (
+    get_query,
     LOCAL_QUERIES,
     load_all_plans,
 )
@@ -31,7 +32,7 @@ def _emb_matrix(sf_dir: str) -> np.ndarray:
 
 
 def test_power_iteration_matches_numpy_eigh(spark):
-    cov_rows = LOCAL_QUERIES["embedding_covariance"](spark, SF_DIR).collect()
+    cov_rows = get_query("embedding_covariance")(spark, SF_DIR).collect()
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
     c = np.zeros((64, 64))
     for r in cov_rows:
@@ -55,7 +56,7 @@ def test_projection_matches_numpy(spark):
     """True PCA scores: the projection subtracts the SAME mean the
     covariance was centered on (the dim-sum/n mean the query collects),
     so per-component score means are ~0."""
-    cov_rows = LOCAL_QUERIES["embedding_covariance"](spark, SF_DIR).collect()
+    cov_rows = get_query("embedding_covariance")(spark, SF_DIR).collect()
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
     mat, ids = _emb_matrix(SF_DIR)
     from decimal import ROUND_HALF_UP, Decimal
@@ -91,7 +92,7 @@ def test_projection_matches_numpy(spark):
 def test_projection_partitioning_invariance(spark):
     """Same projections regardless of physical layout — the Arrow matmul
     is per-row arithmetic, so repartitioning cannot change values."""
-    cov_rows = LOCAL_QUERIES["embedding_covariance"](spark, SF_DIR).collect()
+    cov_rows = get_query("embedding_covariance")(spark, SF_DIR).collect()
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
     from stock_market_big_data_project_spark.sources.tables import load_table
 

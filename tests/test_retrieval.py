@@ -17,6 +17,7 @@ import pandas as pd
 import pytest
 
 from stock_market_big_data_project_spark.plans import (
+    get_query,
     LOCAL_QUERIES,
     load_all_plans,
 )
@@ -89,7 +90,7 @@ def test_bm25_matches_pure_python(spark):
         rows, columns=["query_id", "rank", "doc_id", "bm25"]
     ).sort_values(["query_id", "rank"]).reset_index(drop=True)
     got = (
-        LOCAL_QUERIES["bm25_retrieval_topk"](spark, SF_DIR)
+        get_query("bm25_retrieval_topk")(spark, SF_DIR)
         .toPandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
@@ -141,7 +142,7 @@ def test_perplexity_matches_pure_python(spark):
         rows, columns=["doc_id", "n_toks", "avg_nll", "ppl_bucket"]
     ).sort_values("doc_id").reset_index(drop=True)
     got = (
-        LOCAL_QUERIES["perplexity_quality_buckets"](spark, SF_DIR)
+        get_query("perplexity_quality_buckets")(spark, SF_DIR)
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
@@ -177,7 +178,7 @@ def planted_sf_dir(tmp_path_factory, spark):
 
 def test_bm25_planted_ranking(spark, planted_sf_dir):
     got = (
-        LOCAL_QUERIES["bm25_retrieval_topk"](spark, planted_sf_dir)
+        get_query("bm25_retrieval_topk")(spark, planted_sf_dir)
         .toPandas()
         .sort_values("rank")
     )
@@ -191,7 +192,7 @@ def test_bm25_planted_ranking(spark, planted_sf_dir):
 
 def test_perplexity_planted_tail(spark, planted_sf_dir):
     got = (
-        LOCAL_QUERIES["perplexity_quality_buckets"](spark, planted_sf_dir)
+        get_query("perplexity_quality_buckets")(spark, planted_sf_dir)
         .toPandas()
         .set_index("doc_id")
     )
@@ -204,7 +205,7 @@ def test_perplexity_planted_tail(spark, planted_sf_dir):
 
 def test_temperature_mix_numerics(spark):
     got = (
-        LOCAL_QUERIES["temperature_sampling_mix"](spark, SF_DIR)
+        get_query("temperature_sampling_mix")(spark, SF_DIR)
         .toPandas()
         .sort_values("source")
         .reset_index(drop=True)
@@ -305,7 +306,7 @@ def test_rrf_fusion_matches_pure_python(spark):
         )
         for i, d in enumerate(docs[:5], start=1):
             expected[(q, i)] = (d, scores[(q, d)])
-    got = LOCAL_QUERIES["hybrid_rrf_retrieval"](spark, SF_DIR).collect()
+    got = get_query("hybrid_rrf_retrieval")(spark, SF_DIR).collect()
     assert len(got) == len(expected)
     for r in got:
         doc, s = expected[(r.query_id, r.fused_rank)]
@@ -322,7 +323,7 @@ def test_rrf_fusion_matches_pure_python(spark):
 def test_rrf_doc_in_both_lists_beats_single_list_peer(spark):
     """A doc ranked 1st in BOTH legs must outrank any doc appearing in
     only one leg: 1/61+1/61 > 1/(60+r) for every r ≥ 1."""
-    rows = LOCAL_QUERIES["hybrid_rrf_retrieval"](spark, SF_DIR).collect()
+    rows = get_query("hybrid_rrf_retrieval")(spark, SF_DIR).collect()
     for r in rows:
         if r.bm25_rank == 1 and r.cos_rank == 1:
             assert r.fused_rank == 1
