@@ -127,7 +127,10 @@ TINY_CROSS_OK = {
                                   # dedup_ngram_jaccard)
     "bm25_retrieval_topk",        # 1-row (N, Σdl) scalar for idf/avgdl
     "perplexity_quality_buckets", # 1-row en-token-total scalar for the
-                                  # LM denominator
+                                  # LM denominator + the 1-row exact
+                                  # percentile-cutoff broadcast
+    "perplexity_buckets_approx",  # the same two scalars + the 1-row
+                                  # percentile_approx sketch cutoffs
     "lsh_dedup_recall_eval",      # the truth side's 1-row corpus-count
                                   # scalar (same cut as
                                   # dedup_ngram_jaccard) + the 1-row

@@ -222,15 +222,16 @@ def _bm25_from_index(
 # head/middle/tail quality tiers. Target LM here: add-1-smoothed hashed
 # unigram frequencies from the lang='en' slice (the same zero-vocabulary
 # 256-bucket trick as DSIR/doc_feature_hashing; CCNet's KenLM 5-gram is
-# out of container scope). Bucket thresholds are CONSTANTS: CCNet derives
-# them from a percentile pass over the scored corpus — at scale that is
-# one `percentile_approx` (mergeable sketch), but a sketch estimate is
-# not bit-exact cross-engine, so the registered query pins the cutoffs
-# (chosen once from the sf0.01 distribution so all three tiers are
-# populated at every SF).
+# out of container scope). Bucket thresholds are DATA-DERIVED, as in
+# Wenzek et al.: exact 33rd/67th percentiles of the scored corpus,
+# computed relationally with the ks_drift_matrix ECDF machinery — a
+# window over the DISTINCT 9dp-rounded score grid (value-bounded, never
+# the corpus) picks the smallest score whose cumulative count reaches
+# ceil(33·N/100) / ceil(67·N/100), in integer arithmetic. A sketch
+# (`percentile_approx`) is what CCNet would run at 100 TB but is not
+# bit-exact cross-engine; the `perplexity_buckets_approx` twin below
+# keeps that path registered rows-only to document the divergence.
 _PPL_B = 256
-_PPL_THETA1 = 3.375
-_PPL_THETA2 = 3.392
 
 
 @register(
@@ -259,21 +260,37 @@ _PPL_THETA2 = 3.392
              SUM(CAST(nb.c AS DECIMAL(10,0)) * lnp.lnp) AS s_dec,
              CAST(SUM(nb.c) AS BIGINT) AS n_toks
       FROM nb JOIN lnp USING (b) GROUP BY 1
+    ), r AS (
+      SELECT doc_id, n_toks,
+             round(-CAST(s_dec AS DOUBLE) / n_toks, 9) AS avg_nll
+      FROM sc
+    ), grid AS (
+      SELECT avg_nll AS v, count(*) AS c FROM r GROUP BY 1
+    ), ecdf AS (
+      SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+             (SELECT count(*) FROM r) AS n
+      FROM grid
+    ), th AS (
+      SELECT min(CASE WHEN cum >= (33 * n + 99) // 100 THEN v END) AS th1,
+             min(CASE WHEN cum >= (67 * n + 99) // 100 THEN v END) AS th2
+      FROM ecdf
     )
-    SELECT doc_id, n_toks,
-           round(-CAST(s_dec AS DOUBLE) / n_toks, 9) AS avg_nll,
-           CASE WHEN -CAST(s_dec AS DOUBLE) / n_toks < {_PPL_THETA1}
-                  THEN 'head'
-                WHEN -CAST(s_dec AS DOUBLE) / n_toks < {_PPL_THETA2}
-                  THEN 'middle'
-                ELSE 'tail' END AS ppl_bucket
-    FROM sc
+    SELECT doc_id, n_toks, avg_nll,
+           CASE WHEN avg_nll <= th1 THEN 'head'
+                WHEN avg_nll <= th2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket,
+           th1 AS theta_head, th2 AS theta_middle
+    FROM r CROSS JOIN th
     """,
 )
 def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity against the target-domain LM, bucketed
     head/middle/tail (CCNet). avg_nll = −(Σ_tok ln p(bucket(tok)))/n_toks
-    with p(b) = (c_en(b)+1)/(n_en+256).
+    with p(b) = (c_en(b)+1)/(n_en+256). The head/middle cutoffs are the
+    corpus's own exact 33rd/67th percentiles (Wenzek et al. derive them
+    from the scored data, not constants) — emitted as theta_head /
+    theta_middle columns so the derivation itself is hash-certified at
+    every SF.
 
     Exactness: ln p takes only ≤256 DISTINCT values (one per hash
     bucket), so the log is evaluated once per BUCKET, rounded to 12dp,
@@ -292,7 +309,11 @@ def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for its two consumers (LM rollup + scoring join); the LM is ≤256
     rows — broadcast — so the corpus never shuffles again after the
     feature explode. Docs with zero tokens have no nb rows and drop out
-    (no NULL-division path)."""
+    (no NULL-division path). The percentile pass follows ks_drift_matrix:
+    the ECDF window runs over the DISTINCT 9dp score grid (one count
+    aggregate of the scored table, then a grid-sized window), and the two
+    cutoffs broadcast back as a 1-row cross join — the corpus itself is
+    never globally sorted."""
     sc_ = spark.sparkContext
     base = (
         _docs(spark, sf_dir)
@@ -343,14 +364,83 @@ def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nll = -F.col("s_dec").cast("double") / F.col("n_toks")
-    return sc.select(
+    # the scored table has two consumers (the percentile grid and the
+    # bucketed output) — materialize it once, like nb above; this is the
+    # doc-level score table CCNet persists anyway
+    r = sc.select(
+        "doc_id", "n_toks", F.round(nll, 9).alias("avg_nll")
+    ).localCheckpoint(eager=True)
+    th = _exact_percentile_cutoffs(r, "avg_nll", (33, 67))
+    return r.crossJoin(F.broadcast(th)).select(
         "doc_id",
         "n_toks",
-        F.round(nll, 9).alias("avg_nll"),
-        F.when(nll < _PPL_THETA1, F.lit("head"))
-        .when(nll < _PPL_THETA2, F.lit("middle"))
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("th1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("th2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
+        F.col("th1").alias("theta_head"),
+        F.col("th2").alias("theta_middle"),
+    )
+
+
+def _exact_percentile_cutoffs(
+    df: DataFrame, col: str, pcts: tuple
+) -> DataFrame:
+    """Exact percentile cutoffs as a 1-row frame (th1, th2, …): the
+    smallest value whose ascending cumulative count reaches
+    ceil(p·N/100), integer arithmetic throughout. The ECDF window runs
+    over the DISTINCT value grid (one aggregate + a grid-sized window),
+    never the corpus — the ks_drift_matrix pattern."""
+    grid = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    n1 = df.agg(F.count(F.lit(1)).alias("n"))
+    ecdf = (
+        grid.select("v", F.sum("c").over(w).alias("cum"))
+        .crossJoin(F.broadcast(n1))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * n + 99) DIV 100"), F.col("v")
+            )
+        ).alias(f"th{i + 1}")
+        for i, p in enumerate(pcts)
+    ]
+    return ecdf.agg(*aggs)
+
+
+@register_local("perplexity_buckets_approx")  # no oracle BY DESIGN: the
+# cutoffs come from percentile_approx — a mergeable sketch whose
+# estimates are not bit-exact cross-engine. This is the form CCNet runs
+# at 100 TB (one sketch pass instead of the exact distinct-grid ECDF);
+# registering it rows-only documents the sketch-vs-exact divergence the
+# hash-checked twin above avoids.
+def perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`perplexity_quality_buckets` with sketch-derived cutoffs:
+    percentile_approx(avg_nll, [0.33, 0.67]) replaces the exact ECDF.
+    Same scoring pipeline, same output shape; only the theta derivation
+    differs (sketch estimate vs exact rank statistic)."""
+    r = perplexity_quality_buckets(spark, sf_dir).select(
+        "doc_id", "n_toks", "avg_nll"
+    )
+    th = r.agg(
+        F.percentile_approx("avg_nll", [0.33, 0.67], 10000).alias("ths")
+    ).select(
+        F.col("ths")[0].alias("th1"), F.col("ths")[1].alias("th2")
+    )
+    return r.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_toks",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("th1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("th2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+        F.col("th1").alias("theta_head"),
+        F.col("th2").alias("theta_middle"),
     )
 
 

@@ -128,18 +128,30 @@ def test_perplexity_matches_pure_python(spark):
         b: _round_dec(math.log((c_t.get(b, 0) + 1) / (n_t + _PPL_B)), 12)
         for b in present
     }
-    rows = []
+    scores = {}
     for did, bs in buckets.items():
         if not bs:
             continue
         s = sum((lnp[b] for b in bs), Decimal(0))
         nll = -float(s) / len(bs)
-        bucket = (
-            "head" if nll < 3.375 else "middle" if nll < 3.392 else "tail"
-        )
-        rows.append((did, len(bs), float(_round_dec(nll, 9)), bucket))
+        scores[did] = (len(bs), float(_round_dec(nll, 9)))
+    # data-derived cutoffs: exact 33rd/67th percentiles of the rounded
+    # scores — smallest value whose ascending cumulative count reaches
+    # ceil(p·N/100) == the ceil(p·N/100)-th order statistic
+    vals = sorted(v for (_n, v) in scores.values())
+    n_docs = len(vals)
+    th1 = vals[(33 * n_docs + 99) // 100 - 1]
+    th2 = vals[(67 * n_docs + 99) // 100 - 1]
+    rows = []
+    for did, (ntk, nll) in scores.items():
+        bucket = "head" if nll <= th1 else "middle" if nll <= th2 else "tail"
+        rows.append((did, ntk, nll, bucket, th1, th2))
     expected = pd.DataFrame(
-        rows, columns=["doc_id", "n_toks", "avg_nll", "ppl_bucket"]
+        rows,
+        columns=[
+            "doc_id", "n_toks", "avg_nll", "ppl_bucket",
+            "theta_head", "theta_middle",
+        ],
     ).sort_values("doc_id").reset_index(drop=True)
     got = (
         get_query("perplexity_quality_buckets")(spark, SF_DIR)
