@@ -3,9 +3,12 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The decode/feature-extract step is a Pandas-UDF ``mapInPandas``
 stage so the Spark-side plumbing — schema, Arrow binary batching, partition
-shape — is real; the actual codec is STUBBED (no image/audio libraries in
-this container) with a deterministic fake derived from the payload bytes,
-clearly marked below.
+shape — is real. Codec status: uncompressed 24-bit BMP decode/encode and
+the striding resize are REAL, complete implementations (encode_bmp /
+decode_bmp below — no libraries needed); the compressed formats
+(JPEG/PNG/video) remain STUBBED behind the same plumbing with a
+deterministic fake, clearly marked, because PIL/ffmpeg are not in this
+container.
 
 At 100 TB: binary payloads ride their own column (parquet keeps them out of
 unrelated scans thanks to column pruning), metadata predicates push down,
@@ -207,6 +210,152 @@ def multimodal_pipeline(df: DataFrame, k: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=PIPELINE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: uncompressed 24-bit BMP (no external libraries needed).
+#
+# The PIL-backed formats stay declared stubs above (env block, COVERAGE.md),
+# but BMP's uncompressed BI_RGB layout is fully specified by two fixed-size
+# headers + padded BGR rows, so encode/decode here are complete, standard-
+# conformant implementations — not fakes. The fixture payloads are REAL BMP
+# files whose pixels follow a doc_id-derived integer formula, which lets the
+# DuckDB oracle predict the decoded-pixel fingerprint relationally: the
+# hash-green query certifies decode(encode(pixels)) == pixels end to end.
+# ---------------------------------------------------------------------------
+
+BMP_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes int, pixel_md5 string, "
+    "out_width int, out_height int, out_pixel_md5 string"
+)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB, bottom-up rows padded to
+    4 bytes, BGR channel order) — the standard Windows DIB layout."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+    data = rows.tobytes()
+    off = 14 + 40
+    size = off + len(data)
+
+    def le(v: int, k: int) -> bytes:
+        return int(v).to_bytes(k, "little")
+
+    header = (
+        b"BM" + le(size, 4) + le(0, 4) + le(off, 4)
+        + le(40, 4) + le(w, 4) + le(h, 4) + le(1, 2) + le(24, 2)
+        + le(0, 4) + le(len(data), 4) + le(2835, 4) + le(2835, 4)
+        + le(0, 4) + le(0, 4)
+    )
+    return header + data
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array.
+    Validates the magic, BI_RGB compression, and 24 bpp; handles row
+    padding and bottom-up (positive height) or top-down (negative height)
+    row order."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} comp={comp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=off
+    ).reshape(h, stride)
+    arr = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return arr if top_down else arr[::-1]
+
+
+def _fixture_pixels(doc_id: int):
+    """Deterministic fixture image for one doc: dims and every channel
+    value are integer formulas of (doc_id, x, y) — the same formulas the
+    DuckDB oracle evaluates relationally to predict the decoded pixels."""
+    import numpy as np
+
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id * 3) % 7
+    y, x = np.mgrid[0:h, 0:w]
+    r = (doc_id + 7 * x + 13 * y) % 256
+    g = (3 * doc_id + x + 11 * y) % 256
+    b = (5 * doc_id + 3 * x + y) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real BMP payloads for the fixture ids (mapInPandas encode stage)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [
+                        encode_bmp(_fixture_pixels(int(d)))
+                        for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema="doc_id bigint, payload binary")
+
+
+def decode_resize_bmp(df: DataFrame) -> DataFrame:
+    """REAL decode + resize in one fused mapInPandas pass: parse the BMP,
+    fingerprint the decoded RGB array (md5 of its uppercase row-major
+    hex), then 2× nearest-neighbor downsample by numpy striding
+    (arr[::2, ::2]) and fingerprint that. The fingerprints make the
+    decode bitwise-checkable: the oracle predicts them from the pixel
+    formulas without ever parsing a BMP, so a one-byte decoder bug
+    breaks the hash."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                c: []
+                for c in (
+                    "doc_id", "width", "height", "n_bytes", "pixel_md5",
+                    "out_width", "out_height", "out_pixel_md5",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_bmp(bytes(payload))
+                h, w, _ = arr.shape
+                small = arr[::2, ::2]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(payload))
+                out["pixel_md5"].append(
+                    hashlib.md5(arr.tobytes().hex().upper().encode()).hexdigest()
+                )
+                out["out_width"].append(small.shape[1])
+                out["out_height"].append(small.shape[0])
+                out["out_pixel_md5"].append(
+                    hashlib.md5(
+                        small.tobytes().hex().upper().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=BMP_DECODED_SCHEMA)
 
 
 FEATURES_SCHEMA = "doc_id bigint, bucket int, frac double"

@@ -64,6 +64,8 @@ PYTHON_STAGE_OK = {
     "multimodal_resize_stub",        # codec plumbing
     "multimodal_frame_sample",       # codec plumbing
     "multimodal_byte_histogram",     # vectorized bincount features
+    "multimodal_bmp_decode",         # REAL BMP encode + decode/resize
+                                     # codec stages (narrow Arrow passes)
     "token_shard_packing",           # per-range-partition Arrow cumsum
     "embedding_pq_codes",            # vectorized PQ encode (decimal-exact
                                      # fallback for guard-band rows)
