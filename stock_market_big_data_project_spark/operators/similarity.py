@@ -828,7 +828,66 @@ def ivf_probe_topk(
     brute force. Everything is deterministic (md5 centroids, exact decimal
     dots, ties → lowest cell / lowest neighbor id), so the approximate
     search still has a bit-exact oracle.
-    """
+
+    Split into `ivf_index` (the at-rest index rows a maintenance path
+    appends) + `ivf_topk_from_index` (the serving path) so the batch
+    search and the streaming index-maintenance parity score through ONE
+    definition."""
+    return ivf_topk_from_index(
+        ivf_index(corpus, id_col, emb_col, n_cells, n_dims),
+        queries, id_col, emb_col, n_cells, n_probe, k, n_dims,
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    n_dims: int = 64,
+) -> DataFrame:
+    """The at-rest IVF index rows: (neighbor_id, _ce, _cn, cell).
+
+    Cell assigned inline (same semantics as ivf_cells, via the guarded
+    Arrow fast path) — a narrow map on the corpus scan, NOT a self-join
+    back to ivf_cells' output: the 100 TB corpus must never shuffle for
+    its own cell id. The decimal-exact _norm2 is computed JVM-side BEFORE
+    the Arrow stage and rides along, so the serving path's exact rescore
+    keeps bit-exact norms. Incremental maintenance appends exactly these
+    rows per delta (each vector's cell depends only on its own embedding,
+    so per-batch assignment IS the global assignment); at rest the table
+    lives ``partitionBy(cell)`` so probes become partition pruning."""
+    from ._planes import hyperplanes
+
+    cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
+    return ivf_assign(
+        with_norm(_rebalance_for_compute(corpus), emb_col, n_dims),
+        cents,
+        id_col,
+        emb_col,
+        extra_cols=("_norm2",),
+        keep_emb=True,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("_ce"),
+        F.col("_norm2").alias("_cn"),
+        "cell",
+    )
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    n_dims: int = 64,
+) -> DataFrame:
+    """IVF serving path: probe the queries' best cells against an
+    ALREADY-BUILT index frame (`ivf_index`'s columns) and exact-rescore
+    only the probed cells' vectors."""
     from ._planes import hyperplanes
 
     cents = hyperplanes(n_cells, n_dims, prefix="ivf:")
@@ -864,27 +923,7 @@ def ivf_probe_topk(
             F.col("_p.c").alias("cell"),
         )
     )
-    # cell assigned inline (same semantics as ivf_cells, via the guarded
-    # Arrow fast path) — a narrow map on the corpus scan, NOT a self-join
-    # back to ivf_cells' output: the 100 TB corpus must never shuffle for
-    # its own cell id. On a cell-partitioned layout this whole stage
-    # disappears into partition pruning. The decimal-exact _norm2 is
-    # computed JVM-side BEFORE the Arrow stage and passes through, so the
-    # exact rescore downstream keeps its bit-exact norms.
-    c = ivf_assign(
-        with_norm(_rebalance_for_compute(corpus), emb_col, n_dims),
-        cents,
-        id_col,
-        emb_col,
-        extra_cols=("_norm2",),
-        keep_emb=True,
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("_ce"),
-        F.col("_norm2").alias("_cn"),
-        "cell",
-    )
-    pairs = c.join(F.broadcast(q_probe), "cell").filter(
+    pairs = index.join(F.broadcast(q_probe), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     # Prescreen with a plain-double dot (compiled, no Decimal allocation —

@@ -30,6 +30,7 @@ STREAMING_HARNESS = {
     "streaming_bm25_index_parity",
     "streaming_countmin_parity",
     "streaming_covariance_parity",
+    "streaming_ivf_index_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at
