@@ -169,7 +169,7 @@ EXTRA = [
 ]
 
 
-def _skew_stress(spark, sf_dir: str, n_runs: int = 3) -> dict:
+def _skew_stress(spark, sf_dir: str, n_runs: int = 3, amp: int | None = None) -> dict:
     """Time the salted-join + two-stage-agg plan against its unsalted twin
     on a 50%-hot-key fixture (VERDICT r6 #8). Returns the best-of-N pair
     plus fixture shape. Both variants read the SAME staged parquet and
@@ -186,7 +186,8 @@ def _skew_stress(spark, sf_dir: str, n_runs: int = 3) -> dict:
     )
     from stock_market_big_data_project_spark.sources.tables import load_table
 
-    amp = int(os.environ.get("SPARK_GRAFT_SKEW_AMP", "50"))
+    if amp is None:
+        amp = int(os.environ.get("SPARK_GRAFT_SKEW_AMP", "50"))
     td = tempfile.mkdtemp(prefix="skew_stress_")
     out: dict = {"amp": amp}
     try:
@@ -352,7 +353,17 @@ def main() -> None:
     # skewed partition to one task in the unsalted plan. That is exactly
     # the "skew inside an aggregation feeding the join" case
     # operators/skew.py exists for.
-    skew = _skew_stress(spark, sf_dir, n_runs=N_RUNS)
+    # Swept across amplification factors (VERDICT r7 #7): one point proves
+    # the sign, the 3-point sweep pins WHERE salting starts paying — the
+    # decision rule lives in SCALE.md. The 50-amp point keeps the
+    # round-over-round comparable pair.
+    amps = [
+        int(a)
+        for a in os.environ.get("SPARK_GRAFT_SKEW_AMPS", "10,50,200").split(",")
+        if a.strip()
+    ]
+    skew_sweep = [_skew_stress(spark, sf_dir, n_runs=N_RUNS, amp=a) for a in amps]
+    skew = next((d for d in skew_sweep if d["amp"] == 50), skew_sweep[-1])
 
     # Opt-in full-registry sweep (SPARK_GRAFT_BENCH_ALL=1): time every
     # registered query not already covered above, once each, into the
@@ -424,8 +435,10 @@ def main() -> None:
         # total so `value` stays comparable to the r01 reference line
         "extra": extra,
         "max": maxes,
-        # salted vs unsalted on the 50%-hot-key fixture (VERDICT r6 #8)
+        # salted vs unsalted on the 50%-hot-key fixture (VERDICT r6 #8);
+        # the amp sweep (r7 #7) prices where salting starts paying
         "skew_stress": skew,
+        "skew_sweep": skew_sweep,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
