@@ -1100,7 +1100,15 @@ def pca_power_components(
             if n == 0.0:
                 break
             w /= n
-            if np.linalg.norm(w - v) < 1e-13:
+            # ±w both count as converged: a NEGATIVE dominant eigenvalue
+            # makes the iterate flip sign every step (w ≈ −v at the fixed
+            # point), so testing only ‖w − v‖ would silently burn all
+            # n_iter matmuls and return a direction mid-oscillation
+            # (ADVICE r7). For eigvec purposes v and −v are the same
+            # answer; the sign pivot below canonicalizes.
+            if min(
+                np.linalg.norm(w - v), np.linalg.norm(w + v)
+            ) < 1e-13:
                 v = w
                 break
             v = w

@@ -179,6 +179,14 @@ def em_expected_counts(
     mpl = max_piece_len
 
     def gen(batches):
+        # The 12dp quantization happens HERE, on the Python side of the
+        # Arrow boundary (emitted as strings, parsed to decimal JVM-side
+        # — exact both ways): shipping doubles and rounding with F.round
+        # would double-round, and for |values| ≳ 4e3 the 12dp-rounded
+        # number is not double-representable, so the JVM round-trip can
+        # differ from the pure-Python reference by 1 ulp at the 12th
+        # decimal (ADVICE r7 — scale-dependent, passes at sf0.001 only
+        # by luck of magnitudes).
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -187,19 +195,19 @@ def em_expected_counts(
                 ec, z = forward_backward(word, lp, mpl)
                 for piece, c in ec.items():
                     pieces_out.append(piece)
-                    counts_out.append(c * float(n))
-                    ll_out.append(0.0)
+                    counts_out.append(str(_round12(c * float(n))))
+                    ll_out.append("0")
                 pieces_out.append("")  # ll carrier row, piece-less
-                counts_out.append(0.0)
-                ll_out.append(z * float(n))
+                counts_out.append("0")
+                ll_out.append(str(_round12(z * float(n))))
             yield pd.DataFrame(
                 {"piece": pieces_out, "c": counts_out, "ll": ll_out}
             )
 
-    raw = words.mapInPandas(gen, schema="piece string, c double, ll double")
+    raw = words.mapInPandas(gen, schema="piece string, c string, ll string")
     agg = raw.groupBy("piece").agg(
-        F.sum(F.round(F.col("c"), 12).cast("decimal(28,12)")).alias("c"),
-        F.sum(F.round(F.col("ll"), 12).cast("decimal(28,12)")).alias("ll"),
+        F.sum(F.col("c").cast("decimal(28,12)")).alias("c"),
+        F.sum(F.col("ll").cast("decimal(28,12)")).alias("ll"),
     )
     rows = agg.collect()
     counts = [

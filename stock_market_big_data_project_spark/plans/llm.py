@@ -2652,9 +2652,16 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
       SELECT source,
-             round(LEAST(len({_TOKS}) / 50.0, 1.0) * 0.5
+             -- blank-text guard: Spark's tokens() drops empty tokens so a
+             -- whitespace-only doc has 0 tokens -> NULL score (try_divide),
+             -- while string_split_regex(trim('')) yields [''] (len 1) and
+             -- would keep the row — drop tokenless docs identically.
+             -- Guard on the FILTERED token count: trim() strips only
+             -- spaces, so trim-based checks miss tab/newline-only docs
+             CASE WHEN len(list_filter({_TOKS}, x -> x != '')) = 0 THEN NULL
+                  ELSE round(LEAST(len({_TOKS}) / 50.0, 1.0) * 0.5
                    + (1.0 - len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))
-                         / len({_TOKS})) * 0.5, 6) AS q
+                         / len({_TOKS})) * 0.5, 6) END AS q
       FROM documents
     ), sc AS (
       SELECT source, q, count(*) AS cnt FROM s

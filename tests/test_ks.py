@@ -74,3 +74,39 @@ def test_ks_planted_distributions(spark):
     assert got[("same1", "same2")].ks_stat == 0.0
     assert got[("same1", "shifted")].ks_stat == 1.0  # disjoint supports
     assert got[("same2", "shifted")].ks_stat == 1.0
+
+
+def test_blank_doc_oracle_parity(spark):
+    """ADVICE r7: a whitespace-only/empty doc must be dropped IDENTICALLY
+    by both engines — Spark's tokens() yields 0 tokens (NULL score) while
+    DuckDB's string_split_regex(trim('')) yields [''] — the oracle now
+    guards with a blank-text CASE. Runs the full bitwise compare on a
+    fixture that contains blank docs (the shipped fixtures don't)."""
+    import duckdb
+
+    from stock_market_big_data_project_spark.plans import ORACLES, QUERIES
+
+    from .oracle_utils import compare
+
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(f"w{j}" for j in range(5 + i % 7)), "a"))
+        rows.append((100 + i, " ".join("the for and".split()[: 1 + i % 3]), "b"))
+    rows += [(200, "", "a"), (201, "   ", "b"), (202, "\t\n ", "a")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    td = f"/tmp/ks_blank_{id(df)}"
+    df.withColumn("lang", F.lit("en")).withColumn(
+        "n_chars", F.length("text")
+    ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{td}/documents.parquet/*.parquet')"
+    )
+    for name in ("ks_drift_matrix", "schema_evolution_read"):
+        sdf = QUERIES[name](spark, td)
+        pdf = con.execute(ORACLES[name]).fetchdf()
+        errs = compare(sdf, pdf, name)
+        assert not errs, "\n".join(errs)
+    con.close()

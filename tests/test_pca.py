@@ -109,3 +109,23 @@ def test_projection_partitioning_invariance(spark):
         for r in pca_project(emb.repartition(7), comps, mean=mu).collect()
     }
     assert a == b
+
+
+def test_power_iteration_negative_dominant_eigenvalue():
+    """ADVICE r7: a negative dominant eigenvalue sign-flips the iterate
+    each step; convergence must accept ±w or it silently burns all
+    n_iter matmuls. The returned direction must still be the dominant
+    eigenvector (up to sign)."""
+    rng = np.random.default_rng(5)
+    q, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    evals = np.linspace(0.1, 0.9, 64)
+    evals[0] = -5.0  # dominant in magnitude, negative
+    c = (q * evals) @ q.T
+    rows = [
+        {"d1": i, "d2": j, "cov": c[i, j]}
+        for i in range(64)
+        for j in range(i, 64)
+    ]
+    comps = pca_power_components(rows, dim=64, n_components=1, n_iter=3000)
+    align = abs(float(comps[0] @ q[:, 0]))
+    assert align > 1.0 - 1e-9, align
