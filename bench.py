@@ -166,6 +166,11 @@ EXTRA = [
     "zorder_compacted_scan",
     "schema_evolution_read",
     "tokenizer_fertility_compare",
+    # round-8: the real BMP codec + the sketch-cutoff perplexity twin.
+    # streaming_ivf_index_parity is excluded for the replay-at-call-time
+    # reason above; its serving path is timed via embedding_ivf_topk.
+    "multimodal_bmp_decode",
+    "perplexity_buckets_approx",
 ]
 
 
