@@ -230,3 +230,59 @@ def test_learns_signal():
         mse = float(np.mean((ys[s] - pred) ** 2))
         var = float(np.var(ys[s]))
         assert mse < 0.2 * var
+
+
+def test_spark_forecast_matches_pure_python_end_to_end(spark):
+    """Integration differential: the REGISTERED recursive_forecast query
+    (lag-matrix build, 80/20 split, GBT training, 168-step feedback,
+    RMSE) reproduces the pure-Python pipeline bitwise for real fixture
+    symbols — catches window-construction / split / batching bugs the
+    tree-level differential cannot see."""
+    import math
+
+    import pandas as pd
+
+    from stock_market_big_data_project_spark.operators.gbt import GBTParams
+    from stock_market_big_data_project_spark.plans import (
+        get_query,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = (
+        get_query("recursive_forecast")(spark, sf_dir)
+        .toPandas()
+        .sort_values(["symbol", "step"])
+    )
+    # the operator packs with sort_array over (ts, value) structs — sort
+    # by both so duplicate timestamps order identically
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "value"]
+    )
+    p = GBTParams()  # the forecaster's reference hyperparameters
+    n_lags, horizon, frac = 24, 168, 0.8
+    for sym in sorted(ev["user_id"].unique())[:3]:
+        vals = ev.loc[ev["user_id"] == sym, "value"].to_list()
+        if len(vals) < n_lags + 10:
+            continue
+        x = [
+            [vals[i - k] for k in range(1, n_lags + 1)]
+            for i in range(n_lags, len(vals))
+        ]
+        y = vals[n_lags:]
+        split = int(len(y) * frac)
+        pack = _py_gbt(x[:split], y[:split], int(sym), p)
+        want = _py_forecast(
+            pack, list(reversed(vals[-n_lags:])), horizon, p.learning_rate
+        )
+        rows = got[got["symbol"] == sym]
+        assert rows["forecast_c"].to_list() == want, f"symbol {sym}"
+        # rmse: index-order sum of squared test errors, one sqrt
+        errs = [
+            _py_forecast(pack, xr, 1, p.learning_rate)[0] - yv
+            for xr, yv in zip(x[split:], y[split:])
+        ]
+        acc = 0.0
+        for e in errs:
+            acc += e * e
+        want_rmse = math.sqrt(acc / len(errs))
+        assert float(rows["rmse"].iloc[0]) == want_rmse, f"symbol {sym}"
