@@ -171,6 +171,8 @@ EXTRA = [
     # reason above; its serving path is timed via embedding_ivf_topk.
     "multimodal_bmp_decode",
     "perplexity_buckets_approx",
+    "dedup_normalized_exact",
+    "length_bucketed_batches",
 ]
 
 

@@ -82,6 +82,64 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text")
 
 
+# --- normalized-key near-exact dedup (r8) ----------------------------------
+# CCNet/RefinedWeb run an exact-dedup pass on a NORMALIZED text key
+# (case-folded, punctuation/digit-noise stripped, whitespace collapsed)
+# before any fuzzy stage: it collapses trivial variants — recased
+# titles, punctuation-only edits, reflowed whitespace — at exact-dedup
+# cost, shrinking the candidate space the expensive near-dup stages see.
+_NORM_SQL = (
+    "trim(regexp_replace(lower(regexp_replace(text, "
+    "'[^A-Za-z0-9 \t\n\r]+', ' ', 'g')), '\s+', ' ', 'g'))"
+)
+
+
+@register_local(
+    "dedup_normalized_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS norm_md5,
+           min(doc_id) AS kept_id,
+           count(*) AS n_copies,
+           count(DISTINCT md5(text)) AS n_raw_variants
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the normalized text key: strip every char
+    outside [A-Za-z0-9\s] FIRST (so the later lower() only ever sees
+    ASCII — engine case-folding of non-ASCII letters is not something to
+    build a dedup key on), then case-fold and collapse whitespace; group
+    on md5 of the result. `n_raw_variants` counts distinct RAW texts per
+    group — >1 means this pass caught variants plain exact dedup misses.
+
+    Scale shape: identical to `dedup_exact_documents` — one narrow
+    normalize map + one map-side-combined hash aggregate on a 128-bit
+    key. The normalization is pure codegen (two regexp_replace + lower +
+    trim), no Python."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(
+                F.regexp_replace(
+                    F.col("text"), "[^A-Za-z0-9 \t\n\r]+", " "
+                )
+            ),
+            "\s+",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5("text").alias("raw_md5"),
+                 F.md5(norm).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(
+            F.min("doc_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_md5").alias("n_raw_variants"),
+        )
+    )
+
+
 # --- n-gram Jaccard near-dup ----------------------------------------------
 @register_local(
     "dedup_ngram_jaccard",

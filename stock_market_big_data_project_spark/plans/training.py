@@ -438,6 +438,107 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- length-bucketed batch construction (r8) ----------------------------------------
+# Sequence batching for training efficiency: grouping similar-length
+# documents into the same batch bounds the padding waste that a random
+# batch of mixed lengths pays (pad-to-max). The standard trainer recipe
+# (HF group_by_length / fairseq max-tokens batching) as a declarative
+# query: 8 length buckets × 16 deterministic shards, seeded order within
+# each, fixed batch size, and the per-batch padding economics emitted so
+# the waste is MEASURED, not assumed.
+_LB_BUCKET_W = 32  # bucket = min(n_tokens DIV 32, 7)
+_LB_SHARDS = 16
+_LB_BATCH = 8
+
+
+@register_local(
+    "length_bucketed_batches",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             {oracle_md5_hash64("'batch:' || CAST(doc_id AS VARCHAR)")} AS hsh
+      FROM documents WHERE len({_TOKS}) > 0
+    ), assigned AS (
+      SELECT doc_id, n_tokens,
+             LEAST(n_tokens // {_LB_BUCKET_W}, 7) AS bucket,
+             hsh % {_LB_SHARDS} AS shard,
+             (row_number() OVER (
+                PARTITION BY LEAST(n_tokens // {_LB_BUCKET_W}, 7),
+                             hsh % {_LB_SHARDS}
+                ORDER BY hsh, doc_id) - 1) // {_LB_BATCH} AS batch_id
+      FROM dl
+    )
+    SELECT CAST(bucket AS INT) AS bucket, CAST(shard AS INT) AS shard,
+           CAST(batch_id AS INT) AS batch_id,
+           CAST(count(*) AS INT) AS n_docs,
+           CAST(max(n_tokens) AS INT) AS max_len,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             AS pad_tokens,
+           round((count(*) * max(n_tokens) - sum(n_tokens))
+                 / CAST(count(*) * max(n_tokens) AS DOUBLE), 6) AS pad_frac,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS members_md5
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch construction with measured padding economics:
+    docs land in one of 8 length buckets (n_tokens DIV 32, capped), are
+    dealt into 16 deterministic md5 shards (the training_order_shuffle
+    trick — batch numbering parallelizes per (bucket, shard) instead of
+    serializing on a global order), seeded-ordered within the shard, and
+    cut into fixed batches of 8. Each output row is one BATCH with its
+    pad-to-max waste (pad_tokens, pad_frac) and an md5 membership
+    fingerprint — so the padding-efficiency claim the bucketing exists
+    for is itself hash-certified.
+
+    Scale shape: one tokenize-count pass, ONE exchange to
+    (bucket, shard) — 128-way parallel windows, no global sort — and a
+    batch-keyed rollup. Determinism: order = (md5 hash, doc_id), so
+    reruns and repartitions produce identical batches."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tokens(F.col("text")))
+    hsh = md5_hash64(
+        F.concat(F.lit("batch:"), F.col("doc_id").cast("string"))
+    )
+    dl = (
+        d.select("doc_id", n_tok.alias("n_tokens"), hsh.alias("hsh"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "bucket",
+            F.least(
+                F.expr(f"n_tokens DIV {_LB_BUCKET_W}"), F.lit(7)
+            ).cast("int"),
+        )
+        .withColumn("shard", F.pmod(F.col("hsh"), _LB_SHARDS).cast("int"))
+    )
+    assigned = dl.withColumn(
+        "batch_id",
+        F.expr(f"(row_number() OVER (PARTITION BY bucket, shard "
+               f"ORDER BY hsh, doc_id) - 1) DIV {_LB_BATCH}").cast("int"),
+    )
+    pad = F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+    return assigned.groupBy("bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.max("n_tokens").cast("int").alias("max_len"),
+        F.sum("n_tokens").cast("long").alias("sum_len"),
+        pad.cast("long").alias("pad_tokens"),
+        F.round(
+            pad / (F.count(F.lit(1)) * F.max("n_tokens")).cast("double"), 6
+        ).alias("pad_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("members_md5"),
+    )
+
+
 # --- signed feature hashing (the hashing-trick featurizer) -------------------------
 @register_local(
     "doc_feature_hashing",
