@@ -90,7 +90,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cost, shrinking the candidate space the expensive near-dup stages see.
 _NORM_SQL = (
     "trim(regexp_replace(lower(regexp_replace(text, "
-    "'[^A-Za-z0-9 \t\n\r]+', ' ', 'g')), '\s+', ' ', 'g'))"
+    r"'[^A-Za-z0-9 \t\n\r]+', ' ', 'g')), '\s+', ' ', 'g'))"
 )
 
 
@@ -106,7 +106,7 @@ _NORM_SQL = (
 )
 def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact dedup on the normalized text key: strip every char
-    outside [A-Za-z0-9\s] FIRST (so the later lower() only ever sees
+    outside ASCII [A-Za-z0-9 + whitespace] FIRST (so the later lower() only ever sees
     ASCII — engine case-folding of non-ASCII letters is not something to
     build a dedup key on), then case-fold and collapse whitespace; group
     on md5 of the result. `n_raw_variants` counts distinct RAW texts per
@@ -121,10 +121,10 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(
             F.lower(
                 F.regexp_replace(
-                    F.col("text"), "[^A-Za-z0-9 \t\n\r]+", " "
+                    F.col("text"), r"[^A-Za-z0-9 \t\n\r]+", " "
                 )
             ),
-            "\s+",
+            r"\s+",
             " ",
         )
     )
