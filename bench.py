@@ -364,11 +364,18 @@ def main() -> None:
     # the sign, the 3-point sweep pins WHERE salting starts paying — the
     # decision rule lives in SCALE.md. The 50-amp point keeps the
     # round-over-round comparable pair.
-    amps = [
-        int(a)
-        for a in os.environ.get("SPARK_GRAFT_SKEW_AMPS", "10,50,200").split(",")
-        if a.strip()
-    ]
+    if "SPARK_GRAFT_SKEW_AMPS" in os.environ:
+        amps = [
+            int(a)
+            for a in os.environ["SPARK_GRAFT_SKEW_AMPS"].split(",")
+            if a.strip()
+        ]
+    elif "SPARK_GRAFT_SKEW_AMP" in os.environ:  # legacy single-point knob
+        amps = [int(os.environ["SPARK_GRAFT_SKEW_AMP"])]
+    else:
+        amps = [10, 50, 200]
+    if not amps:  # empty/whitespace env value — keep the comparable point
+        amps = [50]
     skew_sweep = [_skew_stress(spark, sf_dir, n_runs=N_RUNS, amp=a) for a in amps]
     skew = next((d for d in skew_sweep if d["amp"] == 50), skew_sweep[-1])
 

@@ -301,9 +301,21 @@ def train_forest_batch(
             gain = gl * gl / np.maximum(nl, 1) + gr * gr / np.maximum(nr, 1)
             flatgain = gain.reshape(n_fr, kf * b)
             best = np.argmax(flatgain, axis=1)
+            ar = np.arange(n_fr)
+            # Child validity is part of the SPLIT RULE, not just the clamp
+            # argument: the full-range bin's GL is the bin-grouped sum
+            # while the parent G is the flat row-order sum, so their ulp
+            # mismatch inflates that cell's gain by ~2·G·ε/N — for large
+            # |G| that can exceed the absolute 1e-12 improvement gate and
+            # "win" a split that routes every row one way (empty child →
+            # 0/0 NaN leaf). A node therefore splits only when the best
+            # cell ALSO keeps ≥1 subsampled row on each side.
+            nl_flat = nl.reshape(n_fr, kf * b)
+            nl_best = nl_flat[ar, best]
             split = (
-                flatgain[np.arange(n_fr), best] - gsums * gsums / counts
-                > 1e-12
+                (flatgain[ar, best] - gsums * gsums / counts > 1e-12)
+                & (nl_best >= 1)
+                & (counts - nl_best >= 1)
             )
             bslot = best // b
             bf = ft_map[t][fr_series, bslot]  # global feature id

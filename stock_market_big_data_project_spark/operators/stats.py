@@ -488,15 +488,35 @@ def fit_models(
     xgboost boosters serialize the same way."""
     import pickle
 
-    packed = series.groupBy(F.col(key_col).alias("symbol")).agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(ts_col), F.col(val_col)))
-        ).alias("obs")
+    # same AQE shape as recursive_forecast: repartition BEFORE the groupBy
+    # so the compute-bound per-symbol training spreads instead of landing
+    # on the 1-2 tasks AQE coalesces the tiny packed shuffle onto
+    sc = series.sparkSession.sparkContext
+    packed = (
+        series.repartition(sc.defaultParallelism * 3, key_col)
+        .groupBy(F.col(key_col).alias("symbol"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_col), F.col(val_col)))
+            ).alias("obs")
+        )
     )
+    # resolve the model tier ONCE, driver-side, and close over it — an
+    # executor-side _forecast_model() call would read the env var in the
+    # worker process, where a driver-only export is invisible, silently
+    # disagreeing with recursive_forecast's tier
+    model = _forecast_model()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
+            # per-SYMBOL training here (vs recursive_forecast's batched
+            # trainer) is deliberate: the sink's artifact is one
+            # self-contained per-symbol node-array dict, and per-series
+            # RNG seeding makes the single-series forest BIT-IDENTICAL
+            # to the one the batched trainer grows (the batch-invariance
+            # differential) — slicing a symbol's reachable nodes out of
+            # a batch forest would cost more than retraining it
             for sym, obs in zip(pdf["symbol"], pdf["obs"]):
                 vals = np.fromiter(
                     (o[val_col] for o in obs), dtype=float, count=len(obs)
@@ -508,7 +528,7 @@ def fit_models(
                 )
                 y = vals[n_lags:]
                 split = int(len(y) * train_frac)
-                if _forecast_model() == "ridge":
+                if model == "ridge":
                     # closed-form ridge, coefficients pickled explicitly
                     beta, intercept = _fit_ridge(x[:split], y[:split])
                     rmse = float("nan")

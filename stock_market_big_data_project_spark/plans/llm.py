@@ -2692,10 +2692,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_rows = embedding_covariance(spark, sf_dir).collect()
     comps = pca_power_components(cov_rows, dim=64, n_components=2)
     n_vecs = emb.count()
-    mean = np.zeros(64)
-    for r in _cov_dim_sums(emb).collect():  # scaled-long chunk partials
-        mean[r["d"]] += float(r["s"])
-    mean /= float(_COV_SCALE) * n_vecs
+    # accumulate the scaled-long chunk partials as PYTHON INTS (exact,
+    # order-free — collect() row order is not deterministic and the
+    # partials can exceed 2^53, so float += would be layout-dependent);
+    # one int→float conversion per dim at the end is a single rounding
+    sums = [0] * 64
+    for r in _cov_dim_sums(emb).collect():
+        sums[r["d"]] += int(r["s"])
+    mean = np.array([s / (_COV_SCALE * n_vecs) for s in sums])
     return pca_project(emb, comps, mean=mean)
 
 

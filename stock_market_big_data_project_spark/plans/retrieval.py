@@ -314,6 +314,15 @@ def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate of the scored table, then a grid-sized window), and the two
     cutoffs broadcast back as a 1-row cross join — the corpus itself is
     never globally sorted."""
+    r = _ppl_scores(spark, sf_dir)
+    th = _exact_percentile_cutoffs(r, "avg_nll", (33, 67))
+    return _ppl_bucketed(r, th)
+
+
+def _ppl_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHECKPOINTED per-doc score table (doc_id, n_toks, avg_nll) —
+    shared by the exact-cutoff query and the percentile_approx twin so
+    the sketch path never executes the exact ECDF (and vice versa)."""
     sc_ = spark.sparkContext
     base = (
         _docs(spark, sf_dir)
@@ -367,10 +376,14 @@ def perplexity_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scored table has two consumers (the percentile grid and the
     # bucketed output) — materialize it once, like nb above; this is the
     # doc-level score table CCNet persists anyway
-    r = sc.select(
+    return sc.select(
         "doc_id", "n_toks", F.round(nll, 9).alias("avg_nll")
     ).localCheckpoint(eager=True)
-    th = _exact_percentile_cutoffs(r, "avg_nll", (33, 67))
+
+
+def _ppl_bucketed(r: DataFrame, th: DataFrame) -> DataFrame:
+    """Bucket the scored table with a 1-row (th1, th2) cutoff frame —
+    one definition shared by the exact and sketch variants."""
     return r.crossJoin(F.broadcast(th)).select(
         "doc_id",
         "n_toks",
@@ -423,25 +436,13 @@ def perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx(avg_nll, [0.33, 0.67]) replaces the exact ECDF.
     Same scoring pipeline, same output shape; only the theta derivation
     differs (sketch estimate vs exact rank statistic)."""
-    r = perplexity_quality_buckets(spark, sf_dir).select(
-        "doc_id", "n_toks", "avg_nll"
-    )
+    r = _ppl_scores(spark, sf_dir)
     th = r.agg(
         F.percentile_approx("avg_nll", [0.33, 0.67], 10000).alias("ths")
     ).select(
         F.col("ths")[0].alias("th1"), F.col("ths")[1].alias("th2")
     )
-    return r.crossJoin(F.broadcast(th)).select(
-        "doc_id",
-        "n_toks",
-        "avg_nll",
-        F.when(F.col("avg_nll") <= F.col("th1"), F.lit("head"))
-        .when(F.col("avg_nll") <= F.col("th2"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("ppl_bucket"),
-        F.col("th1").alias("theta_head"),
-        F.col("th2").alias("theta_middle"),
-    )
+    return _ppl_bucketed(r, th)
 
 
 # --- temperature-sampled training mix -------------------------------------------------

@@ -455,9 +455,13 @@ _LB_BATCH = 8
     "length_bucketed_batches",
     oracle=f"""
     WITH dl AS (
+      -- blank-doc guard: filter on the FILTERED token count (Spark's
+      -- tokens() drops empty tokens; string_split_regex(trim('')) is
+      -- [''] with len 1, and trim() strips only spaces)
       SELECT doc_id, len({_TOKS}) AS n_tokens,
              {oracle_md5_hash64("'batch:' || CAST(doc_id AS VARCHAR)")} AS hsh
-      FROM documents WHERE len({_TOKS}) > 0
+      FROM documents
+      WHERE len(list_filter({_TOKS}, x -> x != '')) > 0
     ), assigned AS (
       SELECT doc_id, n_tokens,
              LEAST(n_tokens // {_LB_BUCKET_W}, 7) AS bucket,

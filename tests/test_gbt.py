@@ -73,9 +73,16 @@ def _py_tree(rows, grads, codes, edges, cols, max_depth, bins):
                 nrv = n - nlv
                 gain = glv * glv / max(nlv, 1) + grv * grv / max(nrv, 1)
                 if gain > best_gain:
-                    best_gain, best = gain, (f, b)
-        if best_gain - g * g / n <= 1e-12:
+                    best_gain, best = gain, (f, b, nlv)
+        # split rule: improvement AND both children keep >=1 row (the
+        # full-range cell's ulp-inflated gain must not create an empty
+        # child — see the trainer's child-validity comment)
+        if best is None or best_gain - g * g / n <= 1e-12:
             return ("leaf", g / n)
+        nl_best = best[2]
+        if nl_best < 1 or n - nl_best < 1:
+            return ("leaf", g / n)
+        best = (best[0], best[1])
         f, b = best
         lsub = [r for r in sub if codes[r][f] <= b]
         rsub = [r for r in sub if codes[r][f] > b]

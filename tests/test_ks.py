@@ -84,9 +84,17 @@ def test_blank_doc_oracle_parity(spark):
     fixture that contains blank docs (the shipped fixtures don't)."""
     import duckdb
 
-    from stock_market_big_data_project_spark.plans import ORACLES, QUERIES
+    from stock_market_big_data_project_spark.plans import (
+        LOCAL_ORACLES,
+        LOCAL_QUERIES,
+        ORACLES,
+        QUERIES,
+    )
 
     from .oracle_utils import compare
+
+    all_q = {**QUERIES, **LOCAL_QUERIES}
+    all_o = {**ORACLES, **LOCAL_ORACLES}
 
     rows = []
     for i in range(40):
@@ -104,9 +112,14 @@ def test_blank_doc_oracle_parity(spark):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{td}/documents.parquet/*.parquet')"
     )
-    for name in ("ks_drift_matrix", "schema_evolution_read"):
-        sdf = QUERIES[name](spark, td)
-        pdf = con.execute(ORACLES[name]).fetchdf()
+    for name in (
+        "ks_drift_matrix",
+        "schema_evolution_read",
+        "length_bucketed_batches",
+        "dedup_normalized_exact",
+    ):
+        sdf = all_q[name](spark, td)
+        pdf = con.execute(all_o[name]).fetchdf()
         errs = compare(sdf, pdf, name)
         assert not errs, "\n".join(errs)
     con.close()

@@ -93,6 +93,10 @@ def test_eager_iterative_list_is_current(spark):
         "quality_classifier_train",
         "unigram_lm_segment",  # trainer-then-apply: EM-fitted piece LM,
         # segmentation audited via the fixed-LM constituent
+        "zorder_compacted_scan",  # write-then-read: the registered query
+        # checkpoints + cleans its temp rewrite (r8 leak fix); the
+        # constituent re-stages it so the pruned scan stays audited
+        "schema_evolution_read",  # same write-then-read shape
     }
     for name, builder in EAGER_ITERATIVE.items():
         assert (
