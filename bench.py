@@ -433,6 +433,20 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     total = round(sum(timings.values()), 3)
+    # Split accounting (VERDICT r8 #2): `recursive_forecast` runs the
+    # reference's 300-tree GBT model family — a permanent ~5 s fidelity
+    # cost that is model compute, not engine plan cost. Reporting it
+    # inside one headline number lets real engine regressions hide under
+    # its spread, so the line carries BOTH totals: engine_total (the
+    # other 35 headline queries + streaming replay) for round-over-round
+    # engine comparison, model_total (the forecaster alone) for the
+    # fidelity tier's cost. `value` stays the full-set sum — the number
+    # comparable to the r01 de-facto baseline and the 2× bar.
+    MODEL_QUERIES = {"recursive_forecast"}
+    model_total = round(
+        sum(t for n, t in timings.items() if n in MODEL_QUERIES), 3
+    )
+    engine_total = round(total - model_total, 3)
     # The driver records only the LAST ~2000 chars of stdout; the r04 line
     # (headline + extra maps in one line) overflowed that window and was
     # captured headless → "parsed": null. The driver-facing line now
@@ -442,6 +456,8 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total",
         "value": total,
+        "engine_total": engine_total,
+        "model_total": model_total,
         "unit": "sec",
         "n_runs": N_RUNS,
         "queries": timings,
@@ -465,6 +481,8 @@ def main() -> None:
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "engine_total": engine_total,
+                "model_total": model_total,
                 "unit": "sec",
                 "n_runs": N_RUNS,
                 "queries": timings,

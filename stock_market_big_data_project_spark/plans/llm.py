@@ -94,7 +94,7 @@ _NORM_SQL = (
 )
 
 
-@register_local(
+@register(
     "dedup_normalized_exact",
     oracle=f"""
     SELECT md5({_NORM_SQL}) AS norm_md5,
@@ -212,7 +212,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- the full scale dedup chain: LSH candidates → verify → clusters ----------
-@register(
+@register_local(
     "dedup_minhash_verified",
     oracle=f"""
     WITH RECURSIVE sh AS ({oracle_word_shingles(n=3)}),
@@ -791,7 +791,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- REAL BMP codec (r8): decode + resize, bitwise-certified -----------------------
-@register_local(
+@register(
     "multimodal_bmp_decode",
     oracle="""
     WITH d AS (
@@ -1144,7 +1144,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming IVF index maintenance (r8) -----------------------------------------
-@register_local("streaming_ivf_index_parity", oracle=_IVF_TOPK_ORACLE)
+@register("streaming_ivf_index_parity", oracle=_IVF_TOPK_ORACLE)
 def streaming_ivf_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index maintained on the LIVE embedding append path — the
     retrieval twin of `streaming_bm25_index_parity` (VERDICT r7 #6): the
@@ -2284,7 +2284,7 @@ _CMS_ORACLE = f"""
     """
 
 
-@register(
+@register_local(
     "countmin_heavy_hitters",
     oracle=_CMS_ORACLE,
 )
@@ -2475,7 +2475,7 @@ _COV_ORACLE = """
     """
 
 
-@register(
+@register_local(
     "embedding_covariance",
     oracle=_COV_ORACLE,
 )

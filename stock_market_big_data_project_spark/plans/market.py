@@ -374,7 +374,7 @@ def asof_purchases_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- OP-29: per-(key, day) group-mean imputation -----------------------------
-@register(
+@register_local(
     "impute_group_mean",
     oracle="""
     WITH t AS (
@@ -1489,7 +1489,7 @@ def _feed_agg(df: DataFrame) -> DataFrame:
     )
 
 
-@register_local(
+@register(
     "pysource_quote_feed",
     oracle=f"""
     WITH feed AS ({_feed_oracle_sql(_FEED_N)})

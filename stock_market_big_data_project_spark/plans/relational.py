@@ -775,7 +775,7 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unsalted form by construction, which is exactly what the plain-SQL
 # oracle checks.
 # --------------------------------------------------------------------------
-@register_local(
+@register(
     "salted_join_hot_events",
     oracle="""
     WITH dim AS (

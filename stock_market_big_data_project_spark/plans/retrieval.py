@@ -98,7 +98,7 @@ def _bm25_oracle_ctes() -> str:
 
 
 
-@register(
+@register_local(
     "bm25_retrieval_topk",
     oracle=f"""
     WITH {_bm25_oracle_ctes()}
@@ -594,7 +594,7 @@ def _bpe_oracle(n_merges: int = 12) -> str:
     return "".join(parts)
 
 
-@register_local("bpe_apply_encode", oracle=_bpe_oracle(12))
+@register("bpe_apply_encode", oracle=_bpe_oracle(12))
 def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY — the other half of the BPE loop: learn 12 merges
     on the corpus (operators/bpe.py::train_bpe), then encode every
@@ -783,7 +783,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming retrieval-index maintenance (r7) ----------------------------------------
-@register(
+@register_local(
     "streaming_bm25_index_parity",
     oracle=f"""
     WITH {_bm25_oracle_ctes()}

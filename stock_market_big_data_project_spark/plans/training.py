@@ -451,7 +451,7 @@ _LB_SHARDS = 16
 _LB_BATCH = 8
 
 
-@register_local(
+@register(
     "length_bucketed_batches",
     oracle=f"""
     WITH dl AS (
@@ -2007,7 +2007,7 @@ def _card_from_partials(spark: SparkSession, parts) -> DataFrame:
     )
 
 
-@register("streaming_stats_card_parity", oracle=_CARD_ORACLE)
+@register_local("streaming_stats_card_parity", oracle=_CARD_ORACLE)
 def streaming_stats_card_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE datasheet: the documents fixture replays as 3 micro-
     batches; each batch compacts to the same mergeable partial state as
