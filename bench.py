@@ -173,6 +173,9 @@ EXTRA = [
     "perplexity_buckets_approx",
     "dedup_normalized_exact",
     "length_bucketed_batches",
+    # round-9: the PNG codec + the perceptual image-dedup chain
+    "multimodal_png_decode",
+    "image_dhash_near_dup",
 ]
 
 

@@ -178,16 +178,28 @@ def train_forest_batch(
     y_all = np.concatenate(ys)
     row_series = np.repeat(np.arange(s_count), sizes)
 
+    # Vectorized across features (VERDICT r8 #6 — the per-(series,
+    # feature) loop was plain Python): candidates gather from the
+    # column-sorted matrix at the quantile positions; per-column dedup =
+    # mask equal-to-previous to +inf then re-sort (the gathered column is
+    # already non-decreasing, so this equals np.unique + inf-pad, value
+    # for value); codes = #(edges ≤ x) as one broadcast comparison-sum —
+    # the split predicate's definition applied literally, identical to
+    # searchsorted(side="right") on finite values.
     edges = np.empty((s_count, n_feat, b - 1))
     codes = np.empty((n_rows, n_feat), dtype=np.int64)
     for s in range(s_count):
         xsort = np.sort(xs[s], axis=0)
         lo, hi = offs[s], offs[s + 1]
-        for f in range(n_feat):
-            edges[s, f] = _bin_edges(xsort[:, f], b)
-            codes[lo:hi, f] = np.searchsorted(
-                edges[s, f], x_all[lo:hi, f], side="right"
-            )
+        n = int(sizes[s])
+        pos = np.ceil(np.arange(1, b) * n / b).astype(np.intp) - 1
+        cand = xsort[pos, :]  # (b-1, n_feat), non-decreasing per column
+        dup = np.zeros_like(cand, dtype=bool)
+        dup[1:] = cand[1:] == cand[:-1]
+        e = np.where(dup, np.inf, cand)
+        e.sort(axis=0)
+        edges[s] = e.T
+        codes[lo:hi] = (x_all[lo:hi, :, None] >= e.T[None, :, :]).sum(axis=2)
 
     base = np.array([_seqsum(y) / len(y) for y in ys])
     pred = base[row_series].copy()
@@ -250,8 +262,18 @@ def train_forest_batch(
             # only covers genuinely splittable nodes. A ≤1-row node's
             # value is a ≤1-term sum, so the flat sums here are bitwise
             # order-free.
-            counts = np.bincount(slot_act, minlength=n_fr)
-            gsums = np.bincount(slot_act, weights=grad_act, minlength=n_fr)
+            # one bincount for (counts, gsums): the count half sums exact
+            # small integers in float64, the grad half accumulates in the
+            # same sequential order as a standalone weighted bincount —
+            # bitwise-identical, half the numpy-call overhead
+            cg = np.bincount(
+                np.concatenate([slot_act, slot_act + n_fr]),
+                weights=np.concatenate(
+                    [np.ones(slot_act.size), grad_act]
+                ),
+                minlength=2 * n_fr,
+            )
+            counts, gsums = cg[:n_fr], cg[n_fr:]
             can = counts >= 2
             if level == p.max_depth:
                 can[:] = False
@@ -282,10 +304,17 @@ def train_forest_batch(
             cells = (slot_act[:, None] * (kf * b) + cell_t[act]).ravel()
             w = np.repeat(grad_act, kf)
             size = n_fr * kf * b
-            g_h = np.bincount(cells, weights=w, minlength=size)
-            n_h = np.bincount(cells, minlength=size)
-            gl = np.cumsum(g_h.reshape(n_fr, kf, b), axis=2)
-            nl = np.cumsum(n_h.reshape(n_fr, kf, b), axis=2)
+            # one bincount for (G, N) histograms and one cumsum over the
+            # stacked pair: the G half accumulates in the same sequential
+            # order as before, the N half sums exact integers in float64 —
+            # bitwise-identical results at half the call overhead
+            gn = np.bincount(
+                np.concatenate([cells, cells + size]),
+                weights=np.concatenate([w, np.ones(cells.size)]),
+                minlength=2 * size,
+            )
+            gn_l = np.cumsum(gn.reshape(2, n_fr, kf, b), axis=3)
+            gl, nl = gn_l[0], gn_l[1]
             # node totals come from the FLAT row-order sums above (one
             # canonical summation order for GR, the parent score, and the
             # leaf values — not the per-slot bin-grouped order)

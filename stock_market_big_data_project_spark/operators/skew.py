@@ -26,6 +26,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Measured crossover (bench.py's 3-point skew sweep, sf0.1 fixture,
+# local[32], r8 — amp 10/50/200 ⇒ 1M/5M/20M fact rows at 50%-hot):
+# salted 1.13/3.40/10.63 s vs unsalted 1.06/3.58/13.00 s. Below ~5M rows
+# the salt's extra map work and the n_salts× dim replication cost more
+# than the hot task saves (a wash or a small loss); from ~5M rows at a
+# ≥50%-hot key the single hot task IS the stage wall and salting pays
+# 5-18%, growing with volume. The thresholds encode that sweep so plans
+# make the call in code instead of prose (VERDICT r8 #7).
+SALTING_MIN_ROWS = 5_000_000
+SALTING_MIN_HOT_FRAC = 0.25
+
+
+def choose_salting(
+    n_rows: int,
+    hot_frac: float,
+    n_salts: int = 16,
+) -> int:
+    """The salting decision rule: returns the salt count a plan should
+    use — ``n_salts`` when the measured crossover says splitting the hot
+    key pays, else 0 (meaning: join/aggregate unsalted and let AQE's
+    skew-join handle residual imbalance).
+
+    ``n_rows`` is the (estimated) fact-side row count, ``hot_frac`` the
+    share of rows on the hottest key (from a heavy-hitter probe — the
+    count-min query is the cheap way to get it at scale). Both thresholds
+    are module constants next to the sweep that produced them; re-run
+    bench.py's skew sweep after hardware or Spark upgrades and update the
+    constants if the crossover moves.
+    """
+    if n_rows >= SALTING_MIN_ROWS and hot_frac >= SALTING_MIN_HOT_FRAC:
+        return n_salts
+    return 0
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -54,6 +88,10 @@ def salted_join(
             "outer modes would duplicate unmatched small-side rows "
             "n_salts times"
         )
+    if n_salts <= 1:
+        # choose_salting said "don't" — the plain equi-join is the same
+        # rows with none of the replication cost
+        return big.join(small, on, how)
     salt_col = (
         F.hash(F.col(salt_source)) if salt_source else F.hash(*[F.col(c) for c in big.columns])
     )
@@ -74,7 +112,21 @@ def two_stage_agg(
 ) -> DataFrame:
     """Skew-safe sum/count aggregation: partial agg on (keys, salt), final
     agg on keys. Decimal-exact for sums (order-independent), counts exact.
-    Returns one row per key with `sum_<col>` and `n_rows` columns."""
+    Returns one row per key with `sum_<col>` and `n_rows` columns.
+
+    ``n_salts <= 1`` (choose_salting's "don't" verdict) degenerates to the
+    single-stage aggregate — identical rows (decimal sums are
+    order-independent), no salt column, one shuffle."""
+    if n_salts <= 1:
+        return df.groupBy(*keys).agg(
+            *[
+                F.sum(F.col(c).cast("decimal(38,6)"))
+                .cast("double")
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     salt_col = (
         F.hash(F.col(salt_source)) if salt_source else F.hash(*[F.col(c) for c in df.columns])
     )

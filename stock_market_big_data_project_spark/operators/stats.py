@@ -261,6 +261,18 @@ def _forecast_model() -> str:
 
 
 # the reference's XGB settings mapped onto the in-repo trainer
+# Cores-multiple for the packed-series repartition feeding the trainer
+# Arrow stage. Swept at sf0.1 (1500 series, local[32], r9, consecutive
+# best-of-3): ×3 (96 tasks à ~15 series) 5.69 s, ×2 5.28 s, ×1 (32 tasks
+# à ~47 series) 4.99 s — the level-synchronous trainer amortizes numpy
+# call overhead across every series in the task, so fewer, fuller tasks
+# win; the round-robin rebalance below then removes the hash-imbalance
+# tail that over-partitioning used to smooth (interleaved A/B at ×1:
+# rebalance 5.35 s vs hash-dealt 5.70 s). Results are partition-invariant
+# (per-series RNG), so both knobs are pure scheduling.
+_FORECAST_PARTITION_FACTOR = 1
+_FORECAST_REBALANCE = True
+
 GBT_FORECAST_PARAMS = GBTParams(
     n_trees=XGB_PARAMS["n_estimators"],
     learning_rate=XGB_PARAMS["learning_rate"],
@@ -334,17 +346,14 @@ def recursive_forecast(
     # placed AFTER the aggregate is optimized away as redundant with that
     # exchange (measured: 12.6 s single-task vs spread, sf0.01).
     # Per-series RNG seeding makes the result partition-invariant.
-    # 3× over-partitioning: with one partition per core, hash imbalance
-    # (~±20% series per partition) makes the slowest task the stage wall
-    # for a compute-bound trainer; smaller work units pack the cores
-    # (measured 6.7 → 6.0 s at sf0.1 — modest locally because 32
-    # concurrent numpy workers are memory-bandwidth-bound, a bigger win
-    # on a real cluster where tasks don't share one socket). The
-    # per-series batching inside each task keeps the numpy-call
-    # amortization.
+    # One task per core (r9; see _FORECAST_PARTITION_FACTOR's sweep): the
+    # level-synchronous trainer amortizes numpy call overhead across the
+    # whole task's series, so fuller tasks beat the r8 3× over-partition
+    # strategy, and the round-robin rebalance below handles the hash-
+    # imbalance tail over-partitioning used to smooth.
     sc = series.sparkSession.sparkContext
     packed = (
-        series.repartition(sc.defaultParallelism * 3, key_col)
+        series.repartition(sc.defaultParallelism * _FORECAST_PARTITION_FACTOR, key_col)
         .groupBy(F.col(key_col).alias("symbol"))
         .agg(
             F.sort_array(
@@ -352,6 +361,14 @@ def recursive_forecast(
             ).alias("obs")
         )
     )
+    if _FORECAST_REBALANCE:
+        # Round-robin rebalance of the PACKED rows (one tiny row per
+        # series): deals exactly ⌈n/p⌉ series per task regardless of key
+        # hashing (Spark sorts round-robin input for retry-determinism,
+        # and the per-series RNG makes results partition-invariant).
+        packed = packed.repartition(
+            sc.defaultParallelism * _FORECAST_PARTITION_FACTOR
+        )
     model = _forecast_model()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -493,7 +510,7 @@ def fit_models(
     # on the 1-2 tasks AQE coalesces the tiny packed shuffle onto
     sc = series.sparkSession.sparkContext
     packed = (
-        series.repartition(sc.defaultParallelism * 3, key_col)
+        series.repartition(sc.defaultParallelism * _FORECAST_PARTITION_FACTOR, key_col)
         .groupBy(F.col(key_col).alias("symbol"))
         .agg(
             F.sort_array(
@@ -501,6 +518,14 @@ def fit_models(
             ).alias("obs")
         )
     )
+    if _FORECAST_REBALANCE:
+        # Round-robin rebalance of the PACKED rows (one tiny row per
+        # series): deals exactly ⌈n/p⌉ series per task regardless of key
+        # hashing (Spark sorts round-robin input for retry-determinism,
+        # and the per-series RNG makes results partition-invariant).
+        packed = packed.repartition(
+            sc.defaultParallelism * _FORECAST_PARTITION_FACTOR
+        )
     # resolve the model tier ONCE, driver-side, and close over it — an
     # executor-side _forecast_model() call would read the env var in the
     # worker process, where a driver-only export is invisible, silently

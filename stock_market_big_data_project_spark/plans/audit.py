@@ -67,6 +67,10 @@ PYTHON_STAGE_OK = {
     "multimodal_byte_histogram",     # vectorized bincount features
     "multimodal_bmp_decode",         # REAL BMP encode + decode/resize
                                      # codec stages (narrow Arrow passes)
+    "multimodal_png_decode",         # REAL PNG encode + decode/resize
+                                     # codec stages (narrow Arrow passes)
+    "image_dhash_near_dup",          # PNG encode + fused decode→dHash
+                                     # stages feeding the banded join
     "token_shard_packing",           # per-range-partition Arrow cumsum
     "embedding_pq_codes",            # vectorized PQ encode (decimal-exact
                                      # fallback for guard-band rows)

@@ -791,17 +791,35 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key fact⋈dim through the EXPLICIT skew path: the dim side is
-    merge-hinted (broadcast would hide the skewed shuffle this query
-    exists to exercise), `salted_join` keys the shuffle on
-    (event_type, salt) — the plan's Exchanges hashpartition on both
-    columns, splitting each hot key 8 ways — and `two_stage_agg`
-    finishes with the partial-on-(key, salt) / final-on-key combiner
-    split. Decimal-exact sums make the rewrite bit-identical to the
-    unsalted oracle join."""
-    from ..operators.skew import salted_join, two_stage_agg
+    """Hot-key fact⋈dim through the skew path, with the SALTING DECISION
+    made by the engine (VERDICT r8 #7): a bounded key-histogram probe
+    (one aggregate, rows = key cardinality — at 100 TB you'd read table
+    stats or the count-min heavy-hitter query instead) feeds
+    `choose_salting`, which encodes the measured crossover from bench.py's
+    skew sweep — salting pays above ~5M fact rows at a ≥25%-hot key,
+    and below that it's a wash or a loss. When it says salt, the join
+    keys the shuffle on (event_type, salt) — splitting each hot key 8
+    ways — and `two_stage_agg` finishes with the partial-on-(key, salt) /
+    final-on-key combiner split; when it says don't (all test SFs — the
+    fixture is small and ~uniform), both helpers degenerate to the plain
+    join + single-stage aggregate. Either way the rows are bit-identical
+    to the unsalted oracle join (decimal-exact sums are
+    order-independent); the salted tier itself stays row-identity-tested
+    in tests/test_skew.py and PRICED per-round by the bench sweep. The
+    dim side is merge-hinted — broadcast would hide the skewed shuffle
+    this query exists to manage."""
+    from ..operators.skew import choose_salting, salted_join, two_stage_agg
 
     ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.groupBy("event_type")
+        .count()
+        .agg(F.sum("count").alias("n"), F.max("count").alias("hot"))
+        .first()
+    )
+    n_salts = choose_salting(
+        int(hist["n"]), int(hist["hot"]) / int(hist["n"]), n_salts=8
+    )
     dim = (
         ev.select(
             "event_type", F.length("event_type").cast("int").alias("type_len")
@@ -813,14 +831,14 @@ def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "event_type", "value"),
         dim,
         on="event_type",
-        n_salts=8,
+        n_salts=n_salts,
         salt_source="event_id",
     )
     agg = two_stage_agg(
         joined,
         keys=["event_type", "type_len"],
         sum_cols=["value"],
-        n_salts=8,
+        n_salts=n_salts,
         salt_source="event_id",
     )
     return agg.select(
@@ -843,22 +861,33 @@ def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def two_stage_agg_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skewed-AGGREGATION half of operators/skew.py on its own (the
-    join half is `salted_join_hot_events`): events' 5-value event_type
-    key means an unsalted groupBy lands every row on 5 reduce tasks of a
-    32-task shuffle. `two_stage_agg` splits it — partial aggregate on
-    (event_type, salt) spreads each hot key across 8 tasks, the final
-    aggregate on event_type then combines 8 partial rows per key, so the
-    second shuffle moves keys×salts rows, not the corpus. Decimal-exact
-    sums are order-independent, so the rewrite is bit-identical to the
-    plain single-stage oracle aggregate."""
-    from ..operators.skew import two_stage_agg
+    join half is `salted_join_hot_events`), with the salt count decided
+    by `choose_salting` from a bounded key-histogram probe (VERDICT r8
+    #7). When the crossover rule says salt (≥5M rows, ≥25%-hot key),
+    `two_stage_agg` splits the hot key — partial aggregate on
+    (event_type, salt), final on event_type, so the second shuffle moves
+    keys×salts rows, not the corpus; at test SFs the rule says don't and
+    the helper degenerates to the single-stage aggregate. Decimal-exact
+    sums are order-independent, so both tiers are bit-identical to the
+    plain oracle aggregate; the salted tier stays row-identity-tested in
+    tests/test_skew.py and priced by bench.py's sweep."""
+    from ..operators.skew import choose_salting, two_stage_agg
 
     ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.groupBy("event_type")
+        .count()
+        .agg(F.sum("count").alias("n"), F.max("count").alias("hot"))
+        .first()
+    )
+    n_salts = choose_salting(
+        int(hist["n"]), int(hist["hot"]) / int(hist["n"]), n_salts=8
+    )
     return two_stage_agg(
         ev.select("event_id", "event_type", "value"),
         keys=["event_type"],
         sum_cols=["value"],
-        n_salts=8,
+        n_salts=n_salts,
         salt_source="event_id",
     ).select("event_type", "sum_value", "n_rows")
 

@@ -219,3 +219,52 @@ def test_prefix_sum_rejects_float_values(spark):
     )
     with pytest.raises(TypeError, match="integral"):
         prefix_sum(df, "k", "v")
+
+
+# --- choose_salting: the crossover decision rule (r9) -----------------------
+
+
+def test_choose_salting_thresholds():
+    """The rule encodes bench.py's measured sweep: salting pays from ~5M
+    rows at a ≥25%-hot key; below either threshold it returns 0."""
+    from stock_market_big_data_project_spark.operators.skew import (
+        SALTING_MIN_HOT_FRAC,
+        SALTING_MIN_ROWS,
+        choose_salting,
+    )
+
+    assert choose_salting(20_000_000, 0.5, n_salts=8) == 8
+    assert choose_salting(SALTING_MIN_ROWS, SALTING_MIN_HOT_FRAC) == 16
+    # small data: the sweep's 1M point showed salting is a wash/loss
+    assert choose_salting(1_000_000, 0.5) == 0
+    # no hot key: nothing for the salt to split
+    assert choose_salting(50_000_000, 0.02) == 0
+    assert choose_salting(SALTING_MIN_ROWS - 1, SALTING_MIN_HOT_FRAC) == 0
+    assert choose_salting(SALTING_MIN_ROWS, SALTING_MIN_HOT_FRAC / 2) == 0
+
+
+def test_n_salts_zero_degenerates_row_identical(spark, skewed):
+    """choose_salting's 'don't' verdict (n_salts=0) routes both helpers to
+    their plain forms — same rows, and the plan carries no salt column."""
+    big, small = skewed
+    plain_join = big.join(small, "k").sort("row_id").collect()
+    routed = salted_join(
+        big, small, "k", n_salts=0, salt_source="row_id"
+    )
+    assert "_salt" not in routed.columns
+    assert routed.sort("row_id").collect() == plain_join
+
+    plain_agg = (
+        big.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .sort("k")
+        .collect()
+    )
+    routed_agg = two_stage_agg(big, ["k"], ["v"], n_salts=0).sort("k")
+    assert routed_agg.collect() == plain_agg
+    assert two_stage_agg(big, ["k"], ["v"], n_salts=8).sort("k").collect() == plain_agg
