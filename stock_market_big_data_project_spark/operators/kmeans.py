@@ -141,3 +141,135 @@ def kmeans_train(
     return cents, summary.select(
         "cell", "size", "inertia", norm_col.alias("centroid_norm2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decimal-exact Lloyd tier (r9) — the hash-certifiable k-means.
+#
+# Same algorithm, same md5 init, same tie/empty-cell rules as kmeans_train,
+# but every cross-row reduction is exact: assignment distances quantize each
+# per-dim squared difference to decimal(18,15) (the cosine-family idiom —
+# double arithmetic, HALF_UP quantization, exact sums), and centroid updates
+# are exact decimal sums divided once in double and F.round-ed to 9dp (the
+# F.round ≡ DuckDB-round proven pair). Every round's centroids are therefore
+# bit-identical cross-engine, which is what lets plans/training.py replay
+# the WHOLE trainer as materialized CTE rounds and hash-check the output —
+# the float tier above stays tolerance-land by construction (its means sum
+# doubles in partition order). Quantizing at 1e-15 is ~7 decimal digits
+# below float32 embedding precision, so the model difference is noise.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,15)"
+_DEC_ACC = "decimal(28,15)"  # 64 terms ≤ 4.0 each — 13 integer digits spare
+
+
+def _dist2_exact(emb_col: str, cent: tuple[float, ...]):
+    """Exact decimal ‖x − c‖²: per-dim squared diff in double (IEEE-
+    identical cross-engine), quantized to decimal(18,15), summed exactly
+    in dim order (exact ⇒ order-free)."""
+    cent_lit = F.array(*[F.lit(v) for v in cent])
+    return F.aggregate(
+        F.zip_with(
+            F.col(emb_col),
+            cent_lit,
+            lambda x, v: (
+                (x.cast("double") - v) * (x.cast("double") - v)
+            ).cast(_DEC),
+        ),
+        F.lit(0).cast(_DEC_ACC),
+        lambda acc, t: (acc + t).cast(_DEC_ACC),
+    )
+
+
+def _best_exact(emb_col: str, centroids: list[tuple[float, ...]]):
+    """(dist2 decimal, cell) of the nearest centroid, ties → lowest cell;
+    decimal comparison makes the argmin bit-deterministic."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2_exact(emb_col, c).alias("dist2"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_train_exact(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_dims: int = 64,
+) -> tuple[list[tuple[float, ...]], DataFrame]:
+    """kmeans_train's decimal-exact twin; returns the same
+    (centroids, summary) shape with a bit-deterministic summary
+    (cell, size, inertia, centroid_norm2 — 9dp-rounded exact sums).
+
+    The per-iteration cost model is unchanged: one narrow assignment
+    (decimal HOF fold instead of double) + one k×d-row aggregate; the
+    9dp rounding happens IN the aggregate (F.round), so the driver only
+    ferries engine-rounded literals into the next round's plan."""
+    spark = df.sparkSession
+    cents = [tuple(c) for c in hyperplanes(k, n_dims, prefix="ivf:")]
+    for _ in range(n_iter):
+        stats = (
+            df.select(
+                _best_exact(emb_col, cents)["cell"].alias("cell"),
+                F.col(emb_col),
+            )
+            .select("cell", F.posexplode(F.col(emb_col)).alias("d", "val"))
+            .groupBy("cell", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("double").cast(_DEC)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("m")
+            )
+            .collect()
+        )
+        new = {(r["cell"], r["d"]): r["m"] for r in stats}
+        # empty cells keep their previous centroid, dim for dim
+        cents = [
+            tuple(new.get((c, d), cents[c][d]) for d in range(n_dims))
+            for c in range(k)
+        ]
+    best = _best_exact(emb_col, cents)
+    final = df.select(
+        F.col(id_col),
+        best["cell"].alias("cell"),
+        best["dist2"].alias("dist2"),
+    )
+    # centroid norms through ENGINE arithmetic (a k×d literal frame), not
+    # a driver-side float loop — F.round/duckdb-round is the proven pair,
+    # a Python sum's add order would not be
+    cents_df = spark.createDataFrame(
+        [
+            (c, d, float(cents[c][d]))
+            for c in range(k)
+            for d in range(n_dims)
+        ],
+        "cell int, d int, comp double",
+    )
+    norms = cents_df.groupBy("cell").agg(
+        F.round(
+            F.sum((F.col("comp") * F.col("comp")).cast(_DEC)).cast("double"),
+            9,
+        ).alias("centroid_norm2")
+    )
+    summary = (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.round(F.sum("dist2").cast("double"), 9).alias("inertia"),
+        )
+        .join(F.broadcast(norms), "cell")
+        .select("cell", "size", "inertia", "centroid_norm2")
+    )
+    return cents, summary

@@ -529,6 +529,10 @@ def _bpe_oracle(n_merges: int = 12) -> str:
     though the merge list is data-derived (and therefore different at
     every SF; it cannot be interpolated as constants).
 
+    `_bpe_merges_oracle` composes the same trainer rounds into the merge
+    TABLE (round, pair, merged, total) — the r9 oracle for the
+    previously rows-only `bpe_learn_merges` (VERDICT r8 #5).
+
     The trainer unrolls as n_merges chained CTE rounds: pair counts over
     the double-space-encoded word table, argmax (max total, then lexico-
     graphically smallest pair — the trainer's exact tie rule), one merge
@@ -570,7 +574,8 @@ def _bpe_oracle(n_merges: int = 12) -> str:
         FROM (SELECT n, string_split(trim(s), '  ') AS toks FROM w{r - 1})
       ) GROUP BY 1
     ), b{r} AS MATERIALIZED (
-      SELECT ' ' || split_part(pair, ' ', 1) || '  '
+      SELECT pair, total,
+             ' ' || split_part(pair, ' ', 1) || '  '
                  || split_part(pair, ' ', 2) || ' ' AS pat,
              ' ' || replace(pair, ' ', '') || ' ' AS rep
       FROM p{r} ORDER BY total DESC, pair LIMIT 1
@@ -592,6 +597,22 @@ def _bpe_oracle(n_merges: int = 12) -> str:
     FROM wp JOIN vocab v USING (word)
     GROUP BY 1""")
     return "".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int = 8) -> str:
+    """The trainer rounds alone, emitted as the merge table — the exact
+    shape `operators/bpe.py::train_bpe` returns. Each round's argmax CTE
+    (b{r}) already carries (pair, total); a round with no pairs left
+    yields an empty b{r}, exactly matching the trainer's early break."""
+    ctes = _bpe_oracle(n_merges)
+    ctes = ctes[: ctes.index(", vocab AS MATERIALIZED")]
+    rounds = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, pair,"
+        f" replace(pair, ' ', '') AS merged,"
+        f" CAST(total AS BIGINT) AS total FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"{ctes}\n    {rounds}"
 
 
 @register("bpe_apply_encode", oracle=_bpe_oracle(12))

@@ -1018,59 +1018,163 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- distributed k-means (trains the IVF/PQ codebooks) -----------------------------
-@register_local("embedding_kmeans_train")  # no oracle BY DESIGN: Lloyd
-# iterations are not SQL-expressible and float means are tolerance-land;
-# the strong check is the numpy differential in tests/test_kmeans.py
-# (assignment equality + centroid atol + monotone inertia).
+def _kmeans_oracle(k: int = 8, n_iter: int = 5) -> str:
+    """DuckDB replay of the WHOLE exact-Lloyd trainer (r9, VERDICT r8 #5
+    — the `bpe_apply_encode` trainer-replay pattern): md5-init centroids,
+    then per round one materialized assignment CTE (exact decimal
+    distances, argmin ties → lowest cell) and one materialized centroid
+    CTE (exact decimal sums → one double division → round 9dp, empty
+    cells carrying the previous round's comps), then the final
+    assignment's per-cell summary. Every round's centroids are
+    bit-identical to the Spark trainer's because every cross-row
+    reduction is exact and every rounding is the F.round/round proven
+    pair — so the hash certifies the full training trajectory, not just
+    the last step."""
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, unnest(embedding) AS val,
+             unnest(range(0, len(embedding))) AS d
+      FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT c AS cell, d,
+             (CAST(('0x' || substr(md5('ivf:' || CAST(c AS VARCHAR) || ','
+                     || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000) / 1000000.0 - 0.5 AS comp
+      FROM (SELECT unnest(range(0, {k})) AS c),
+           (SELECT unnest(range(0, 64)) AS d)
+    )"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(f"""
+    , a{r} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS rn
+        FROM (
+          SELECT x.vec_id, ce.cell,
+                 sum(CAST((CAST(x.val AS DOUBLE) - ce.comp)
+                          * (CAST(x.val AS DOUBLE) - ce.comp)
+                          AS DECIMAL(18,15))) AS dist2
+          FROM v x JOIN c{r - 1} ce ON ce.d = x.d
+          GROUP BY 1, 2
+        )
+      ) WHERE rn = 1
+    ), c{r} AS MATERIALIZED (
+      SELECT p.cell, p.d, coalesce(m.m, p.comp) AS comp
+      FROM c{r - 1} p LEFT JOIN (
+        SELECT a.cell, x.d,
+               round(CAST(sum(CAST(CAST(x.val AS DOUBLE) AS DECIMAL(18,15)))
+                          AS DOUBLE) / count(*), 9) AS m
+        FROM v x JOIN a{r} a USING (vec_id)
+        GROUP BY 1, 2
+      ) m ON m.cell = p.cell AND m.d = p.d
+    )""")
+    parts.append(f"""
+    , dfin AS MATERIALIZED (
+      SELECT vec_id, cell, dist2 FROM (
+        SELECT vec_id, cell, dist2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, cell) AS rn
+        FROM (
+          SELECT x.vec_id, ce.cell,
+                 sum(CAST((CAST(x.val AS DOUBLE) - ce.comp)
+                          * (CAST(x.val AS DOUBLE) - ce.comp)
+                          AS DECIMAL(18,15))) AS dist2
+          FROM v x JOIN c{n_iter} ce ON ce.d = x.d
+          GROUP BY 1, 2
+        )
+      ) WHERE rn = 1
+    ), norms AS (
+      SELECT cell,
+             round(CAST(sum(CAST(comp * comp AS DECIMAL(18,15)))
+                        AS DOUBLE), 9) AS centroid_norm2
+      FROM c{n_iter} GROUP BY 1
+    )
+    SELECT CAST(a.cell AS INT) AS cell, count(*) AS size,
+           round(CAST(sum(a.dist2) AS DOUBLE), 9) AS inertia,
+           any_value(n.centroid_norm2) AS centroid_norm2
+    FROM dfin a JOIN norms n USING (cell)
+    GROUP BY 1""")
+    return "".join(parts)
+
+
+@register_local("embedding_kmeans_train", oracle=_kmeans_oracle(8, 5))
 def embedding_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5 Lloyd iterations, k=8, from the deterministic md5 init (the
     untrained IVF codebook): per iteration the corpus pays one narrow
     assignment + ONE k×64-row aggregate; the driver holds only the
-    centroid grid (operators/kmeans.py). Returns the per-cell summary
-    (size, inertia, centroid norm) of the final assignment — the trained
-    upgrade path for ivf_cells/pq codebooks."""
-    from ..operators.kmeans import kmeans_train
+    centroid grid. Returns the per-cell summary (size, inertia, centroid
+    norm) of the final assignment — the trained upgrade path for
+    ivf_cells/pq codebooks.
 
-    _, summary = kmeans_train(_emb(spark, sf_dir), k=8, n_iter=5)
+    FULL hash oracle since r9 (rows-only label retired): the trainer is
+    the decimal-exact Lloyd tier (operators/kmeans.py::
+    kmeans_train_exact — exact decimal distance sums, 9dp engine-rounded
+    centroid means, md5 init), so the oracle can replay ALL five rounds
+    as materialized CTEs and hash-check the summary; the float tier
+    (kmeans_train) remains for tolerance-land deployments, differential-
+    tested in tests/test_kmeans.py alongside the exact tier."""
+    from ..operators.kmeans import kmeans_train_exact
+
+    _, summary = kmeans_train_exact(_emb(spark, sf_dir), k=8, n_iter=5)
     return summary
 
 
 def _kmeans_round_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-iteration constituent of embedding_kmeans_train (assign +
-    per-(cell, dim) update aggregate) — audited in place of the eager
-    trainer's output."""
+    """One-iteration constituent of embedding_kmeans_train (the exact
+    tier's assign + per-(cell, dim) 9dp-mean aggregate) — audited in
+    place of the eager trainer's output."""
     from ..operators._planes import hyperplanes
 
-    from ..operators.kmeans import _best
+    from ..operators.kmeans import _DEC, _best_exact
 
     cents = [tuple(c) for c in hyperplanes(8, 64, prefix="ivf:")]
     return (
         _emb(spark, sf_dir)
         .select(
-            _best("embedding", cents)["cell"].alias("cell"),
+            _best_exact("embedding", cents)["cell"].alias("cell"),
             F.col("embedding"),
         )
         .select("cell", F.posexplode(F.col("embedding")).alias("d", "val"))
         .groupBy("cell", "d")
         .agg(
-            F.sum(F.col("val").cast("double")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("val").cast("double").cast(_DEC)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("m")
         )
     )
 
 
 # --- distributed BPE vocabulary training -------------------------------------------
-@register_local("bpe_learn_merges")  # no oracle BY DESIGN: K-round iterative
-# argmax-and-rewrite is not SQL-expressible; the strong check is the
-# pure-Python BPE differential in tests/test_bpe.py (exact merge-sequence
-# equality), the same pattern as the Granger/forecast numerics.
+def _bpe_merges_oracle_8() -> str:
+    # local import: retrieval.py owns the shared trainer-CTE generator
+    # (no cycle — retrieval imports llm/audit, never training)
+    from .retrieval import _bpe_merges_oracle
+
+    return _bpe_merges_oracle(8)
+
+
+@register_local("bpe_learn_merges", oracle=_bpe_merges_oracle_8())
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 8 BPE merges over the corpus (operators/bpe.py::train_bpe):
     the corpus-size work is ONE word-count aggregate; the 8 iterative
     rounds run over the vocabulary-bounded word table with a 1-row
     driver collect per round (the argmax pair). Deterministic tie-break
     (max count, then lexicographically smallest pair) makes the merge
-    sequence rerun- and partitioning-stable."""
+    sequence rerun- and partitioning-stable.
+
+    FULL hash oracle since r9 (VERDICT r8 #5 — the rows-only label is
+    retired): the DuckDB oracle replays the trainer as 8 materialized
+    CTE rounds (pair counts → argmax with the exact tie rule →
+    double-space merge pass — the `bpe_apply_encode` machinery,
+    plans/retrieval.py::_bpe_merges_oracle) and emits the merge table
+    itself, so the learned sequence is hash-certified round by round.
+    The pure-Python differential in tests/test_bpe.py stays as the
+    second, independent check."""
     from ..operators.bpe import train_bpe
 
     return train_bpe(_docs(spark, sf_dir), n_merges=8)
@@ -1266,14 +1370,80 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- FFD sequence packing (r5) ------------------------------------------------------
-@register_local("sequence_packing_ffd")
+@register_local(
+    "sequence_packing_ffd",
+    oracle=r"""
+    WITH RECURSIVE items AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t != '')) AS BIGINT) AS len,
+             CAST((CAST(('0x' || substr(md5('seqpack:'
+                          || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT))
+                  % 16 AS INT) AS shard
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, len, shard, least(len, 128) AS use,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY least(len, 128) DESC, doc_id)
+               AS rk
+      FROM items
+    ), fold AS (
+      -- one row per (shard, step): `bins` is the remaining capacity per
+      -- open bin, `acc` the placements so far — the FFD fold itself
+      SELECT shard, 0::BIGINT AS rk, []::BIGINT[] AS bins,
+             []::STRUCT(doc_id BIGINT, len BIGINT, bin INT, off BIGINT,
+                        tr BOOLEAN)[] AS acc
+      FROM (SELECT DISTINCT shard FROM ranked)
+      UNION ALL
+      SELECT f.shard, i.rk,
+             CASE WHEN chosen IS NULL THEN list_append(f.bins, 128 - i.use)
+                  ELSE list_transform(range(1, len(f.bins) + 1),
+                         j -> CASE WHEN j = chosen THEN f.bins[j] - i.use
+                                   ELSE f.bins[j] END)
+             END AS bins,
+             list_append(f.acc, {
+               'doc_id': i.doc_id, 'len': i.len,
+               'bin': CAST(coalesce(chosen, len(f.bins) + 1) AS INT),
+               'off': CASE WHEN chosen IS NULL THEN 0
+                           ELSE 128 - f.bins[chosen] END,
+               'tr': i.len > 128 }) AS acc
+      FROM fold f
+      JOIN ranked i ON i.shard = f.shard AND i.rk = f.rk + 1
+      LEFT JOIN LATERAL (
+        -- first-fit = first open bin with room; list_position returns 0
+        -- (not NULL) on no match, hence the NULLIF
+        SELECT NULLIF(list_position(
+                 list_transform(f.bins, r -> r >= i.use), true), 0) AS chosen
+      ) ch ON TRUE
+    ), final AS (
+      SELECT shard, acc,
+             row_number() OVER (PARTITION BY shard ORDER BY rk DESC) AS rn
+      FROM fold
+    ), placed AS (
+      SELECT shard, unnest(acc, recursive := true)
+      FROM final WHERE rn = 1
+    )
+    SELECT doc_id, len, shard,
+           (CAST(shard AS BIGINT) << 32) | (bin - 1) AS seq,
+           off AS "offset", tr AS truncated
+    FROM placed
+    """,
+)
 def sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-capacity training-sequence packing (first-fit-decreasing)
     over the documents corpus: token counts → 16 deterministic hash
     shards → per-shard FFD in one Arrow pass → (doc, shard, seq, offset)
-    placement with truncation flags. Rows-only by design — bin packing
-    is a loop over bins, not a relational expression; determinism and
-    optimality bounds are pinned by tests/test_seqpack.py (pure-Python
+    placement with truncation flags.
+
+    FULL hash oracle since r9 (VERDICT r8 #5 — the "bin packing has no
+    relational form" label is retired): the DuckDB oracle replays the
+    per-shard FFD fold as a RECURSIVE CTE whose state row carries the
+    open-bin capacities as a LIST (first-fit = list_position of the
+    first bin with room; the bin update is a positional list_transform),
+    one recursion step per item in (length desc, id asc) order — the
+    trainer-replay pattern of `bpe_apply_encode` applied to a fold whose
+    state is a vector instead of a table. Determinism and optimality
+    bounds stay pinned by tests/test_seqpack.py (pure-Python
     differential, exactly-once coverage, capacity/offset invariants,
     partitioning invariance, FFD ≤ first-fit-in-id-order bin count).
     See operators/packing.py::pack_sequences_ffd."""

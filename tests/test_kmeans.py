@@ -84,3 +84,87 @@ def test_training_improves_on_md5_init(spark, X):
         .collect()[0][0]
     )
     assert trained < untrained
+
+
+# --- the decimal-exact Lloyd tier (r9) ---------------------------------------
+
+
+def _q15(x: float):
+    """Spark's double→decimal(18,15) cast: shortest-repr, HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal("1e-15"), rounding=ROUND_HALF_UP
+    )
+
+
+def _round9(x: float) -> float:
+    """F.round(col, 9) / DuckDB round(x, 9): HALF_UP at 9dp."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1e-9"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _ref_kmeans_exact(mat: np.ndarray):
+    """Pure-Python replication of kmeans_train_exact's arithmetic
+    contract: exact decimal distance sums, argmin ties → lowest cell,
+    exact decimal sums → one double division → 9dp HALF_UP means,
+    empty-cell carry."""
+    cents = [list(c) for c in hyperplanes(K, D, prefix="ivf:")]
+    for _ in range(N_ITER):
+        assign = []
+        for row in mat:
+            dists = [
+                sum(_q15((row[d] - cents[c][d]) * (row[d] - cents[c][d]))
+                    for d in range(D))
+                for c in range(K)
+            ]
+            assign.append(min(range(K), key=lambda c: (dists[c], c)))
+        for c in range(K):
+            members = [i for i, a in enumerate(assign) if a == c]
+            if members:
+                for d in range(D):
+                    s = sum(_q15(mat[i][d]) for i in members)
+                    cents[c][d] = _round9(float(s) / len(members))
+    # final assignment + summary
+    sizes: dict[int, int] = {}
+    inert: dict[int, object] = {}
+    for row in mat:
+        dists = [
+            sum(_q15((row[d] - cents[c][d]) * (row[d] - cents[c][d]))
+                for d in range(D))
+            for c in range(K)
+        ]
+        a = min(range(K), key=lambda c: (dists[c], c))
+        sizes[a] = sizes.get(a, 0) + 1
+        inert[a] = inert.get(a, 0) + dists[a]
+    summary = {}
+    for c in sizes:
+        norm = sum(_q15(cents[c][d] * cents[c][d]) for d in range(D))
+        summary[c] = (sizes[c], _round9(float(inert[c])), _round9(float(norm)))
+    return cents, summary
+
+
+def test_exact_tier_differential(spark, X):
+    """kmeans_train_exact == the pure-Python decimal replication, BIT FOR
+    BIT: every centroid component and every summary cell — the oracle's
+    cross-engine claim, proven in-process a third way."""
+    from stock_market_big_data_project_spark.operators.kmeans import (
+        kmeans_train_exact,
+    )
+
+    ids, mat = X
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents, summary = kmeans_train_exact(emb, k=K, n_iter=N_ITER)
+    ref_cents, ref_summary = _ref_kmeans_exact(mat)
+    for c in range(K):
+        assert list(cents[c]) == list(map(float, ref_cents[c])), f"cell {c}"
+    got = {
+        r["cell"]: (r["size"], r["inertia"], r["centroid_norm2"])
+        for r in summary.collect()
+    }
+    assert got == ref_summary
