@@ -173,9 +173,12 @@ EXTRA = [
     "perplexity_buckets_approx",
     "dedup_normalized_exact",
     "length_bucketed_batches",
-    # round-9: the PNG codec + the perceptual image-dedup chain
+    # round-9: the PNG codec + the perceptual image-dedup chain, and the
+    # WAV/y4m codecs that make audio + video real decode paths
     "multimodal_png_decode",
     "image_dhash_near_dup",
+    "multimodal_wav_features",
+    "multimodal_video_frames",
 ]
 
 

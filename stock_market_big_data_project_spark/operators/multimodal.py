@@ -3,12 +3,13 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The decode/feature-extract step is a Pandas-UDF ``mapInPandas``
 stage so the Spark-side plumbing — schema, Arrow binary batching, partition
-shape — is real. Codec status: uncompressed 24-bit BMP decode/encode and
-the striding resize are REAL, complete implementations (encode_bmp /
-decode_bmp below — no libraries needed); the compressed formats
-(JPEG/PNG/video) remain STUBBED behind the same plumbing with a
-deterministic fake, clearly marked, because PIL/ffmpeg are not in this
-container.
+shape — is real. Codec status (r9): REAL, complete, dependency-free
+implementations exist for BMP (encode_bmp / decode_bmp below), PNG
+(operators/png.py — stdlib zlib + numpy unfilter), WAV/PCM audio
+(operators/wav.py), and y4m video (operators/y4m.py); JPEG is the one
+remaining format stubbed behind the same plumbing with a deterministic
+fake, clearly marked, because its entropy-coded bitstream needs
+PIL/libjpeg, which this container lacks.
 
 At 100 TB: binary payloads ride their own column (parquet keeps them out of
 unrelated scans thanks to column pruning), metadata predicates push down,

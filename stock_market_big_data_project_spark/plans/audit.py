@@ -71,6 +71,10 @@ PYTHON_STAGE_OK = {
                                      # codec stages (narrow Arrow passes)
     "image_dhash_near_dup",          # PNG encode + fused decode→dHash
                                      # stages feeding the banded join
+    "multimodal_wav_features",       # REAL WAV encode + decode/featurize
+                                     # codec stages (narrow Arrow passes)
+    "multimodal_video_frames",       # REAL y4m encode + parse/frame-sample
+                                     # codec stages (narrow Arrow passes)
     "token_shard_packing",           # per-range-partition Arrow cumsum
     "embedding_pq_codes",            # vectorized PQ encode (decimal-exact
                                      # fallback for guard-band rows)

@@ -916,6 +916,118 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_resize_png(attach_png_payload(_docs(spark, sf_dir)))
 
 
+# --- REAL WAV codec (r9): PCM decode + integer audio features ----------------------
+@register_local(
+    "multimodal_wav_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + (doc_id * 11) % 129 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS channels,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, n, channels, rate, unnest(range(0, n)) AS i FROM d
+    ), s AS (
+      SELECT doc_id, n, channels, rate, i, i // 16 AS frame,
+             ((doc_id * 31 + 7 * i * i + 13 * i) % 65536) - 32768 AS v
+      FROM idx
+    ), pairs AS (
+      SELECT a.doc_id, a.frame,
+             CASE WHEN (a.v < 0) != (b.v < 0) THEN 1 ELSE 0 END AS zc
+      FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                       AND b.frame = a.frame
+    )
+    SELECT s.doc_id, CAST(any_value(s.channels) AS INT) AS channels,
+           CAST(any_value(s.rate) AS INT) AS sample_rate,
+           CAST(any_value(s.n) AS INT) AS n_samples,
+           CAST(s.frame AS INT) AS frame,
+           CAST(sum(s.v * s.v) AS BIGINT) AS energy,
+           CAST(any_value(p.zc) AS INT) AS n_zero_cross
+    FROM s
+    JOIN (SELECT doc_id, frame, sum(zc) AS zc FROM pairs GROUP BY 1, 2) p
+      ON p.doc_id = s.doc_id AND p.frame = s.frame
+    WHERE s.frame < s.n // 16
+    GROUP BY s.doc_id, s.frame
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec, end-to-end bitwise-certified (r9): the fixture
+    ids become genuine RIFF/WAVE PCM files (canonical fmt/data chunks,
+    interleaved 16-bit LE samples — operators/wav.py::encode_wav), and
+    one fused mapInPandas stage parses them back (chunk walk, PCM gates)
+    and extracts the classic audio-pipeline gate features per 16-sample
+    frame of channel 0: integer energy (Σ s², int64-exact) and
+    zero-crossing count. All integer arithmetic, so the oracle predicts
+    every feature row from the sample formulas without parsing a WAV —
+    the BMP/PNG certification pattern applied to the audio modality.
+    With this, audio joins image as a REAL (non-stub) decode path;
+    JPEG remains the only env-blocked codec.
+
+    Scale shape: encode and decode+featurize are embarrassingly-parallel
+    narrow Arrow stages over the payload column — fixed-width feature
+    rows shuffle onward, never the samples."""
+    from ..operators.wav import attach_wav_payload, wav_frame_features
+
+    return wav_frame_features(attach_wav_payload(_docs(spark, sf_dir)))
+
+
+# --- REAL video container (r9): y4m parse + frame sampling -------------------------
+@register_local(
+    "multimodal_video_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 6 + doc_id % 8 AS n, 6 + (doc_id * 3) % 5 AS w,
+             8 AS h, 24 + doc_id % 2 AS fps_n
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, n, w, h, fps_n, unnest(range(0, n)) AS f FROM d
+      WHERE n > 0
+    ), sampled AS (
+      SELECT * FROM fr WHERE f % 3 = 0
+    ), yy AS (
+      SELECT doc_id, n, w, h, fps_n, f, unnest(range(0, h)) AS y
+      FROM sampled
+    ), px AS (
+      SELECT doc_id, n, w, h, fps_n, f, y, unnest(range(0, w)) AS x
+      FROM yy
+    ), v AS (
+      SELECT doc_id, n, w, h, fps_n, f, y, x,
+             (doc_id + 17 * f + 7 * x + 13 * y + f * x + 3 * f * y) % 256
+               AS val
+      FROM px
+    )
+    SELECT doc_id, CAST(any_value(n) AS INT) AS n_frames,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(fps_n) AS INT) AS fps_n,
+           CAST(f AS INT) AS frame,
+           CAST(sum(val) AS BIGINT) AS y_sum,
+           md5(string_agg(printf('%02X', val), '' ORDER BY y, x))
+             AS y_plane_md5
+    FROM v GROUP BY doc_id, f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container, end-to-end bitwise-certified (r9): the
+    fixture ids become genuine YUV4MPEG2 streams (ASCII stream header,
+    per-frame FRAME markers, planar C444 bytes — operators/y4m.py), and
+    one fused mapInPandas stage parses them back (magic/tag/chroma
+    gates, per-frame completeness) and keeps every 3rd frame with its
+    luma-plane integer sum and fingerprint — the keyframe-sampling shape
+    a video training pipeline feeds to dedup/contamination checks. The
+    oracle predicts frame counts, sums, and plane fingerprints from the
+    (doc_id, frame, x, y) integer formulas without parsing a container —
+    this retires the frame-sample STUB label on a real standard format
+    (ffmpeg's yuv4mpegpipe interchange).
+
+    Scale shape: parse + sample is one embarrassingly-parallel Arrow
+    stage; a few fingerprint rows per clip shuffle onward, pixels never
+    do."""
+    from ..operators.y4m import attach_y4m_payload, sample_video_frames
+
+    return sample_video_frames(attach_y4m_payload(_docs(spark, sf_dir)))
+
+
 # --- perceptual image near-dup: dHash + banded Hamming join (r9) -------------------
 @register_local(
     "image_dhash_near_dup",
