@@ -179,6 +179,7 @@ EXTRA = [
     "image_dhash_near_dup",
     "multimodal_wav_features",
     "multimodal_video_frames",
+    "video_keyframe_near_dup",
 ]
 
 

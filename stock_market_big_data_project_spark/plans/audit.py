@@ -75,6 +75,8 @@ PYTHON_STAGE_OK = {
                                      # codec stages (narrow Arrow passes)
     "multimodal_video_frames",       # REAL y4m encode + parse/frame-sample
                                      # codec stages (narrow Arrow passes)
+    "video_keyframe_near_dup",       # y4m encode + fused parse→dHash
+                                     # stages feeding the banded join
     "token_shard_packing",           # per-range-partition Arrow cumsum
     "embedding_pq_codes",            # vectorized PQ encode (decimal-exact
                                      # fallback for guard-band rows)

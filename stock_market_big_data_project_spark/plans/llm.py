@@ -1028,6 +1028,101 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(attach_y4m_payload(_docs(spark, sf_dir)))
 
 
+# --- video near-dup: keyframe dHash + banded Hamming join (r9) ---------------------
+@register_local(
+    "video_keyframe_near_dup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS base, 8 * (doc_id % 4) AS v
+      FROM documents
+    ), dim AS (
+      SELECT doc_id, base, v, 6 + base % 6 AS n,
+             9 + (base * 3) % 6 AS w, 8 AS h,
+             base * base % 17 + 2 AS cx, base % 11 + 3 AS cy,
+             base % 7 + 1 AS cf
+      FROM d
+    ), fr AS (
+      SELECT *, unnest(range(0, n)) AS f FROM dim
+    ), kf AS (
+      SELECT * FROM fr WHERE f % 3 = 0
+    ), yy AS (
+      SELECT *, unnest(range(0, h)) AS y FROM kf
+    ), xpx AS (
+      SELECT doc_id, f, w, h, y, cx, cy, cf, base, v,
+             unnest(range(0, w)) AS x
+      FROM yy
+    ), lum AS (
+      SELECT doc_id, f, w, h, y, x,
+             (5 * base + cx*x*x + cy*y*y + cf*f*x + 3*f*y + 11*f) % 224 + v
+               AS luma
+      FROM xpx
+    ), grid AS (
+      SELECT doc_id, f, y * 8 // h AS gy, x * 9 // w AS gx,
+             sum(luma) // count(*) AS m
+      FROM lum GROUP BY 1, 2, 3, 4
+    ), bits AS (
+      SELECT a.doc_id, a.f, a.gy * 8 + a.gx AS k,
+             CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+      FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND a.f = b.f
+                             AND a.gy = b.gy AND b.gx = a.gx + 1
+      WHERE a.gx < 8
+    ), hashes AS (
+      SELECT doc_id, f, doc_id * 4096 + f AS fid,
+             CAST(sum(CASE WHEN bit = 0 THEN 0
+                           WHEN k = 63 THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << k) END)
+                  AS BIGINT) AS dhash
+      FROM bits GROUP BY 1, 2
+    ), bandkeys AS (
+      SELECT doc_id * 4096 + f AS fid, doc_id, k // 16 AS t,
+             sum(bit << (k % 16)) AS band_key
+      FROM bits GROUP BY 1, 2, 3
+    ), cand AS (
+      SELECT DISTINCT a.fid AS fa, b.fid AS fb,
+             a.doc_id AS da, b.doc_id AS db
+      FROM bandkeys a
+      JOIN bandkeys b ON a.t = b.t AND a.band_key = b.band_key
+                     AND a.fid < b.fid
+    ), ver AS (
+      SELECT da, db, bit_count(xor(ha.dhash, hb.dhash)) AS hd
+      FROM cand JOIN hashes ha ON ha.fid = fa
+                JOIN hashes hb ON hb.fid = fb
+      WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3 AND da < db
+    )
+    SELECT da AS id_a, db AS id_b, count(*) AS n_frame_matches,
+           CAST(min(hd) AS INT) AS min_hamming
+    FROM ver GROUP BY 1, 2
+    """,
+)
+def video_keyframe_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup — the dedup family's VIDEO member, composing three
+    r9 operators (operators/videodedup.py): parse REAL YUV4MPEG2
+    payloads, dHash the luma plane of every 3rd frame, pair keyframes at
+    Hamming ≤ 3 with the SimHash banded pigeonhole join (reused
+    verbatim), then roll up to clip pairs with matching-keyframe counts
+    and the closest distance — per-frame perceptual hashing + frame-match
+    counting, the production video-dedup shape. The fixture plants
+    brightness-shifted clips whose chroma is REWRITTEN per variant
+    (payloads share no bytes; byte dedup is blind) while luma shifts
+    uniformly (keyframe dHashes provably identical). Everything is
+    integer arithmetic: the oracle replays container dims, plane
+    formulas, per-frame hashes, band keys, candidates, verified
+    distances, and the rollup.
+
+    Scale shape: parse→sample→hash is one fused narrow Arrow stage (a
+    few 64-bit hashes per clip shuffle onward, never frames); the banded
+    join is the audited SimHash shape over keyframe hashes."""
+    from ..operators.videodedup import (
+        attach_near_dup_y4m_payload,
+        video_keyframe_hashes,
+        video_near_dup_pairs,
+    )
+
+    return video_near_dup_pairs(
+        video_keyframe_hashes(attach_near_dup_y4m_payload(_docs(spark, sf_dir)))
+    )
+
+
 # --- perceptual image near-dup: dHash + banded Hamming join (r9) -------------------
 @register_local(
     "image_dhash_near_dup",

@@ -251,7 +251,7 @@ def test_temperature_mix_numerics(spark):
 
 def test_bpe_apply_encode_fingerprints(spark):
     got = (
-        LOCAL_QUERIES["bpe_apply_encode"](spark, SF_DIR)
+        get_query("bpe_apply_encode")(spark, SF_DIR)
         .toPandas()
         .set_index("doc_id")
     )
