@@ -31,6 +31,7 @@ STREAMING_HARNESS = {
     "streaming_countmin_parity",
     "streaming_covariance_parity",
     "streaming_ivf_index_parity",
+    "streaming_image_dhash_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

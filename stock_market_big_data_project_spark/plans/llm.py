@@ -1124,9 +1124,9 @@ def video_keyframe_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- perceptual image near-dup: dHash + banded Hamming join (r9) -------------------
-@register_local(
-    "image_dhash_near_dup",
-    oracle="""
+# Shared by the batch query and the streaming incremental parity: the
+# full-corpus recompute is the ground truth both must hash-match.
+_IMG_DHASH_ORACLE = """
     WITH d AS (
       SELECT doc_id, doc_id // 4 AS base, 16 * (doc_id % 4) AS v
       FROM documents
@@ -1184,8 +1184,10 @@ def video_keyframe_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN hashes ha ON ha.doc_id = id_a
     JOIN hashes hb ON hb.doc_id = id_b
     WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
-    """,
-)
+    """
+
+
+@register_local("image_dhash_near_dup", oracle=_IMG_DHASH_ORACLE)
 def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup — the dedup family's image modality
     (VERDICT r8 #4): decode REAL PNG payloads, compute the 64-bit dHash
@@ -1213,6 +1215,26 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         fp, "doc_id", fp_col="dhash", bits=64, bands=4, max_dist=3
     )
+
+
+# --- streaming incremental image dedup (r9) ----------------------------------------
+@register_local("streaming_image_dhash_parity", oracle=_IMG_DHASH_ORACLE)
+def streaming_image_dhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IMAGE dedup on the LIVE append path — the eleventh
+    streaming parity (streaming/image_dedup.py): the corpus replays as 3
+    doc_id-range micro-batches of REAL PNG payloads; each batch decodes +
+    dHashes its delta in one Arrow stage, probes the at-rest banded hash
+    table with ONLY its own band keys (incremental_lsh_candidates,
+    delta_in_full=False — new-vs-new dups found pre-merge), verifies the
+    exact 64-bit Hamming distance, emits delta-touching pairs
+    exactly-once, and appends its band rows to state. The full-corpus
+    oracle (shared with `image_dhash_near_dup`) hash-proves union of
+    emissions ≡ recompute-from-scratch — the contract that lets a 100 TB
+    crawl dedup its daily image append in O(delta), extended from the
+    MinHash text path (streaming_near_dup_parity) to the image modality."""
+    from ..streaming.image_dedup import streaming_image_dhash_pairs
+
+    return streaming_image_dhash_pairs(spark, _docs(spark, sf_dir))
 
 
 # --- IVF coarse quantizer (the inverted-file ANN layout) --------------------------
