@@ -180,6 +180,7 @@ EXTRA = [
     "multimodal_wav_features",
     "multimodal_video_frames",
     "video_keyframe_near_dup",
+    "dashboard_render_bundle",
 ]
 
 

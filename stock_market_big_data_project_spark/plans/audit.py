@@ -158,6 +158,8 @@ TINY_CROSS_OK = {
     "training_pipeline_e2e",      # the sampling stage's 1-row
                                   # total-tokens scalar (same as
                                   # token_weighted_systematic_sample)
+    "dashboard_render_bundle",    # the prev-day macro section's two
+                                  # 1-row aggregates cross-join (O(1))
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup
