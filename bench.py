@@ -181,6 +181,7 @@ EXTRA = [
     "multimodal_video_frames",
     "video_keyframe_near_dup",
     "dashboard_render_bundle",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -3,13 +3,15 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The decode/feature-extract step is a Pandas-UDF ``mapInPandas``
 stage so the Spark-side plumbing — schema, Arrow binary batching, partition
-shape — is real. Codec status (r9): REAL, complete, dependency-free
-implementations exist for BMP (encode_bmp / decode_bmp below), PNG
-(operators/png.py — stdlib zlib + numpy unfilter), WAV/PCM audio
-(operators/wav.py), and y4m video (operators/y4m.py); JPEG is the one
-remaining format stubbed behind the same plumbing with a deterministic
-fake, clearly marked, because its entropy-coded bitstream needs
-PIL/libjpeg, which this container lacks.
+shape — is real. Codec status (r9 final): REAL, complete, dependency-free
+implementations exist for ALL FIVE modality formats — BMP (encode_bmp /
+decode_bmp below), PNG (operators/png.py — stdlib zlib + numpy
+unfilter), baseline JPEG (operators/jpeg.py — Annex-K tables, Huffman
+bitstream, fixed-point exact transforms), WAV/PCM audio
+(operators/wav.py), and y4m video (operators/y4m.py). No codec stub
+remains; the deterministic-fake stages below are retained as the
+minimal plumbing example for adding the next format (schema, Arrow
+batching, fused-stage shape), clearly labeled.
 
 At 100 TB: binary payloads ride their own column (parquet keeps them out of
 unrelated scans thanks to column pruning), metadata predicates push down,

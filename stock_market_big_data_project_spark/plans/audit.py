@@ -70,6 +70,8 @@ PYTHON_STAGE_OK = {
                                      # codec stages (narrow Arrow passes)
     "multimodal_png_decode",         # REAL PNG encode + decode/resize
                                      # codec stages (narrow Arrow passes)
+    "multimodal_jpeg_decode",        # REAL baseline-JPEG encode +
+                                     # decode/fingerprint codec stages
     "image_dhash_near_dup",          # PNG encode + fused decode→dHash
                                      # stages feeding the banded join
     "multimodal_wav_features",       # REAL WAV encode + decode/featurize

@@ -839,8 +839,8 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels follow integer formulas of (doc_id, x, y), so DuckDB predicts
     the decoded-RGB and resized fingerprints relationally — any decoder
     bug (wrong stride, channel order, row order, padding) breaks the
-    hash. The PIL-blocked formats (JPEG/PNG/video) remain declared stubs
-    in the same plumbing; this query retires the STUB label for BMP.
+    hash. This query retired the STUB label for BMP in r8; by the end of
+    r9 all five modality codecs are real (PNG/JPEG/WAV/y4m followed).
 
     Scale shape: encode and decode+resize are embarrassingly-parallel
     narrow Arrow stages over the payload column — no shuffle; the binary
@@ -906,7 +906,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     2×-downsamples (numpy striding); the oracle predicts both
     fingerprints from the (doc_id, x, y) integer pixel formulas without
     parsing a PNG — the BMP query's certification pattern
-    (multimodal_bmp_decode). JPEG/video remain the only declared stubs.
+    (multimodal_bmp_decode).
 
     Scale shape: encode and decode+resize are embarrassingly-parallel
     narrow Arrow stages over the payload column — no shuffle; parquet
@@ -960,8 +960,7 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-crossing count. All integer arithmetic, so the oracle predicts
     every feature row from the sample formulas without parsing a WAV —
     the BMP/PNG certification pattern applied to the audio modality.
-    With this, audio joins image as a REAL (non-stub) decode path;
-    JPEG remains the only env-blocked codec.
+    With this, audio joins image as a REAL (non-stub) decode path.
 
     Scale shape: encode and decode+featurize are embarrassingly-parallel
     narrow Arrow stages over the payload column — fixed-width feature
@@ -1215,6 +1214,214 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         fp, "doc_id", fp_col="dhash", bits=64, bands=4, max_dist=3
     )
+
+
+
+
+# --- REAL JPEG codec (r9): baseline sequential DCT, fixed-point exact --------------
+def _jpeg_tbl(name, arr, cols):
+    """64-row constant table (VALUES list) for the oracle — the codec's
+    fixed-point cosine/normalization/quantization constants, inlined the
+    way the md5-derived codebooks are."""
+    rows = ",\n        ".join(
+        f"({u}, {x}, {int(arr[u][x])})" for u in range(8) for x in range(8)
+    )
+    return (
+        f"{name}({', '.join(cols)}) AS (\n      SELECT * FROM (VALUES\n"
+        f"        {rows}) t\n    )"
+    )
+
+def _jpeg_oracle_constants():
+    from ..operators.jpeg import _C, _CD, _K, _Q_LUMA, _Q_CHROMA
+
+    return _C, _CD, _K, _Q_LUMA, _Q_CHROMA
+
+def _jpeg_oracle() -> str:
+    """DuckDB replay of the ENTIRE lossy JPEG path from the fixture's
+    pixel formulas — colour conversion, both fixed-point DCT passes,
+    fused normalize+quantize, dequantize, both inverse passes, clamp,
+    RGB restore — WITHOUT ever parsing a JPEG. Every constant is an
+    inlined 64-row table (the codec's arithmetic contract,
+    operators/jpeg.py); every rounding is the single half-away-from-zero
+    rule (one CASE each). The Spark side goes through the real Huffman
+    bitstream, so the hash match certifies markers, tables, stuffing, DC
+    prediction, and the transform math together."""
+    _C, _CD, _K, _Q_LUMA, _Q_CHROMA = _jpeg_oracle_constants()
+    qrows = ",\n        ".join(
+        f"(0, {u}, {v}, {int(_Q_LUMA[u][v])}), (1, {u}, {v}, {int(_Q_CHROMA[u][v])})"
+        for u in range(8) for v in range(8)
+    )
+    # rd(a, d): round half away from zero, SQL form
+    return f"""
+    WITH {_jpeg_tbl('ct', _C, ['u', 'i', 'c'])},
+    {_jpeg_tbl('cdt', _CD, ['u', 'i', 'c'])},
+    {_jpeg_tbl('kt', _K, ['u', 'v', 'k'])},
+    qt(tq, u, v, q) AS (
+      SELECT * FROM (VALUES
+        {qrows}) t
+    ),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS side,
+             CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS color_type
+      FROM documents
+    ), yy AS (
+      SELECT doc_id, side, color_type, unnest(range(0, side)) AS y FROM d
+    ), xy AS (
+      SELECT doc_id, side, color_type, y, unnest(range(0, side)) AS x FROM yy
+    ), rgb AS (
+      SELECT doc_id, side, color_type, y, x,
+             16 + (3 * doc_id) % 32 + 2*x + 3*y + (x*y + doc_id) % 48 AS r,
+             24 + (5 * doc_id) % 32 + 3*x + y + (2*x*y + doc_id) % 40 AS g,
+             8 + (7 * doc_id) % 32 + x + 2*y + (x*y + 3*doc_id) % 56 AS b,
+             20 + (13 * doc_id) % 40 + 3*x + 2*y + (x*y + doc_id) % 52 AS gv
+      FROM xy
+    ), px AS (  -- (doc, ch, x, y, val): YCbCr for colour, grey passthrough
+      SELECT doc_id, side, color_type, y, x, ch,
+             CASE
+               WHEN color_type = 0 THEN gv
+               WHEN ch = 0 THEN
+                 CASE WHEN 299*r + 587*g + 114*b >= 0
+                      THEN (2*(299*r + 587*g + 114*b) + 1000) // 2000
+                      ELSE -((-2*(299*r + 587*g + 114*b) + 1000) // 2000) END
+               WHEN ch = 1 THEN LEAST(GREATEST(
+                 CASE WHEN -169*r - 331*g + 500*b >= 0
+                      THEN (2*(-169*r - 331*g + 500*b) + 1000) // 2000
+                      ELSE -((2*(169*r + 331*g - 500*b) + 1000) // 2000) END
+                 + 128, 0), 255)
+               ELSE LEAST(GREATEST(
+                 CASE WHEN 500*r - 419*g - 81*b >= 0
+                      THEN (2*(500*r - 419*g - 81*b) + 1000) // 2000
+                      ELSE -((2*(-500*r + 419*g + 81*b) + 1000) // 2000) END
+                 + 128, 0), 255)
+             END AS val
+      FROM rgb, (SELECT unnest(range(0, 3)) AS ch)
+      WHERE ch < CASE WHEN color_type = 0 THEN 1 ELSE 3 END
+    ), s AS (
+      SELECT doc_id, side, color_type, ch,
+             y // 8 AS by8, x // 8 AS bx8, y % 8 AS iy, x % 8 AS ix,
+             val - 128 AS sv
+      FROM px
+    ), t1 AS (  -- first pass along Y (numpy's C @ s): (u, ix) per block
+      SELECT s.doc_id, s.side, s.color_type, s.ch, s.by8, s.bx8,
+             ct.u, s.ix, CAST(sum(s.sv * ct.c) AS BIGINT) AS t
+      FROM s JOIN ct ON ct.i = s.iy
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+    ), t2 AS (  -- second pass along X (t1 @ C.T): (u, v) per block
+      SELECT t1.doc_id, t1.side, t1.color_type, t1.ch, t1.by8, t1.bx8,
+             t1.u, ct.u AS v, CAST(sum(t1.t * ct.c) AS BIGINT) AS t
+      FROM t1 JOIN ct ON ct.i = t1.ix
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+    ), qc AS (  -- fused normalize + quantize
+      SELECT t2.doc_id, t2.side, t2.color_type, t2.ch, t2.by8, t2.bx8,
+             t2.u, t2.v,
+             CASE WHEN t2.t * kt.k >= 0
+                  THEN (2*(t2.t * kt.k) + 4 * qt.q * 1099511627776)
+                       // (2 * 4 * qt.q * 1099511627776)
+                  ELSE -((-2*(t2.t * kt.k) + 4 * qt.q * 1099511627776)
+                         // (2 * 4 * qt.q * 1099511627776)) END
+               * qt.q AS deq
+      FROM t2
+      JOIN kt ON kt.u = t2.u AND kt.v = t2.v
+      JOIN qt ON qt.u = t2.u AND qt.v = t2.v
+             AND qt.tq = CASE WHEN t2.ch = 0 THEN 0 ELSE 1 END
+    ), v1 AS (  -- inverse pass 1 (CD.T @ d): (iy, v) per block
+      SELECT qc.doc_id, qc.side, qc.color_type, qc.ch, qc.by8, qc.bx8,
+             cdt.i AS iy, qc.v, CAST(sum(qc.deq * cdt.c) AS BIGINT) AS t
+      FROM qc JOIN cdt ON cdt.u = qc.u
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+    ), v2 AS (  -- inverse pass 2 (v1 @ CD): (iy, ix) reconstructed values
+      SELECT v1.doc_id, v1.side, v1.color_type, v1.ch, v1.by8, v1.bx8,
+             v1.iy, cdt.i AS ix,
+             LEAST(GREATEST(
+               CASE WHEN CAST(sum(v1.t * cdt.c) AS BIGINT) >= 0
+                    THEN (2*CAST(sum(v1.t * cdt.c) AS BIGINT) + 1073741824) // 2147483648
+                    ELSE -((-2*CAST(sum(v1.t * cdt.c) AS BIGINT) + 1073741824) // 2147483648)
+               END + 128, 0), 255) AS rec
+      FROM v1 JOIN cdt ON cdt.u = v1.v
+      GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+    ), plane AS (
+      SELECT doc_id, side, color_type, ch,
+             by8 * 8 + iy AS y, bx8 * 8 + ix AS x, rec
+      FROM v2
+    ), outpx AS (  -- YCbCr -> RGB for colour, grey passthrough
+      SELECT p0.doc_id, p0.side, p0.color_type, p0.y, p0.x,
+             CASE WHEN p0.color_type = 0 THEN p0.rec
+                  ELSE LEAST(GREATEST(p0.rec +
+                    CASE WHEN 1402 * (p2.rec - 128) >= 0
+                         THEN (2*(1402 * (p2.rec - 128)) + 1000) // 2000
+                         ELSE -((-2*(1402 * (p2.rec - 128)) + 1000) // 2000)
+                    END, 0), 255) END AS o_r,
+             CASE WHEN p0.color_type = 0 THEN NULL
+                  ELSE LEAST(GREATEST(p0.rec -
+                    CASE WHEN 344 * (p1.rec - 128) + 714 * (p2.rec - 128) >= 0
+                         THEN (2*(344*(p1.rec-128) + 714*(p2.rec-128)) + 1000) // 2000
+                         ELSE -((-2*(344*(p1.rec-128) + 714*(p2.rec-128)) + 1000) // 2000)
+                    END, 0), 255) END AS o_g,
+             CASE WHEN p0.color_type = 0 THEN NULL
+                  ELSE LEAST(GREATEST(p0.rec +
+                    CASE WHEN 1772 * (p1.rec - 128) >= 0
+                         THEN (2*(1772 * (p1.rec - 128)) + 1000) // 2000
+                         ELSE -((-2*(1772 * (p1.rec - 128)) + 1000) // 2000)
+                    END, 0), 255) END AS o_b
+      FROM plane p0
+      LEFT JOIN plane p1 ON p1.doc_id = p0.doc_id AND p1.ch = 1
+                        AND p1.y = p0.y AND p1.x = p0.x
+      LEFT JOIN plane p2 ON p2.doc_id = p0.doc_id AND p2.ch = 2
+                        AND p2.y = p0.y AND p2.x = p0.x
+      WHERE p0.ch = 0
+    ), witherr AS (
+      SELECT o.doc_id, o.side, o.color_type, o.y, o.x, o.o_r, o.o_g, o.o_b,
+             GREATEST(
+               abs(o.o_r - CASE WHEN o.color_type = 0 THEN f.gv ELSE f.r END),
+               coalesce(abs(o.o_g - f.g), 0),
+               coalesce(abs(o.o_b - f.b), 0)) AS aerr
+      FROM outpx o JOIN rgb f ON f.doc_id = o.doc_id AND f.y = o.y AND f.x = o.x
+    )
+    SELECT doc_id, CAST(any_value(side) AS INT) AS width,
+           CAST(any_value(side) AS INT) AS height,
+           CAST(any_value(color_type) AS INT) AS color_type,
+           md5(string_agg(CASE WHEN color_type = 2
+                               THEN printf('%02X%02X%02X', o_r, o_g, o_b)
+                               ELSE printf('%02X', o_r) END, ''
+                          ORDER BY y, x)) AS pixel_md5,
+           CAST(max(aerr) AS INT) AS max_abs_err
+    FROM witherr GROUP BY doc_id
+    """
+
+
+
+
+def _register_jpeg_decode() -> None:
+    register_local("multimodal_jpeg_decode", oracle=_jpeg_oracle())(
+        _multimodal_jpeg_decode
+    )
+
+
+def _multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec #3 — baseline sequential DCT JPEG, the LAST stub
+    retired (r9): the fixture ids become genuine baseline JPEGs (SOI/
+    APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K quantization + Huffman tables, DC
+    prediction, 0xFF stuffing, 4:4:4 colour + greyscale —
+    operators/jpeg.py::encode_jpeg), and one fused mapInPandas stage
+    parses them back through the full entropy-coded bitstream
+    (decode_jpeg — honours the stream's own DQT/DHT, rejects
+    progressive/subsampled/12-bit) and fingerprints the decoded pixels
+    plus the max absolute error vs the regenerated original (the
+    bounded-loss evidence, hash-checked). Because every lossy step is
+    fixed-point integer arithmetic, the oracle predicts the decoded
+    pixels exactly from the pixel formulas — a one-bit Huffman bug
+    changes coefficients, pixels, and hash. All five modality codecs
+    (BMP, PNG, JPEG, WAV, y4m) are now real; no multimodal stub remains.
+
+    Scale shape: the codec family's — encode and decode+fingerprint are
+    embarrassingly-parallel narrow Arrow stages over the payload column."""
+    from ..operators.jpeg import attach_jpeg_payload, decode_fingerprint_jpeg
+
+    return decode_fingerprint_jpeg(attach_jpeg_payload(_docs(spark, sf_dir)))
+
+
+_register_jpeg_decode()
 
 
 # --- streaming incremental image dedup (r9) ----------------------------------------
