@@ -182,6 +182,7 @@ EXTRA = [
     "video_keyframe_near_dup",
     "dashboard_render_bundle",
     "multimodal_jpeg_decode",
+    "audio_fingerprint_near_dup",
 ]
 
 

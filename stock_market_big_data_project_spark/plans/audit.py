@@ -76,6 +76,8 @@ PYTHON_STAGE_OK = {
                                      # stages feeding the banded join
     "multimodal_wav_features",       # REAL WAV encode + decode/featurize
                                      # codec stages (narrow Arrow passes)
+    "audio_fingerprint_near_dup",    # WAV encode + fused decode→envelope-
+                                     # fingerprint stages feeding the join
     "multimodal_video_frames",       # REAL y4m encode + parse/frame-sample
                                      # codec stages (narrow Arrow passes)
     "video_keyframe_near_dup",       # y4m encode + fused parse→dHash

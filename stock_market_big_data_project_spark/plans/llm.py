@@ -1424,6 +1424,83 @@ def _multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_jpeg_decode()
 
 
+# --- audio near-dup: energy-envelope fingerprint + banded join (r9) ----------------
+@register_local(
+    "audio_fingerprint_near_dup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS base, doc_id % 4 + 1 AS k
+      FROM documents
+    ), dim AS (
+      SELECT doc_id, base, k,
+             base * base % 13 + 1 AS cx, base % 29 + 3 AS cy
+      FROM d
+    ), idx AS (
+      SELECT doc_id, base, k, cx, cy, unnest(range(0, 1056)) AS i FROM dim
+    ), s AS (
+      SELECT doc_id, i, i // 16 AS frame,
+             k * (((cx * i * i + cy * i + 7 * base) % 4001) - 2000) AS v
+      FROM idx
+    ), e AS (
+      SELECT doc_id, frame, sum(v * v) AS energy
+      FROM s GROUP BY 1, 2
+    ), bits AS (
+      SELECT a.doc_id, a.frame AS kbit,
+             CASE WHEN a.energy < b.energy THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+      WHERE a.frame < 64
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 0 THEN 0
+                           WHEN kbit = 63 THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << kbit) END)
+                  AS BIGINT) AS afp
+      FROM bits GROUP BY 1
+    ), bandkeys AS (
+      SELECT doc_id, kbit // 16 AS t,
+             sum(bit << (kbit % 16)) AS band_key
+      FROM bits GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a
+      JOIN bandkeys b ON a.t = b.t AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha.afp, hb.afp)) AS INT) AS hamming_dist
+    FROM cand
+    JOIN hashes ha ON ha.doc_id = id_a
+    JOIN hashes hb ON hb.doc_id = id_b
+    WHERE bit_count(xor(ha.afp, hb.afp)) <= 3
+    """,
+)
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup — the perceptual dedup family's THIRD modality
+    (image r9, video r9, audio here; operators/audiofp.py): decode REAL
+    RIFF/WAVE payloads, fingerprint the frame-energy envelope's gradient
+    signs (64 bits, integer-exact), and pair clips at Hamming ≤ 3 with
+    the SimHash banded pigeonhole join reused verbatim. The fixture
+    plants volume-scaled copies (k× every sample, k = 1..4 per
+    doc_id // 4 group): frame energies scale by exactly k², so every
+    gradient comparison — and the fingerprint — is provably identical
+    across a group while the PCM bytes share nothing (byte dedup is
+    blind); this is the loudness-normalization invariance audio dedup
+    exists for. Integer arithmetic end to end: the oracle replays
+    samples → frame energies → gradient bits → hash → band keys →
+    candidates → verified distances relationally, never parsing a WAV.
+
+    Scale shape: decode→fingerprint is one fused narrow Arrow stage
+    (64 bits per clip shuffle onward); the banded join is the audited
+    SimHash shape with 4 buckets per clip."""
+    from ..operators.audiofp import attach_near_dup_wav_payload, audio_fingerprints
+    from ..operators.dedup import simhash_hamming_pairs
+
+    fp = audio_fingerprints(attach_near_dup_wav_payload(_docs(spark, sf_dir)))
+    return simhash_hamming_pairs(
+        fp, "doc_id", fp_col="afp", bits=64, bands=4, max_dist=3
+    )
+
+
 # --- streaming incremental image dedup (r9) ----------------------------------------
 @register_local("streaming_image_dhash_parity", oracle=_IMG_DHASH_ORACLE)
 def streaming_image_dhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
