@@ -183,6 +183,18 @@ EXTRA = [
     "dashboard_render_bundle",
     "multimodal_jpeg_decode",
     "audio_fingerprint_near_dup",
+    # late round-9: the relational-completeness (subquery decorrelation)
+    # pack, the entity-resolution tier, and the indicator bundle
+    "correlated_exists_late_ship",
+    "not_exists_prompt_orders",
+    "large_volume_orders",
+    "disjunctive_part_revenue",
+    "min_cost_supplier_per_part",
+    "nation_pair_trade_volume",
+    "dormant_high_balance_customers",
+    "symspell_fuzzy_join_dist1",
+    "pagerank_copurchase",
+    "technical_indicators_bundle",
 ]
 
 

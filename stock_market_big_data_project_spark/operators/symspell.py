@@ -1,0 +1,103 @@
+"""SymSpell-style fuzzy equi-join: exact edit-distance-≤1 record linkage
+via deletion-neighborhood blocking.
+
+The classic entity-resolution blocking problem: naive fuzzy matching is an
+all-pairs Levenshtein (O(n²) — a scale-killer), and ad-hoc blocking keys
+(prefixes, q-grams) MISS true matches.  The symmetric-delete trick
+(Garbe's SymSpell, public domain) is both complete and cheap for k = 1:
+
+    levenshtein(s, t) <= 1  ⇒  ({s} ∪ D1(s)) ∩ ({t} ∪ D1(t)) ≠ ∅
+
+where D1(x) is the set of strings obtained by deleting one character
+(substitution at i ⇒ deleting i from both sides collides; insertion /
+deletion ⇒ the shorter string itself is in the longer one's D1).  So the
+join is: explode each side into its ≤ len+1 deletion keys, hash equi-join
+on the key, dedup candidate pairs, then verify with one Levenshtein call
+per CANDIDATE (never per pair of rows).
+
+At 100 TB shape: |keys| = n·(len+1) rows through one exchange; block sizes
+are bounded by real key collisions, not by table size — no all-pairs
+anywhere, and the verify cost is proportional to candidates only.
+Everything is built-in codegen (sequence/explode/substring/levenshtein);
+no Python stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_keys(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """(id, name, key) — the string itself (i = 0) plus every one-char
+    deletion (i = 1..len), via sequence+explode so the whole expansion is
+    one codegen span."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(name_col).alias("_name"),
+            F.explode(
+                F.sequence(F.lit(0), F.length(name_col))
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            "_name",
+            F.expr(
+                "CASE WHEN _i = 0 THEN _name "
+                "ELSE concat(substring(_name, 1, _i - 1), "
+                "substring(_name, _i + 1)) END"
+            ).alias("_key"),
+        )
+    )
+
+
+def fuzzy_join_dist1(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+) -> DataFrame:
+    """All (left, right) pairs with levenshtein(name, name) <= 1, computed
+    without all-pairs: deletion-key equi-join -> distinct candidates ->
+    Levenshtein verify.  Output columns: left_id, left_name, right_id,
+    right_name, edit_distance."""
+    lk = deletion_keys(left, left_id, left_name).withColumnsRenamed(
+        {"_id": "_lid", "_name": "_lname"}
+    )
+    rk = deletion_keys(right, right_id, right_name).withColumnsRenamed(
+        {"_id": "_rid", "_name": "_rname"}
+    )
+    cand = lk.join(rk, "_key").select("_lid", "_lname", "_rid", "_rname").distinct()
+    return (
+        cand.withColumn(
+            "edit_distance",
+            F.levenshtein("_lname", "_rname").cast("int"),
+        )
+        .filter(F.col("edit_distance") <= 1)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_lname").alias(left_name),
+            F.col("_rid").alias(right_id),
+            F.col("_rname").alias(right_name),
+            "edit_distance",
+        )
+    )
+
+
+def oracle_deletion_keys_cte(
+    src_cte: str, id_col: str, name_col: str
+) -> str:
+    """DuckDB twin of `deletion_keys`: a SELECT body producing
+    (id, name, key) from CTE `src_cte` — kept in lockstep with the Spark
+    helper so oracles replay the identical blocking."""
+    return f"""
+      SELECT {id_col} AS id, {name_col} AS name,
+             CASE WHEN i = 0 THEN {name_col}
+                  ELSE substr({name_col}, 1, i - 1) || substr({name_col}, i + 1)
+             END AS key
+      FROM {src_cte},
+           LATERAL unnest(generate_series(0, length({name_col}))) AS _t(i)
+    """

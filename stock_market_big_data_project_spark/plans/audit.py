@@ -164,6 +164,9 @@ TINY_CROSS_OK = {
                                   # token_weighted_systematic_sample)
     "dashboard_render_bundle",    # the prev-day macro section's two
                                   # 1-row aggregates cross-join (O(1))
+    "dormant_high_balance_customers",  # 1-row global-average-balance
+                                       # scalar (the Q22 scalar subquery
+                                       # decorrelated to a broadcast cross)
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

@@ -1,0 +1,157 @@
+"""Record linkage and graph ranking — the entity-resolution tier.
+
+Two operators the reference's pandas scripts would need the moment their
+data stopped being perfectly keyed:
+
+- **SymSpell fuzzy join** (operators/symspell.py): exact edit-distance-≤1
+  matching between a clean registry and a dirty feed, via deletion-
+  neighborhood blocking — complete (no missed matches, unlike prefix or
+  q-gram blocking) and never all-pairs.
+- **Fixed-point integer PageRank** (operators/pagerank.py): damped power
+  iteration over the customer↔part co-purchase graph, all-integer so the
+  full trajectory hash-certifies against unrolled CTE rounds in DuckDB.
+
+The "dirty feed" is derived deterministically from the customer table
+(one character overwritten at a key-dependent position) so both engines
+construct the identical linkage problem from the shared fixtures — the
+same generate-inside-the-oracle pattern as the multimodal codec queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pagerank import pagerank_fixed_point, pagerank_oracle_sql
+from ..operators.symspell import fuzzy_join_dist1, oracle_deletion_keys_cte
+from ..sources.tables import load_table
+from .audit import EAGER_ITERATIVE
+from .registry import register_local
+
+# One character overwritten with 'X' ('X' never occurs in fixture names,
+# so every dirty row is at exact distance 1 from its source) at a
+# key-dependent position — both engines compute the identical feed.
+_DIRTY_POS = "(1 + (c_custkey % length(c_name)))"
+_DIRTY_NAME_SQL = (
+    f"substr(c_name, 1, {_DIRTY_POS} - 1) || 'X' || "
+    f"substr(c_name, {_DIRTY_POS} + 1)"
+)
+
+
+def _clean_and_dirty(spark: SparkSession, sf_dir: str):
+    customer = load_table(spark, sf_dir, "customer")
+    clean = customer.select(
+        F.col("c_custkey").alias("clean_id"), F.col("c_name").alias("clean_name")
+    )
+    dirty = customer.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(
+            f"concat(substring(c_name, 1, {_DIRTY_POS} - 1), 'X', "
+            f"substring(c_name, {_DIRTY_POS} + 1))"
+        ).alias("dirty_name"),
+    )
+    return clean, dirty
+
+
+@register_local(
+    "symspell_fuzzy_join_dist1",
+    oracle=f"""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+    ), dirty AS (
+      SELECT c_custkey AS id, {_DIRTY_NAME_SQL} AS name FROM customer
+    ), ck AS ({oracle_deletion_keys_cte('clean', 'id', 'name')}
+    ), dk AS ({oracle_deletion_keys_cte('dirty', 'id', 'name')}
+    ), cand AS (
+      SELECT DISTINCT ck.id AS clean_id, ck.name AS clean_name,
+                      dk.id AS dirty_id, dk.name AS dirty_name
+      FROM ck JOIN dk ON ck.key = dk.key
+    )
+    SELECT clean_id, clean_name, dirty_id, dirty_name,
+           CAST(levenshtein(clean_name, dirty_name) AS INTEGER) AS edit_distance
+    FROM cand
+    WHERE levenshtein(clean_name, dirty_name) <= 1
+    """,
+)
+def symspell_fuzzy_join_dist1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distance-≤1 linkage between the customer registry and its
+    deterministically-corrupted feed.  Every dirty row links back to its
+    source (planted recall = 100% by construction, asserted in
+    tests/test_linkage.py) plus the genuine near-collisions (keys that
+    differ only at the corrupted digit).  The blocking join is a hash
+    equi-join on deletion keys — n·(len+1) rows through one exchange,
+    block sizes bounded by true key collisions; Levenshtein runs once per
+    CANDIDATE.  No all-pairs at any scale."""
+    clean, dirty = _clean_and_dirty(spark, sf_dir)
+    return fuzzy_join_dist1(
+        clean, dirty, "clean_id", "clean_name", "dirty_id", "dirty_name"
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the co-purchase bipartite graph: customer <-> part edges
+# from orders ⋈ lineitem, symmetrized so every node has outdegree >= 1.
+# Node encoding: customer -> 2*key, part -> 2*key + 1 (disjoint id spaces).
+# --------------------------------------------------------------------------
+_PR_ITERATIONS = 6
+
+_PR_EDGES_CTE = """e0 AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_partkey + 1 AS dst
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    sym AS (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT dst AS src, src AS dst FROM e0
+    )"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audited pre-checkpoint constituent: the symmetrized distinct
+    edge list (one equi-join + one distinct — the per-round Pregel joins
+    are shape-identical equi-joins over this)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_partkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+@register_local(
+    "pagerank_copurchase",
+    oracle=f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+           node // 2 AS key,
+           rank_scaled,
+           deg
+    FROM ({pagerank_oracle_sql(_PR_EDGES_CTE, _PR_ITERATIONS)})
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six damped integer power rounds over the co-purchase graph; the
+    oracle replays the identical trajectory as six unrolled CTE rounds
+    (operators/pagerank.py docstring has the arithmetic contract).  At
+    100 TB each round is one keyed shuffle over the edge list + one
+    aggregate — the Pregel shape, lineage-truncated per round."""
+    pr = pagerank_fixed_point(
+        _copurchase_edges(spark, sf_dir), _PR_ITERATIONS
+    )
+    return pr.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        "rank_scaled",
+        "deg",
+    )
+
+
+EAGER_ITERATIVE.update({"pagerank_copurchase": _copurchase_edges})

@@ -1914,3 +1914,160 @@ def streaming_manifest_export_parity(
         return back.localCheckpoint()
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Technical-indicators bundle — the stock-analytics window-function tier
+# (SMA, Bollinger bands, rate-of-change, Cutler's RSI) over the hourly
+# close series.  The reference computes per-symbol rolling statistics in
+# pandas (dashboard/app.py's chart inputs, analysis_part/main.py's lag
+# features); this is the same family expressed as ONE windowed plan.
+#
+# Hash-certification contract: prices are quantized to millipoints
+# (round(value * 1000) as BIGINT — the same fixed-point trick as the
+# covariance operator), so every rolling sum is integer-exact and
+# association-order independent; means/variances/RSI then derive from
+# those integers via identical IEEE double expressions on both engines
+# (sqrt is correctly-rounded per IEEE-754, so it is bit-stable too).
+# Overflow bound: sum of 20 squared millipoint prices < 2^63 requires
+# |price| < 6.7e5 — documented, far above any fixture or realistic quote.
+# --------------------------------------------------------------------------
+_TI_VAR20 = (
+    "(CAST(q20 AS DOUBLE)/1000000.0 "
+    "- (CAST(s20 AS DOUBLE)/1000.0)*(CAST(s20 AS DOUBLE)/1000.0)/20.0)/19.0"
+)
+
+
+@register_local(
+    "technical_indicators_bundle",
+    oracle=f"""
+    WITH bars AS (
+      SELECT user_id AS symbol, date_trunc('hour', ts) AS hour_ts,
+             last(value ORDER BY ts, event_id) AS close,
+             CAST(round(last(value ORDER BY ts, event_id) * 1000) AS BIGINT)
+               AS close_fp
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT symbol, hour_ts, close, close_fp,
+             row_number() OVER sym AS rn,
+             sum(close_fp) OVER
+               (sym ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+             sum(close_fp) OVER
+               (sym ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+             sum(close_fp * close_fp) OVER
+               (sym ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS q20,
+             lag(close_fp, 12) OVER sym AS lag12,
+             close_fp - lag(close_fp) OVER sym AS d1
+      FROM bars
+      WINDOW sym AS (PARTITION BY symbol ORDER BY hour_ts)
+    ), g AS (
+      SELECT symbol, hour_ts, close, close_fp, rn, s5, s20, q20, lag12,
+             sum(CASE WHEN d1 > 0 THEN d1 ELSE 0 END) OVER
+               (sym ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS gains,
+             sum(CASE WHEN d1 < 0 THEN -d1 ELSE 0 END) OVER
+               (sym ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS losses
+      FROM w
+      WINDOW sym AS (PARTITION BY symbol ORDER BY hour_ts)
+    )
+    SELECT symbol, hour_ts, close,
+           CASE WHEN rn >= 5 THEN CAST(s5 AS DOUBLE)/5000.0 END AS sma5,
+           CASE WHEN rn >= 20 THEN CAST(s20 AS DOUBLE)/20000.0 END AS sma20,
+           CASE WHEN rn >= 20 THEN CAST(s20 AS DOUBLE)/20000.0
+                + 2.0 * sqrt(greatest({_TI_VAR20}, 0.0)) END AS boll_upper,
+           CASE WHEN rn >= 20 THEN CAST(s20 AS DOUBLE)/20000.0
+                - 2.0 * sqrt(greatest({_TI_VAR20}, 0.0)) END AS boll_lower,
+           CASE WHEN rn >= 13 AND lag12 <> 0
+                THEN CAST(close_fp - lag12 AS DOUBLE) / CAST(lag12 AS DOUBLE)
+           END AS roc12,
+           CASE WHEN rn >= 15 THEN
+             CASE WHEN losses = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + CAST(gains AS DOUBLE)
+                                              / CAST(losses AS DOUBLE))
+             END
+           END AS rsi14
+    FROM g
+    """,
+)
+def technical_indicators_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA-5/20, Bollinger(20, 2σ), ROC-12, and Cutler's RSI-14 as one
+    plan: the bar build is a single (symbol, hour) hash aggregate; every
+    indicator then rides ONE exchange keyed by symbol — all window frames
+    share the identical (PARTITION BY symbol ORDER BY hour_ts) spec, so
+    Spark evaluates them in a single Window operator pass per frame width,
+    with no extra shuffles.  At 100 TB the plan is unchanged: one
+    aggregate exchange + one window exchange; within-partition frames
+    never spill cross-key."""
+    ev = load_events(spark, sf_dir)
+    order_key = F.struct("ts", "event_id")
+    bars = (
+        ev.groupBy(
+            F.col("user_id").alias("symbol"),
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+        )
+        .agg(F.max_by("value", order_key).alias("close"))
+        .withColumn("close_fp", F.round(F.col("close") * 1000, 0).cast("long"))
+    )
+    sym = Window.partitionBy("symbol").orderBy("hour_ts")
+    r5 = sym.rowsBetween(-4, 0)
+    r20 = sym.rowsBetween(-19, 0)
+    r14 = sym.rowsBetween(-13, 0)
+    w = bars.select(
+        "symbol",
+        "hour_ts",
+        "close",
+        "close_fp",
+        F.row_number().over(sym).alias("rn"),
+        F.sum("close_fp").over(r5).alias("s5"),
+        F.sum("close_fp").over(r20).alias("s20"),
+        F.sum(F.col("close_fp") * F.col("close_fp")).over(r20).alias("q20"),
+        F.lag("close_fp", 12).over(sym).alias("lag12"),
+        (F.col("close_fp") - F.lag("close_fp", 1).over(sym)).alias("d1"),
+    )
+    g = w.select(
+        "symbol",
+        "hour_ts",
+        "close",
+        "close_fp",
+        "rn",
+        "s5",
+        "s20",
+        "q20",
+        "lag12",
+        F.sum(F.when(F.col("d1") > 0, F.col("d1")).otherwise(F.lit(0)))
+        .over(r14)
+        .alias("gains"),
+        F.sum(F.when(F.col("d1") < 0, -F.col("d1")).otherwise(F.lit(0)))
+        .over(r14)
+        .alias("losses"),
+    )
+    var20 = F.expr(_TI_VAR20)
+    mean20 = F.expr("CAST(s20 AS DOUBLE)/20000.0")
+    band = 2.0 * F.sqrt(F.greatest(var20, F.lit(0.0)))
+    return g.select(
+        "symbol",
+        "hour_ts",
+        "close",
+        F.when(F.col("rn") >= 5, F.expr("CAST(s5 AS DOUBLE)/5000.0")).alias(
+            "sma5"
+        ),
+        F.when(F.col("rn") >= 20, mean20).alias("sma20"),
+        F.when(F.col("rn") >= 20, mean20 + band).alias("boll_upper"),
+        F.when(F.col("rn") >= 20, mean20 - band).alias("boll_lower"),
+        F.when(
+            (F.col("rn") >= 13) & (F.col("lag12") != 0),
+            F.expr(
+                "CAST(close_fp - lag12 AS DOUBLE) / CAST(lag12 AS DOUBLE)"
+            ),
+        ).alias("roc12"),
+        F.when(
+            F.col("rn") >= 15,
+            F.when(F.col("losses") == 0, F.lit(100.0)).otherwise(
+                F.lit(100.0)
+                - F.lit(100.0)
+                / (
+                    F.lit(1.0)
+                    + F.expr("CAST(gains AS DOUBLE) / CAST(losses AS DOUBLE)")
+                )
+            ),
+        ).alias("rsi14"),
+    )

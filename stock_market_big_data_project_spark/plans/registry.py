@@ -35,10 +35,12 @@ LOCAL_ORACLES: dict[str, str] = {}
 _PLAN_MODULES = (
     "market",
     "relational",
+    "subqueries",
     "llm",
     "statistical",
     "training",
     "retrieval",
+    "linkage",
 )
 
 

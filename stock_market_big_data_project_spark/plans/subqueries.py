@@ -1,0 +1,407 @@
+"""Correlated-subquery and disjunctive-predicate query shapes on the
+TPC-H-ish tables — the relational-completeness pack.
+
+The reference's pandas scripts never need EXISTS / NOT EXISTS / scalar
+subqueries (eager row loops express them implicitly); a *query engine*
+replacing them must, so this module registers the classic decorrelation
+shapes as first-class audited plans:
+
+- correlated EXISTS with a non-equi residual  -> left-semi join
+- correlated NOT EXISTS with a residual       -> left-anti join
+- IN (GROUP BY ... HAVING) subquery           -> aggregate + equi join
+- correlated scalar MIN subquery              -> group-min + join-back
+- scalar aggregate subquery in WHERE          -> 1-row broadcast cross
+- role-playing dimension (nation joined twice under two aliases)
+- disjunctive multi-clause predicate across a join (OR-of-ANDs)
+
+Every query carries a full DuckDB hash oracle: the oracle states the
+subquery form, the Spark side states the decorrelated join form, and the
+bitwise compare proves the rewrite.  At 100 TB each shape stays a single
+keyed shuffle (semi/anti joins move only the probe side; the scalar
+subqueries broadcast exactly one row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import (
+    EXACT_DECIMAL,
+    exact_avg,
+    exact_sum,
+    oracle_exact_avg,
+    oracle_exact_sum,
+)
+from ..sources.tables import load_table
+from .registry import register_local
+
+
+# --------------------------------------------------------------------------
+# Correlated EXISTS with a non-equi residual predicate (TPC-H Q4 shape:
+# "orders where at least one lineitem shipped more than 60 days after the
+# order date").  Decorrelates to a LEFT SEMI join on the order key with the
+# date comparison as a residual — the probe side never duplicates rows, so
+# the count is over orders, not order x lineitem.
+# --------------------------------------------------------------------------
+@register_local(
+    "correlated_exists_late_ship",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def correlated_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS -> left_semi with the correlated residual inside the join
+    condition.  The order-date window is applied BEFORE the join so it
+    pushes to the orders scan (PushedFilters), and only the filtered slice
+    shuffles.  At 100 TB: one equi-keyed shuffle; lineitem contributes keys
+    only (no payload columns cross the exchange beyond the residual's)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated NOT EXISTS (the anti twin): orders where EVERY lineitem
+# shipped within 90 days of the order date.
+# --------------------------------------------------------------------------
+@register_local(
+    "not_exists_prompt_orders",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_prompt_orders,
+           {oracle_exact_sum('o_totalprice')} AS sum_totalprice
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def not_exists_prompt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left_anti with the same residual-in-condition
+    decorrelation.  Anti joins are null-safe here because the correlation
+    key (o_orderkey) is a non-null primary key on both sides — the NOT IN
+    null trap does not arise, and the plan is the identical single keyed
+    shuffle as the semi twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_prompt_orders"),
+            exact_sum("o_totalprice", "sum_totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IN (SELECT ... GROUP BY ... HAVING) subquery (TPC-H Q18 shape: large-
+# volume orders).  Decorrelates to aggregate-then-join; the HAVING filter
+# runs map-side-combined before any join, so only qualifying order keys
+# (~1% of orders at the 270 threshold) reach the join.
+# --------------------------------------------------------------------------
+@register_local(
+    "large_volume_orders",
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_orderkey,
+             {oracle_exact_sum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, v.sum_qty
+    FROM orders o
+    JOIN vol v ON v.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE v.sum_qty > 270.0
+    """,
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-first decorrelation: the per-order quantity rollup (decimal
+    partial sums, exact under re-aggregation) and its HAVING cut happen
+    BEFORE the orders/customer joins, so the join input is the ~1%
+    qualifying slice, not the fact table.  customer stays unhinted (size is
+    proportional to SF); AQE broadcasts it at test SFs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    vol = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 270.0)
+    )
+    return (
+        orders.join(vol, orders.o_orderkey == vol.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Disjunctive multi-clause predicate across a join (TPC-H Q19 shape:
+# OR-of-ANDs mixing fact and dimension columns).
+# --------------------------------------------------------------------------
+@register_local(
+    "disjunctive_part_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 5 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 10 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    GROUP BY p.p_brand
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across a join: Catalyst factors the single-table implied
+    conjuncts out of the disjunction and pushes them to each scan —
+    p_brand IN (...) onto part, l_quantity BETWEEN 1 AND 50 onto lineitem —
+    so both sides prune before the join, and the exact disjunction runs as
+    a post-join residual.  part is SF-proportional, left unhinted."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (
+        ((br == "Brand#13") & sz.between(1, 15) & q.between(1, 25))
+        | ((br == "Brand#22") & sz.between(5, 30) & q.between(10, 35))
+        | ((br == "Brand#25") & sz.between(10, 50) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.filter(disj)
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(rev, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar MIN subquery (TPC-H Q2 shape: the cheapest supplier per
+# part).  Decorrelates to group-min + join-back-on-equality; the double
+# unit price is computed by the identical IEEE expression on both engines,
+# so the equality join is bit-deterministic.
+# --------------------------------------------------------------------------
+@register_local(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH px AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem
+    ), m AS (
+      SELECT l_partkey, min(unit_price) AS min_unit_price
+      FROM px GROUP BY l_partkey
+    ), best AS (
+      SELECT px.l_partkey, min(px.l_suppkey) AS best_suppkey
+      FROM px JOIN m ON px.l_partkey = m.l_partkey
+                    AND px.unit_price = m.min_unit_price
+      GROUP BY px.l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, m.min_unit_price, b.best_suppkey,
+           s.s_name AS best_supplier
+    FROM part p
+    JOIN m ON m.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = b.best_suppkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size <= 10
+    """,
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery decorrelation: min-per-part, join back on value
+    equality, min-suppkey tie-break (a deterministic total order — ties on
+    the double min are real when two suppliers quote the same price).  The
+    part filter prunes first; supplier is a fixed-small dimension at any SF
+    (suppliers per the spec scale 100x slower than lineitem) and is
+    explicitly broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    m = li.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_unit_price")
+    )
+    best = (
+        li.join(
+            m.withColumnRenamed("l_partkey", "_mk"),
+            (F.col("l_partkey") == F.col("_mk"))
+            & (F.col("unit_price") == F.col("min_unit_price")),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    return (
+        part.join(m, m.l_partkey == part.p_partkey)
+        .join(best.withColumnRenamed("l_partkey", "_bk"), F.col("_bk") == part.p_partkey)
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("best_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "min_unit_price",
+            "best_suppkey",
+            F.col("s_name").alias("best_supplier"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Role-playing dimension: nation joined twice under two aliases (TPC-H Q7
+# shape — cross-nation trade volume between customer and supplier nations).
+# --------------------------------------------------------------------------
+@register_local(
+    "nation_pair_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           year(l.l_shipdate) AS ship_year,
+           {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')} AS volume,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      AND sn.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation participates twice under different join roles — the aliased
+    scans are independent broadcasts (25 rows each at ANY scale factor), so
+    the role-playing costs zero extra shuffles.  Both nation filters apply
+    inside their broadcast build sides; the <> residual runs post-join.
+    supplier is fixed-small, broadcast; customer unhinted (SF-sized)."""
+    nations = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cn = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        exact_sum(rev, "volume"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar aggregate subquery in WHERE + correlated NOT EXISTS (TPC-H Q22
+# shape, adapted: every fixture customer has SOME order, so the anti side
+# is "no order since 2000-01-01" — dormant high-balance customers).
+# --------------------------------------------------------------------------
+@register_local(
+    "dormant_high_balance_customers",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           count(*) AS n_dormant,
+           {oracle_exact_sum('c.c_acctbal')} AS total_balance
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT {oracle_exact_avg('c_acctbal')}
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def dormant_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two decorrelations in one plan: the scalar AVG subquery becomes a
+    1-row broadcast cross join (O(n), on the tiny-cross allowlist), and the
+    correlated NOT EXISTS becomes a left_anti against orders PRE-FILTERED
+    on the date (the predicate pushes to the orders scan, so the anti
+    build side holds only recent order keys — at 100 TB that is the
+    partition-pruned tail, not the full history)."""
+    customer = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    cutoff = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(exact_avg("c_acctbal", "_avg_bal"))
+    )
+    return (
+        customer.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            exact_sum("c_acctbal", "total_balance"),
+        )
+    )

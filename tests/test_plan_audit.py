@@ -97,6 +97,8 @@ def test_eager_iterative_list_is_current(spark):
         # checkpoints + cleans its temp rewrite (r8 leak fix); the
         # constituent re-stages it so the pruned scan stays audited
         "schema_evolution_read",  # same write-then-read shape
+        "pagerank_copurchase",  # Pregel power iteration: per-round
+        # equi-joins over the audited symmetrized-edges constituent
     }
     for name, builder in EAGER_ITERATIVE.items():
         assert (
