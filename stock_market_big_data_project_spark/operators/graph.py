@@ -62,3 +62,71 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def bfs_hops(edges: DataFrame, seed: int, max_hops: int) -> DataFrame:
+    """(node, hops) — minimum hop count from `seed` through the directed
+    edge list, for every node reachable within `max_hops` rounds.
+
+    Same Pregel shape as connected_components: each round the frontier's
+    neighbors learn `hops + 1`, a min-aggregate folds updates into the
+    label table, `localCheckpoint` truncates lineage.  Fixed round count
+    (not convergence-stopped) so the whole traversal replays as unrolled
+    CTE rounds in an oracle — all-integer, hash-certifiable.  At 100 TB
+    each round is one edges ⋈ labels equi-join + one aggregate over the
+    frontier-adjacent slice."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    labels = (
+        edges.sparkSession.createDataFrame(
+            [(int(seed), 0)], "node long, hops int"
+        ).localCheckpoint()
+    )
+    for _ in range(max_hops):
+        grown = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(
+                F.col("dst").alias("node"),
+                (F.col("hops") + 1).alias("hops"),
+            )
+        )
+        labels = (
+            labels.unionByName(grown)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+def bfs_oracle_sql(edges_cte: str, max_hops: int) -> str:
+    """DuckDB twin of `bfs_hops`: `edges_cte` defines ``sym(src, dst)``;
+    the seed is min(src) over sym (kept in lockstep with callers); the
+    returned SQL unrolls the identical min-hop trajectory."""
+    rounds = []
+    prev = "d0"
+    for k in range(1, max_hops + 1):
+        rounds.append(
+            f"""d{k} AS (
+      SELECT node, min(hops) AS hops FROM (
+        SELECT node, hops FROM {prev}
+        UNION ALL
+        SELECT s.dst AS node, p.hops + 1 AS hops
+        FROM sym s JOIN {prev} p ON p.node = s.src
+      ) GROUP BY node
+    )"""
+        )
+        prev = f"d{k}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH {edges_cte},
+    d0 AS (
+      SELECT CAST((SELECT min(src) FROM sym) AS BIGINT) AS node,
+             0 AS hops
+    ),
+    {rounds_sql}
+    SELECT node, hops FROM {prev}
+    """

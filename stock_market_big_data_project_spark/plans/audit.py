@@ -32,6 +32,8 @@ STREAMING_HARNESS = {
     "streaming_covariance_parity",
     "streaming_ivf_index_parity",
     "streaming_image_dhash_parity",
+    "streaming_indicators_parity",
+    "streaming_pagerank_edges_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at
@@ -167,6 +169,10 @@ TINY_CROSS_OK = {
     "dormant_high_balance_customers",  # 1-row global-average-balance
                                        # scalar (the Q22 scalar subquery
                                        # decorrelated to a broadcast cross)
+    "copurchase_association_rules",    # 1-row order-count scalar for the
+                                       # lift denominator
+    "data_quality_report",             # six 1-row × 1-row check-count
+                                       # crosses (each O(1))
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup
@@ -192,6 +198,11 @@ WIDE_PLAN_OK = {
     # constituent _lsh_recall_plan; each half is individually gated via
     # dedup_ngram_jaccard / dedup_minhash_lsh)
     "lsh_dedup_recall_eval": 24,
+    # six independent expectation checks unioned into ONE report frame:
+    # each check is a trivial 2-3-exchange aggregate (anti-join count /
+    # uniqueness delta / pushed-filter count) plus its 1-row broadcast;
+    # the union sums them. Per-check width is minimal by construction.
+    "data_quality_report": 24,
 }
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graph import bfs_oracle_sql
 from ..operators.pagerank import pagerank_fixed_point, pagerank_oracle_sql
 from ..operators.symspell import fuzzy_join_dist1, oracle_deletion_keys_cte
 from ..sources.tables import load_table
@@ -155,3 +156,127 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EAGER_ITERATIVE.update({"pagerank_copurchase": _copurchase_edges})
+
+
+# --------------------------------------------------------------------------
+# BFS shortest hops over the same co-purchase graph — reachability as the
+# traversal sibling of PageRank's ranking.  Seed = min node id (a
+# customer); 4 rounds reaches the bipartite graph's 4-hop neighborhood.
+# --------------------------------------------------------------------------
+_BFS_HOPS = 4
+
+
+@register_local(
+    "bfs_shortest_hops",
+    oracle=f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+           node // 2 AS key,
+           hops
+    FROM ({bfs_oracle_sql(_PR_EDGES_CTE, _BFS_HOPS)})
+    """,
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Pregel BFS (operators/graph.py::bfs_hops) from the
+    lowest customer node; the oracle replays the identical min-hop
+    trajectory as unrolled CTE rounds (the PageRank pattern applied to
+    traversal).  The 1-element seed collect is a bounded scalar, the
+    same class as the audited corpus-count collects."""
+    from ..operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seed = edges.agg(F.min("src").alias("m")).collect()[0]["m"]
+    out = bfs_hops(edges, seed, _BFS_HOPS)
+    return out.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        "hops",
+    )
+
+
+EAGER_ITERATIVE.update({"bfs_shortest_hops": _copurchase_edges})
+
+
+@register_local(
+    "streaming_pagerank_edges_parity",
+    oracle=f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+           node // 2 AS key,
+           rank_scaled,
+           deg
+    FROM ({pagerank_oracle_sql(_PR_EDGES_CTE, _PR_ITERATIONS)})
+    """,
+)
+def streaming_pagerank_edges_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase graph maintained on the LIVE lineitem append path —
+    the thirteenth streaming parity: each micro-batch joins its delta
+    against the static orders dimension and appends delta-sized directed
+    edge candidates; the at-rest edge table folds duplicates with one
+    distinct (set-union maintenance — the IVF-index pattern applied to a
+    graph); PageRank then runs from the maintained edge set through the
+    SAME `pagerank_fixed_point` as the batch query, under the SAME
+    unrolled-CTE oracle.  The replay is range-split by l_orderkey into
+    three micro-batches, so the same (customer, part) edge arrives from
+    multiple batches and the hash match proves the set-merge law.
+    Per-tick work is delta-sized (one stream-static equi-join)."""
+    import shutil
+    import tempfile
+
+    td = tempfile.mkdtemp(prefix="stream_pr_")
+    src_dir = f"{td}/src"
+    edges_dir = f"{td}/state_edges"
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        li.repartitionByRange(3, "l_orderkey").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.join(
+                    orders, batch_df.l_orderkey == orders.o_orderkey
+                )
+                .select(
+                    (2 * F.col("o_custkey")).alias("src"),
+                    (2 * F.col("l_partkey") + 1).alias("dst"),
+                )
+                .distinct()
+                .write.mode("append")
+                .parquet(edges_dir)
+            )
+
+        stream = (
+            spark.readStream.schema("l_orderkey long, l_partkey long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        e0 = spark.read.parquet(edges_dir).distinct()
+        sym = e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        pr = pagerank_fixed_point(sym, _PR_ITERATIONS)
+        # localCheckpoint inside pagerank_fixed_point already detaches the
+        # result from the temp-dir lineage
+        return pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("part"))
+            .alias("node_type"),
+            F.expr("node div 2").alias("key"),
+            "rank_scaled",
+            "deg",
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

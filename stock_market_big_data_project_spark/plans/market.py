@@ -21,6 +21,7 @@ from ..operators.cleaning import (
     hour_floor,
     normalize_timestamp,
 )
+from ..functions.scalar import exact_avg, oracle_exact_avg
 from ..operators.timegrid import asof_join, pivot_last, resample_ffill
 from ..operators.windows import (
     lag_features,
@@ -1937,10 +1938,7 @@ _TI_VAR20 = (
     "- (CAST(s20 AS DOUBLE)/1000.0)*(CAST(s20 AS DOUBLE)/1000.0)/20.0)/19.0"
 )
 
-
-@register_local(
-    "technical_indicators_bundle",
-    oracle=f"""
+_TI_ORACLE = f"""
     WITH bars AS (
       SELECT user_id AS symbol, date_trunc('hour', ts) AS hour_ts,
              last(value ORDER BY ts, event_id) AS close,
@@ -1986,20 +1984,15 @@ _TI_VAR20 = (
              END
            END AS rsi14
     FROM g
-    """,
-)
-def technical_indicators_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SMA-5/20, Bollinger(20, 2σ), ROC-12, and Cutler's RSI-14 as one
-    plan: the bar build is a single (symbol, hour) hash aggregate; every
-    indicator then rides ONE exchange keyed by symbol — all window frames
-    share the identical (PARTITION BY symbol ORDER BY hour_ts) spec, so
-    Spark evaluates them in a single Window operator pass per frame width,
-    with no extra shuffles.  At 100 TB the plan is unchanged: one
-    aggregate exchange + one window exchange; within-partition frames
-    never spill cross-key."""
-    ev = load_events(spark, sf_dir)
+    """
+
+
+def _indicator_bars(ev: DataFrame) -> DataFrame:
+    """(symbol, hour_ts, close, close_fp) hourly bars — ONE hash aggregate
+    with map-side combine; close is the positional last under the
+    (ts, event_id) total order."""
     order_key = F.struct("ts", "event_id")
-    bars = (
+    return (
         ev.groupBy(
             F.col("user_id").alias("symbol"),
             F.date_trunc("hour", "ts").alias("hour_ts"),
@@ -2007,6 +2000,11 @@ def technical_indicators_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max_by("value", order_key).alias("close"))
         .withColumn("close_fp", F.round(F.col("close") * 1000, 0).cast("long"))
     )
+
+
+def _indicators_from_bars(bars: DataFrame) -> DataFrame:
+    """The windowed indicator pass, shared verbatim by the batch query and
+    the streaming parity so both tiers score through one definition."""
     sym = Window.partitionBy("symbol").orderBy("hour_ts")
     r5 = sym.rowsBetween(-4, 0)
     r20 = sym.rowsBetween(-19, 0)
@@ -2070,4 +2068,223 @@ def technical_indicators_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("rsi14"),
+    )
+
+
+@register_local("technical_indicators_bundle", oracle=_TI_ORACLE)
+def technical_indicators_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA-5/20, Bollinger(20, 2σ), ROC-12, and Cutler's RSI-14 as one
+    plan: the bar build is a single (symbol, hour) hash aggregate; every
+    indicator then rides ONE exchange keyed by symbol — all window frames
+    share the identical (PARTITION BY symbol ORDER BY hour_ts) spec, so
+    Spark evaluates them in a single Window operator pass per frame width,
+    with no extra shuffles.  At 100 TB the plan is unchanged: one
+    aggregate exchange + one window exchange; within-partition frames
+    never spill cross-key."""
+    return _indicators_from_bars(_indicator_bars(load_events(spark, sf_dir)))
+
+
+@register_local("streaming_indicators_parity", oracle=_TI_ORACLE)
+def streaming_indicators_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indicator bundle on the LIVE tick path — the twelfth streaming
+    parity: hourly bars are maintained incrementally (each micro-batch
+    appends delta-sized bar PARTIALS: its per-(symbol, hour) last-tick
+    candidate carrying the (ts, event_id) order key), the at-rest bar
+    table merges partials by max_by over the stored order key — exact
+    under any batch split, because positional-last is a selection, not
+    arithmetic — and the indicators then score from the maintained bars
+    through the SAME `_indicators_from_bars` the batch query uses (one
+    windowed definition by construction).  The events replay is range-
+    split by event_id into three micro-batches, so almost every bar
+    spans batches and a hash match proves the cross-batch MERGE law, not
+    just per-batch aggregation.  Per-tick work is delta-sized; the bar
+    state is bars-sized (hours × symbols), never ticks-sized."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_events_stream
+
+    td = tempfile.mkdtemp(prefix="stream_ti_")
+    src_dir = f"{td}/src"
+    bars_dir = f"{td}/state_bars"
+    try:
+        load_events(spark, sf_dir).repartitionByRange(3, "event_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            order_key = F.struct("ts", "event_id")
+            (
+                batch_df.groupBy(
+                    F.col("user_id").alias("symbol"),
+                    F.date_trunc("hour", "ts").alias("hour_ts"),
+                )
+                .agg(
+                    F.max_by("value", order_key).alias("close"),
+                    F.max(order_key).alias("okey"),
+                )
+                .write.mode("append")
+                .parquet(bars_dir)
+            )
+
+        q = (
+            read_events_stream(spark, src_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(bars_dir)
+            .groupBy("symbol", "hour_ts")
+            .agg(F.max_by("close", "okey").alias("close"))
+            .withColumn(
+                "close_fp", F.round(F.col("close") * 1000, 0).cast("long")
+            )
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return _indicators_from_bars(merged).localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Additive seasonal decomposition — value = level + seasonal(hour-of-day)
+# + residual, the classical-decomposition profile a market monitor hangs
+# intraday anomaly flags on.  Exact arithmetic throughout: all three
+# moments are decimal-sum means (order-independent), and the residual
+# variance quantizes each squared deviation to the same decimal(38,6)
+# grid on both engines (the exact_sum contract).
+# --------------------------------------------------------------------------
+@register_local(
+    "seasonal_decompose_additive",
+    oracle=f"""
+    WITH lv AS (
+      SELECT user_id AS symbol, {oracle_exact_avg('value')} AS level
+      FROM events GROUP BY 1
+    ), seas AS (
+      SELECT user_id AS symbol, hour(ts) AS hod,
+             {oracle_exact_avg('value')} AS hod_mean,
+             count(*) AS n_obs
+      FROM events GROUP BY 1, 2
+    ), resid AS (
+      SELECT e.user_id AS symbol, hour(e.ts) AS hod,
+             {oracle_exact_avg('(e.value - s.hod_mean) * (e.value - s.hod_mean)')}
+               AS resid_var
+      FROM events e
+      JOIN seas s ON s.symbol = e.user_id AND s.hod = hour(e.ts)
+      GROUP BY 1, 2
+    )
+    SELECT s.symbol, s.hod, lv.level,
+           s.hod_mean - lv.level AS seasonal,
+           s.n_obs, r.resid_var
+    FROM seas s
+    JOIN lv ON lv.symbol = s.symbol
+    JOIN resid r ON r.symbol = s.symbol AND r.hod = s.hod
+    """,
+)
+def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates + one self-join: the (symbol, hod) profile and the
+    per-symbol level are both map-side-combined rollups; the residual
+    variance re-joins the profile onto the events ONCE (keyed the same
+    (symbol, hod) as the profile aggregate, so at 100 TB the exchange is
+    reused, and the profile side is symbols × 24 rows — broadcast-sized
+    relative to any corpus)."""
+    ev = load_events(spark, sf_dir)
+    lv = ev.groupBy(F.col("user_id").alias("symbol")).agg(
+        exact_avg("value", "level")
+    )
+    seas = ev.groupBy(
+        F.col("user_id").alias("symbol"), F.hour("ts").alias("hod")
+    ).agg(
+        exact_avg("value", "hod_mean"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    dev = (
+        ev.select(
+            F.col("user_id").alias("symbol"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .join(F.broadcast(seas.select("symbol", "hod", "hod_mean")), ["symbol", "hod"])
+        .withColumn("_d", F.col("value") - F.col("hod_mean"))
+    )
+    resid = dev.groupBy("symbol", "hod").agg(
+        exact_avg(F.col("_d") * F.col("_d"), "resid_var")
+    )
+    return (
+        seas.join(lv, "symbol")
+        .join(resid, ["symbol", "hod"])
+        .select(
+            "symbol",
+            "hod",
+            "level",
+            (F.col("hod_mean") - F.col("level")).alias("seasonal"),
+            "n_obs",
+            "resid_var",
+        )
+    )
+
+
+@register_local("orc_roundtrip_parity", oracle=_ROUNDTRIP_ORACLE)
+def orc_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write → read round-trip through ORC — the third columnar-adjacent
+    interchange format after parquet and CSV/JSONL.  ORC timestamps carry
+    nanosecond precision natively, so unlike the text formats no
+    timestampFormat pinning is needed; the hash match proves values,
+    types, NULLs, and µs timestamps survive the ORC writer/reader pair
+    end-to-end (Spark's vectorized ORC reader applies the same pushdown
+    machinery as parquet at scale)."""
+    df = _roundtrip_frame(spark, sf_dir)
+    path = _roundtrip_dir("orc", sf_dir)
+    df.write.mode("overwrite").format("orc").save(path)
+    return spark.read.schema(df.schema).format("orc").load(path)
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows — the third time-window type beside the
+# tumbling (streaming_batch_parity) and session (session_window_native)
+# aggregations: 2-hour windows sliding every hour, so each tick lands in
+# exactly two overlapping windows.
+# --------------------------------------------------------------------------
+@register_local(
+    "hopping_window_volume",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id AS symbol, ts, value,
+             unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+      FROM events
+    )
+    SELECT symbol, win_start,
+           win_start + INTERVAL 2 HOUR AS win_end,
+           count(*) AS n_ticks,
+           {oracle_exact_avg('value')} AS avg_value
+    FROM x
+    GROUP BY symbol, win_start
+    """,
+)
+def hopping_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`F.window(ts, '2 hours', '1 hour')` — Spark expands each row into
+    its two overlapping window assignments (an Expand node, same shape as
+    grouping sets) and aggregates once; the oracle states the identical
+    expansion explicitly via unnest.  At 100 TB the fan-out factor is
+    length/slide = 2 regardless of scale, and the aggregate stays one
+    keyed exchange with map-side combine."""
+    ev = load_events(spark, sf_dir)
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(F.col("user_id").alias("symbol"), w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            exact_avg("value", "avg_value"),
+        )
+        .select(
+            "symbol",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_ticks",
+            "avg_value",
+        )
     )

@@ -41,6 +41,8 @@ _PLAN_MODULES = (
     "training",
     "retrieval",
     "linkage",
+    "eventflow",
+    "warehouse",
 )
 
 

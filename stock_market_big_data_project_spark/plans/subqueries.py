@@ -405,3 +405,34 @@ def dormant_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFram
             exact_sum("c_acctbal", "total_balance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with grouping() indicators — the explicit multi-grain
+# aggregate (cube/rollup are its special cases; the engine already carries
+# both, this pins the general form).  One ANSI text, two engines: the
+# oracle string IS the spark.sql() input (the sql_interface_revenue
+# pattern), so the grain-indicator semantics (grouping() = 1 on the
+# aggregated-away axis, NULL group keys disambiguated) hash-certify
+# directly.
+# --------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register_local("grouping_sets_pricing", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three grains in ONE scan: Spark expands grouping sets into a single
+    Expand + hash aggregate (each input row fans out once per set), so the
+    fact table is read once however many grains are requested — the same
+    plan shape cube_pricing_totals uses, here with an explicit set list
+    and grouping() indicators."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

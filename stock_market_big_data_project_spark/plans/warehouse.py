@@ -1,0 +1,475 @@
+"""Data-warehouse utility tier — ranking-window completeness, the
+array/higher-order-function surface, market-basket association rules,
+a data-quality expectations report, and SCD2 history construction.
+
+These are the operations a team replacing the reference's pandas scripts
+with a real engine reaches for within the first month of production use:
+"rank within group", "explode/transform this array", "what sells
+together", "is the data intact", "give me validity intervals".  Each is
+one declarative plan with a full DuckDB hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import oracle_exact_sum
+from ..sources.tables import load_events, load_table
+from .registry import register_local
+
+
+# --------------------------------------------------------------------------
+# Ranking-window completeness: rank / dense_rank / percent_rank /
+# cume_dist / ntile over one deterministic total order, top-3 per group.
+# --------------------------------------------------------------------------
+@register_local(
+    "window_rank_bundle",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+             l_extendedprice,
+             rank()         OVER w AS rnk,
+             dense_rank()   OVER w AS drnk,
+             percent_rank() OVER w AS prnk,
+             cume_dist()    OVER w AS cdist,
+             ntile(4)       OVER w AS quartile,
+             row_number()   OVER w AS rn
+      FROM lineitem
+      WINDOW w AS (
+        PARTITION BY l_returnflag, l_linestatus
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      )
+    )
+    SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+           l_extendedprice, rnk, drnk, prnk, cdist, quartile
+    FROM r WHERE rn <= 3
+    """,
+)
+def window_rank_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every SQL ranking function over ONE window spec — Spark evaluates
+    them in a single Window operator over a single sort, so the bundle
+    costs exactly one exchange + one sort however many rank flavors are
+    requested.  The ORDER BY is a total order (price, orderkey,
+    linenumber), so rank ties, percent_rank denominators, and ntile
+    bucket boundaries are all deterministic — the top-3 filter then
+    bounds the output while the full-partition functions (percent_rank,
+    cume_dist, ntile) still exercise whole-partition semantics."""
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Array / higher-order-function surface: per-symbol price arrays with
+# transform / filter / fold / slice / element access.  HOF arithmetic is
+# fixed-point BIGINT (round(value*1000)), so the fold is
+# associative-exact — any fold order on either engine gives the same
+# integer — and the whole bundle hash-certifies.
+# --------------------------------------------------------------------------
+@register_local(
+    "array_functions_bundle",
+    oracle="""
+    WITH arrs AS (
+      SELECT user_id AS symbol,
+             list_transform(
+               list_sort(list(value ORDER BY ts, event_id)),
+               x -> CAST(round(x * 1000) AS BIGINT)
+             ) AS vals_fp
+      FROM events GROUP BY user_id
+    )
+    SELECT symbol,
+           len(vals_fp) AS n_vals,
+           list_reduce(vals_fp, (a, b) -> a + b) AS sum_fp,
+           vals_fp[1] AS min_fp,
+           vals_fp[len(vals_fp)] AS max_fp,
+           vals_fp[(len(vals_fp) + 1) // 2] AS median_lo_fp,
+           len(list_filter(vals_fp, x -> x * len(vals_fp)
+                 > list_reduce(vals_fp, (a, b) -> a + b))) AS n_above_mean,
+           list_slice(vals_fp, 1, 3) AS smallest3_fp
+    FROM arrs
+    """,
+)
+def array_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect → sort → transform → fold → filter → slice, all on the
+    array column: the per-symbol series becomes one ARRAY<BIGINT> and
+    every derived statistic is a higher-order expression over it — no
+    second shuffle, no explode-and-reaggregate round trip.  The
+    above-mean test multiplies through by n (x·n > Σ) so it stays in
+    integers.  HOFs evaluate interpreted (outside codegen) — fine here
+    because the array side is symbols-sized, not ticks-sized; the
+    ticks-sized work (collect_list) is one ordinary aggregate."""
+    ev = load_events(spark, sf_dir)
+    arrs = ev.groupBy(F.col("user_id").alias("symbol")).agg(
+        F.array_sort(
+            F.transform(
+                # deterministic pre-sort order is irrelevant post-sort,
+                # but collect under an order key keeps the plan stable
+                F.collect_list("value"),
+                lambda x: x,
+            )
+        ).alias("vals")
+    )
+    arrs = arrs.select(
+        "symbol",
+        F.transform(
+            "vals", lambda x: F.round(x * 1000, 0).cast("long")
+        ).alias("vals_fp"),
+    )
+    n = F.size("vals_fp")
+    total = F.aggregate(
+        "vals_fp", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return arrs.select(
+        "symbol",
+        n.alias("n_vals"),
+        total.alias("sum_fp"),
+        F.element_at("vals_fp", 1).alias("min_fp"),
+        F.element_at("vals_fp", n).alias("max_fp"),
+        F.element_at("vals_fp", ((n + 1) / 2).cast("int")).alias(
+            "median_lo_fp"
+        ),
+        F.size(
+            F.filter("vals_fp", lambda x: x * n > total)
+        ).alias("n_above_mean"),
+        F.slice("vals_fp", 1, 3).alias("smallest3_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket association rules: co-purchased part pairs with support,
+# confidence, and lift.  Pair space is Σ per-order C(n_items, 2) — order
+# sizes are bounded (single-digit items), so the self-join is linear in
+# orders, never parts².
+# --------------------------------------------------------------------------
+@register_local(
+    "copurchase_association_rules",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM op
+    ), part_supp AS (
+      SELECT l_partkey, count(*) AS supp FROM op GROUP BY l_partkey
+    ), pair_supp AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS supp_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.supp_pair,
+           sa.supp AS supp_a, sb.supp AS supp_b,
+           CAST(p.supp_pair AS DOUBLE) / sa.supp AS confidence_a_to_b,
+           CAST(p.supp_pair AS DOUBLE) * (SELECT n FROM n_orders)
+             / (CAST(sa.supp AS DOUBLE) * sb.supp) AS lift
+    FROM pair_supp p
+    JOIN part_supp sa ON sa.l_partkey = p.part_a
+    JOIN part_supp sb ON sb.l_partkey = p.part_b
+    """,
+)
+def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A-priori 2-itemset pass as three aggregates + one
+    within-order self-join: (order, part) is deduped once, pair support
+    rides the order-keyed equi-join (pair space bounded by order sizes),
+    and confidence/lift derive from the two support tables plus one
+    1-row order-count scalar (tiny-cross).  All ratios are the identical
+    IEEE division on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    part_supp = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = op.withColumnsRenamed({"l_partkey": "part_a"})
+    b = op.withColumnsRenamed({"l_partkey": "part_b"})
+    pair_supp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("supp_pair"))
+        .filter(F.col("supp_pair") >= 3)
+    )
+    sa = part_supp.withColumnsRenamed({"l_partkey": "part_a", "supp": "supp_a"})
+    sb = part_supp.withColumnsRenamed({"l_partkey": "part_b", "supp": "supp_b"})
+    return (
+        pair_supp.join(sa, "part_a")
+        .join(sb, "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "supp_pair",
+            "supp_a",
+            "supp_b",
+            (F.col("supp_pair").cast("double") / F.col("supp_a")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("supp_pair").cast("double")
+                * F.col("n")
+                / (F.col("supp_a").cast("double") * F.col("supp_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations report: referential integrity, uniqueness,
+# range, and completeness checks as ONE unioned plan — the Great
+# Expectations surface expressed declaratively.
+# --------------------------------------------------------------------------
+@register_local(
+    "data_quality_report",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT count(*) FROM orders) AS n_checked,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer_key_unique',
+           (SELECT count(*) FROM customer),
+           (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+            FROM customer)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 1.0)
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0)
+    UNION ALL
+    SELECT 'events_value_nonnull',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events WHERE value IS NULL)
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six expectations, one DataFrame: FK orphan checks are left-anti
+    counts (one keyed shuffle each, probe side only), uniqueness is a
+    count-vs-count-distinct delta, range/completeness checks are pushed
+    scan filters.  Each check aggregates to ONE row before the union, so
+    the report costs the sum of its cheapest-possible constituent scans
+    and unions six single-row frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_events(spark, sf_dir)
+
+    def row(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
+        n_c = checked.agg(F.count(F.lit(1)).alias("n_checked"))
+        n_v = violations.agg(F.count(F.lit(1)).alias("n_violations"))
+        return (
+            n_c.join(F.broadcast(n_v))
+            .select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+        )
+
+    orphan_orders = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    )
+    orphan_li = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    n_cust = customer.agg(F.count(F.lit(1)).alias("n_checked"))
+    dup_cust = (
+        n_cust.join(
+            F.broadcast(
+                customer.agg(
+                    (
+                        F.count(F.lit(1)) - F.countDistinct("c_custkey")
+                    ).alias("n_violations")
+                )
+            )
+        )
+        .select(
+            F.lit("customer_key_unique").alias("check_name"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return (
+        row("orders_custkey_fk", orders, orphan_orders)
+        .unionByName(row("lineitem_orderkey_fk", li, orphan_li))
+        .unionByName(dup_cust)
+        .unionByName(
+            row(
+                "lineitem_discount_range",
+                li,
+                li.filter(
+                    (F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0)
+                ),
+            )
+        )
+        .unionByName(
+            row(
+                "lineitem_quantity_positive",
+                li,
+                li.filter(F.col("l_quantity") <= 0.0),
+            )
+        )
+        .unionByName(
+            row(
+                "events_value_nonnull",
+                ev,
+                ev.filter(F.col("value").isNull()),
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history construction: per-user daily-close value, consecutive
+# equal values collapsed into [valid_from, valid_to) intervals — the
+# type-2 slowly-changing-dimension build as one windowed plan.
+# --------------------------------------------------------------------------
+_SCD2_SQL = """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(round(last(value ORDER BY ts, event_id) * 1000) AS BIGINT)
+               AS close_fp
+      FROM events GROUP BY 1, 2
+    ), flagged AS (
+      SELECT user_id, day, close_fp,
+             CASE WHEN lag(close_fp) OVER w IS NULL
+                    OR lag(close_fp) OVER w <> close_fp
+                  THEN 1 ELSE 0 END AS is_new
+      FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ), grp AS (
+      SELECT user_id, day, close_fp,
+             sum(is_new) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_id
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, close_fp, CAST(grp_id AS BIGINT) AS version,
+             min(day) AS valid_from, max(day) AS last_day
+      FROM grp GROUP BY user_id, close_fp, grp_id
+    )
+    SELECT user_id, version, close_fp, valid_from,
+           lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+    FROM spans
+"""
+
+
+@register_local("scd2_user_history", oracle=_SCD2_SQL)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands SCD2: change flags via lag, island ids via a
+    running sum of flags, one rollup per island, validity-interval close
+    via lead — four window passes all sharing ONE user-keyed exchange
+    (identical partition key), so the history build costs a single
+    shuffle at any scale.  Values compare as millipoint BIGINTs so
+    'unchanged' is an exact integer equality on both engines."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.round(
+            F.max_by("value", F.struct("ts", "event_id")) * 1000, 0
+        )
+        .cast("long")
+        .alias("close_fp")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = daily.withColumn(
+        "is_new",
+        F.when(
+            F.lag("close_fp").over(w).isNull()
+            | (F.lag("close_fp").over(w) != F.col("close_fp")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grp = flagged.withColumn(
+        "grp_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = grp.groupBy(
+        "user_id", "close_fp", F.col("grp_id").cast("long").alias("version")
+    ).agg(
+        F.min("day").alias("valid_from"),
+        F.max("day").alias("last_day"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return spans.select(
+        "user_id",
+        "version",
+        "close_fp",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temporal dimension join: every event matched to the SCD2 validity
+# interval in force at its timestamp — the point-in-time lookup every
+# type-2 warehouse serves ("what was the attribute WHEN this happened").
+# --------------------------------------------------------------------------
+@register_local(
+    "temporal_dimension_join",
+    oracle=f"""
+    WITH hist AS ({_SCD2_SQL})
+    SELECT h.user_id, h.version, h.close_fp,
+           count(e.event_id) AS n_events,
+           count(DISTINCT e.event_type) AS n_types
+    FROM hist h
+    JOIN events e
+      ON e.user_id = h.user_id
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    GROUP BY h.user_id, h.version, h.close_fp
+    """,
+)
+def temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment as an equi-join on user_id with the range
+    bounds as residual predicates — never a pure range join, so the plan
+    is one keyed shuffle however long the history grows; the dimension
+    side is the SCD2 history (users × versions, dimension-sized), the
+    probe side the fact stream.  Every event lands in exactly one
+    interval by construction (intervals partition each user's timeline
+    from the first day), which the oracle's count certifies."""
+    ev = load_events(spark, sf_dir)
+    hist = scd2_user_history(spark, sf_dir)
+    cond = (
+        (ev.user_id == hist.user_id)
+        & (ev.ts >= hist.valid_from)
+        & (hist.valid_to.isNull() | (ev.ts < hist.valid_to))
+    )
+    return (
+        hist.join(ev, cond)
+        .groupBy(hist.user_id, "version", "close_fp")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )

@@ -42,11 +42,18 @@ def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_RAW_SCHEMA = _events_raw_schema(T.LongType())
 
 
-def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    dir_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """OP-61 — file-source replay of the append-only quote stream.
 
     In production this is Kafka/Kinesis; a parquet directory source has the
     same incremental-execution semantics (new files = new micro-batch).
+    `max_files_per_trigger` pins the micro-batch granularity for replay
+    harnesses that must prove cross-batch merge laws (None = source
+    default: everything available in one batch under AvailableNow).
 
     The fixture's ts is parquet TIMESTAMP(NANOS); a one-file batch probe
     (footer read only) decides whether this runtime surfaces it as raw
@@ -76,11 +83,12 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
         probe_type = (
             T.TimestampNTZType() if ver >= (4, 1, 2) else T.LongType()
         )
-    raw = (
-        spark.readStream.schema(_events_raw_schema(probe_type))
-        .format("parquet")
-        .load(dir_path)
+    reader = spark.readStream.schema(_events_raw_schema(probe_type)).format(
+        "parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(dir_path)
     if isinstance(probe_type, T.LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -260,3 +260,89 @@ class TestSubqueryPack:
             .count()
         )
         assert bad == 0
+
+
+def _bfs_pure_python(
+    edges: list[tuple[int, int]], seed: int, max_hops: int
+) -> dict[int, int]:
+    """Independent BFS: breadth-first frontier expansion with a dict."""
+    dist = {seed: 0}
+    frontier = [seed]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for s, d in edges:
+            if s in dist and dist[s] == h - 1 and d not in dist:
+                dist[d] = h
+                nxt.append(d)
+        frontier = nxt
+    return dist
+
+
+class TestBfs:
+    def test_matches_pure_python(self, spark):
+        raw = [
+            (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 7), (7, 8),
+            (8, 9), (9, 10), (2, 7),
+        ]
+        sym = sorted(set(raw) | {(b, a) for a, b in raw})
+        from stock_market_big_data_project_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        df = spark.createDataFrame(sym, ["src", "dst"])
+        got = {r.node: r.hops for r in bfs_hops(df, 1, 3).collect()}
+        want = _bfs_pure_python(sym, 1, 3)
+        assert got == want
+        # node 5 is 4 hops out — must NOT appear after 3 rounds
+        assert 5 not in got and 4 in got
+
+    def test_partition_invariant(self, spark):
+        raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+        sym = sorted(set(raw) | {(b, a) for a, b in raw})
+        from stock_market_big_data_project_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        df = spark.createDataFrame(sym, ["src", "dst"])
+        a = {r.node: r.hops for r in bfs_hops(df, 1, 4).collect()}
+        b = {
+            r.node: r.hops
+            for r in bfs_hops(df.repartition(5, "dst"), 1, 4).collect()
+        }
+        assert a == b
+
+
+class TestSymspellProperty:
+    def test_random_corpus_completeness(self, spark):
+        """Property: on md5-seeded random short strings over a 3-letter
+        alphabet (maximizing distance-1 collisions), the deletion-key
+        blocked join returns EXACTLY the brute-force distance-<=1 pair
+        set.  Deterministic corpus (no flaky seeds), adversarially small
+        alphabet."""
+        import hashlib
+
+        def rand_word(i: int) -> str:
+            h = hashlib.md5(f"w{i}".encode()).hexdigest()
+            n = 3 + int(h[:2], 16) % 4  # length 3..6
+            return "".join("abc"[int(c, 16) % 3] for c in h[2 : 2 + n])
+
+        words = [(i, rand_word(i)) for i in range(60)]
+        left = spark.createDataFrame(words, ["lid", "lname"])
+        right = spark.createDataFrame(
+            [(100 + i, w) for i, w in words], ["rid", "rname"]
+        )
+        got = {
+            (r.lid, r.rid)
+            for r in fuzzy_join_dist1(
+                left, right, "lid", "lname", "rid", "rname"
+            ).collect()
+        }
+        want = {
+            (i, 100 + j)
+            for i, a in words
+            for j, b in words
+            if _levenshtein(a, b) <= 1
+        }
+        assert got == want
+        # the 3-letter alphabet must actually generate cross matches
+        assert len(want) > len(words)

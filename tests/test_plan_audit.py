@@ -99,6 +99,8 @@ def test_eager_iterative_list_is_current(spark):
         "schema_evolution_read",  # same write-then-read shape
         "pagerank_copurchase",  # Pregel power iteration: per-round
         # equi-joins over the audited symmetrized-edges constituent
+        "bfs_shortest_hops",  # Pregel traversal over the same audited
+        # edges constituent
     }
     for name, builder in EAGER_ITERATIVE.items():
         assert (
