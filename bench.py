@@ -214,6 +214,9 @@ EXTRA = [
     "bfs_shortest_hops",
     "temporal_dimension_join",
     "hopping_window_volume",
+    # streaming_scd2_parity is excluded for the replay-at-call-time
+    # reason above; its batch twin is timed via scd2_user_history
+    "label_propagation_communities",
 ]
 
 

@@ -130,3 +130,74 @@ def bfs_oracle_sql(edges_cte: str, max_hops: int) -> str:
     {rounds_sql}
     SELECT node, hops FROM {prev}
     """
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """(node, label) after `rounds` of deterministic semi-synchronous
+    label propagation (community detection — Raghavan et al. 2007, made
+    engine-reproducible): every node starts labeled with itself; each
+    round a node adopts the most frequent label among its neighbors PLUS
+    its own current label (the self-vote damps the 2-coloring
+    oscillation synchronous LPA exhibits on bipartite graphs), ties
+    broken toward the smallest label.  All-integer and fixed-round, so
+    the whole trajectory replays as unrolled CTE rounds in an oracle —
+    the PageRank/BFS certification pattern applied to community
+    detection.  Each round is one edges ⋈ labels equi-join + two
+    aggregates (label counts, then the argmax), lineage-truncated."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), -F.col("label"))
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(edges_cte: str, rounds: int) -> str:
+    """DuckDB twin of `label_propagation`: `edges_cte` defines
+    ``sym(src, dst)``; unrolled CTE rounds with the identical
+    most-frequent / smallest-label-tie-break update."""
+    steps = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""l{k} AS (
+      SELECT node, first(label ORDER BY cnt DESC, label) AS label FROM (
+        SELECT node, label, count(*) AS cnt FROM (
+          SELECT s.dst AS node, p.label
+          FROM sym s JOIN l{k - 1} p ON p.node = s.src
+          UNION ALL
+          SELECT node, label FROM l{k - 1}
+        ) GROUP BY node, label
+      ) GROUP BY node
+    )"""
+        )
+        prev = f"l{k}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH {edges_cte},
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    {steps_sql}
+    SELECT node, label FROM {prev}
+    """

@@ -34,6 +34,7 @@ STREAMING_HARNESS = {
     "streaming_image_dhash_parity",
     "streaming_indicators_parity",
     "streaming_pagerank_edges_parity",
+    "streaming_scd2_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import bfs_oracle_sql
+from ..operators.graph import bfs_oracle_sql, label_propagation_oracle_sql
 from ..operators.pagerank import pagerank_fixed_point, pagerank_oracle_sql
 from ..operators.symspell import fuzzy_join_dist1, oracle_deletion_keys_cte
 from ..sources.tables import load_table
@@ -280,3 +280,42 @@ def streaming_pagerank_edges_parity(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Community detection: deterministic label propagation over the same
+# co-purchase graph — the third graph algorithm (ranking: PageRank;
+# traversal: BFS; clustering: LPA; plus connected components in the
+# dedup family).
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+
+
+@register_local(
+    "label_propagation_communities",
+    oracle=f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'part' END AS node_type,
+           node // 2 AS key,
+           label AS community
+    FROM ({label_propagation_oracle_sql(_PR_EDGES_CTE, _LPA_ROUNDS)})
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four deterministic LPA rounds (most-frequent neighbor label with a
+    self-vote, smallest-label tie-break — operators/graph.py); the
+    oracle replays the identical trajectory as unrolled CTE rounds.  At
+    100 TB each round is one edge-keyed shuffle + two aggregates; labels
+    are node ids so state stays two longs per node."""
+    from ..operators.graph import label_propagation
+
+    out = label_propagation(_copurchase_edges(spark, sf_dir), _LPA_ROUNDS)
+    return out.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("part"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("key"),
+        F.col("label").alias("community"),
+    )
+
+
+EAGER_ITERATIVE.update({"label_propagation_communities": _copurchase_edges})

@@ -391,8 +391,13 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical partition key), so the history build costs a single
     shuffle at any scale.  Values compare as millipoint BIGINTs so
     'unchanged' is an exact integer equality on both engines."""
-    ev = load_events(spark, sf_dir)
-    daily = ev.groupBy(
+    return _scd2_from_daily(_daily_closes(load_events(spark, sf_dir)))
+
+
+def _daily_closes(ev: DataFrame) -> DataFrame:
+    """(user_id, day, close_fp) — positional-last daily closes, millipoint
+    quantized; ONE hash aggregate with map-side combine."""
+    return ev.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
         F.round(
@@ -401,6 +406,12 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("close_fp")
     )
+
+
+def _scd2_from_daily(daily: DataFrame) -> DataFrame:
+    """The gaps-and-islands pass, shared verbatim by the batch query and
+    the streaming parity so both tiers build history through one
+    definition."""
     w = Window.partitionBy("user_id").orderBy("day")
     flagged = daily.withColumn(
         "is_new",
@@ -473,3 +484,68 @@ def temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_types"),
         )
     )
+
+
+@register_local("streaming_scd2_parity", oracle=_SCD2_SQL)
+def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance on the LIVE tick path — the fourteenth
+    streaming parity: daily-close partials (per-batch positional-last
+    candidates carrying their (ts, event_id) order key) append
+    delta-sized per micro-batch; the at-rest daily table merges partials
+    by max_by over the stored key (exact under any batch split — the
+    indicator-parity merge law applied to the dimension build), and the
+    history derives from merged state through the SAME `_scd2_from_daily`
+    the batch query uses, under the SAME `_SCD2_SQL` oracle.  The replay
+    is range-split by event_id into three micro-batches so days span
+    batches; per-tick work is delta-sized, state is days × users."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_events_stream
+
+    td = tempfile.mkdtemp(prefix="stream_scd2_")
+    src_dir = f"{td}/src"
+    daily_dir = f"{td}/state_daily"
+    try:
+        load_events(spark, sf_dir).repartitionByRange(
+            3, "event_id"
+        ).write.mode("overwrite").parquet(src_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            order_key = F.struct("ts", "event_id")
+            (
+                batch_df.groupBy(
+                    "user_id", F.date_trunc("day", "ts").alias("day")
+                )
+                .agg(
+                    F.max_by("value", order_key).alias("close"),
+                    F.max(order_key).alias("okey"),
+                )
+                .write.mode("append")
+                .parquet(daily_dir)
+            )
+
+        q = (
+            read_events_stream(spark, src_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(daily_dir)
+            .groupBy("user_id", "day")
+            .agg(F.max_by("close", "okey").alias("close"))
+            .select(
+                "user_id",
+                "day",
+                F.round(F.col("close") * 1000, 0).cast("long").alias(
+                    "close_fp"
+                ),
+            )
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return _scd2_from_daily(merged).localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)

@@ -346,3 +346,67 @@ class TestSymspellProperty:
         assert got == want
         # the 3-letter alphabet must actually generate cross matches
         assert len(want) > len(words)
+
+
+def _lpa_pure_python(
+    edges: list[tuple[int, int]], rounds: int
+) -> dict[int, int]:
+    """Independent LPA: most-frequent neighbor label + self-vote,
+    smallest-label tie-break."""
+    nodes = sorted({s for s, _ in edges})
+    label = {v: v for v in nodes}
+    for _ in range(rounds):
+        votes: dict[int, dict[int, int]] = {v: {} for v in nodes}
+        for s, d in edges:
+            votes[d][label[s]] = votes[d].get(label[s], 0) + 1
+        for v in nodes:
+            votes[v][label[v]] = votes[v].get(label[v], 0) + 1
+        label = {
+            v: min(
+                (lb for lb, c in votes[v].items()
+                 if c == max(votes[v].values()))
+            )
+            for v in nodes
+        }
+    return label
+
+
+class TestLabelPropagation:
+    def test_matches_pure_python(self, spark):
+        # two dense triangles joined by one bridge edge — LPA should
+        # find the two communities
+        raw = [
+            (1, 2), (2, 3), (3, 1),
+            (10, 11), (11, 12), (12, 10),
+            (3, 10),
+        ]
+        sym = sorted(set(raw) | {(b, a) for a, b in raw})
+        from stock_market_big_data_project_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame(sym, ["src", "dst"])
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, rounds=4).collect()
+        }
+        want = _lpa_pure_python(sym, 4)
+        assert got == want
+        # the two triangles must converge to distinct internal labels
+        assert got[1] == got[2] == got[3] or len({got[1], got[2], got[3]}) <= 2
+        assert len({got[10], got[11], got[12]}) <= 2
+
+    def test_partition_invariant(self, spark):
+        raw = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+        sym = sorted(set(raw) | {(b, a) for a, b in raw})
+        from stock_market_big_data_project_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame(sym, ["src", "dst"])
+        a = {r.node: r.label for r in label_propagation(df, 3).collect()}
+        b = {
+            r.node: r.label
+            for r in label_propagation(df.repartition(5, "dst"), 3).collect()
+        }
+        assert a == b

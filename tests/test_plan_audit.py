@@ -101,6 +101,8 @@ def test_eager_iterative_list_is_current(spark):
         # equi-joins over the audited symmetrized-edges constituent
         "bfs_shortest_hops",  # Pregel traversal over the same audited
         # edges constituent
+        "label_propagation_communities",  # Pregel community detection
+        # over the same audited edges constituent
     }
     for name, builder in EAGER_ITERATIVE.items():
         assert (
