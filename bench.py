@@ -217,6 +217,9 @@ EXTRA = [
     # streaming_scd2_parity is excluded for the replay-at-call-time
     # reason above; its batch twin is timed via scd2_user_history
     "label_propagation_communities",
+    "below_avg_quantity_revenue",
+    "top_supplier_by_revenue",
+    "bipartite_butterfly_stats",
 ]
 
 

@@ -174,6 +174,8 @@ TINY_CROSS_OK = {
                                        # lift denominator
     "data_quality_report",             # six 1-row × 1-row check-count
                                        # crosses (each O(1))
+    "top_supplier_by_revenue",         # 1-row max-revenue scalar (the
+                                       # Q15 HAVING-=-max decorrelation)
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup

@@ -174,7 +174,13 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH x AS (
       SELECT event_type,
-             CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+             -- json_valid guard: unguarded json_extract THROWS on
+             -- malformed JSON, while the Spark side's get_json_object
+             -- returns NULL — the guard keeps the oracle total on the
+             -- invalid-JSON rows the is_valid column exists to measure
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INTEGER)
+             END AS k,
              CAST(json_valid(props) AS INT) AS is_valid
       FROM events
     )

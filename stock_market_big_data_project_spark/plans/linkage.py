@@ -107,6 +107,15 @@ _PR_EDGES_CTE = """e0 AS (
     )"""
 
 
+def _symmetrize(e0: DataFrame) -> DataFrame:
+    """Directed (src, dst) ∪ (dst, src), deduped — shared by the batch
+    edge builder and the streaming edge-maintenance parity so the
+    symmetrization can never drift between the tiers."""
+    return e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audited pre-checkpoint constituent: the symmetrized distinct
     edge list (one equi-join + one distinct — the per-round Pregel joins
@@ -121,9 +130,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    return _symmetrize(e0)
 
 
 @register_local(
@@ -183,7 +190,11 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     same class as the audited corpus-count collects."""
     from ..operators.graph import bfs_hops
 
-    edges = _copurchase_edges(spark, sf_dir)
+    # checkpoint BEFORE the seed collect so the lineitem⋈orders edge
+    # build runs ONCE — the seed aggregate and every BFS round then read
+    # the materialized edges (review fix: the lazy frame executed the
+    # join twice, once per consumer)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     seed = edges.agg(F.min("src").alias("m")).collect()[0]["m"]
     out = bfs_hops(edges, seed, _BFS_HOPS)
     return out.select(
@@ -264,10 +275,7 @@ def streaming_pagerank_edges_parity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         q.awaitTermination()
         e0 = spark.read.parquet(edges_dir).distinct()
-        sym = e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-        pr = pagerank_fixed_point(sym, _PR_ITERATIONS)
+        pr = pagerank_fixed_point(_symmetrize(e0), _PR_ITERATIONS)
         # localCheckpoint inside pagerank_fixed_point already detaches the
         # result from the temp-dir lineage
         return pr.select(
@@ -319,3 +327,59 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 EAGER_ITERATIVE.update({"label_propagation_communities": _copurchase_edges})
+
+
+# --------------------------------------------------------------------------
+# Bipartite motif counting: butterflies (2x2 bicliques) — THE clustering
+# primitive for bipartite graphs, where triangles cannot exist.
+# --------------------------------------------------------------------------
+@register_local(
+    "bipartite_butterfly_stats",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), w AS (
+      SELECT a.c AS c1, b.c AS c2, count(*) AS shared
+      FROM op a JOIN op b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c
+    )
+    SELECT count(*) AS n_copurchase_pairs,
+           CAST(sum(shared) AS BIGINT) AS n_wedges,
+           CAST(sum(shared * (shared - 1) // 2) AS BIGINT) AS n_butterflies,
+           max(shared) AS max_shared_parts
+    FROM w
+    """,
+)
+def bipartite_butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-then-count butterfly counting (Wang et al.'s exact
+    formulation): customer pairs sharing a part come from ONE part-keyed
+    self-join of the deduped (customer, part) incidence list — wedge
+    space is Σ_p C(deg(p), 2), bounded by part degrees, never
+    customers² — and each pair with `shared` common parts closes
+    C(shared, 2) butterflies, summed in integers.  At 100 TB the
+    degree-skew cut (drop hub parts above a df threshold before the
+    self-join, exactly the stop-shingle rule the Jaccard dedup chain
+    uses) bounds the wedge blow-up; the fixture's part degrees are
+    single-digit so no cut is applied here."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    op = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.withColumnsRenamed({"c": "c1"})
+    b = op.withColumnsRenamed({"c": "c2"})
+    w = (
+        a.join(b, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("n_copurchase_pairs"),
+        F.sum("shared").alias("n_wedges"),
+        F.sum(F.expr("shared * (shared - 1) div 2")).alias("n_butterflies"),
+        F.max("shared").alias("max_shared_parts"),
+    )

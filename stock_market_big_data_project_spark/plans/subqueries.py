@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import (
-    EXACT_DECIMAL,
     exact_avg,
     exact_sum,
     oracle_exact_avg,
@@ -436,3 +435,101 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     and grouping() indicators."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar AVG subquery with a multiplier (TPC-H Q17 shape:
+# "small-quantity orders" — lineitems whose quantity is below 20% of
+# their part's average quantity).
+# --------------------------------------------------------------------------
+@register_local(
+    "below_avg_quantity_revenue",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           {oracle_exact_sum('l.l_extendedprice')} AS sum_price,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'SMALL'
+      AND l.l_quantity < (
+        SELECT 0.2 * ({oracle_exact_avg('l2.l_quantity')})
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    GROUP BY l.l_returnflag
+    """,
+)
+def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar AVG decorrelation: the per-part average is ONE
+    map-side-combined aggregate over lineitem (decimal-exact, so the
+    0.2× threshold is the identical double on both engines), joined back
+    on the part key — the fact table is scanned twice but shuffled on
+    the same key both times, and the part filter prunes the probe side
+    before the threshold join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        exact_avg("l_quantity", "_avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            exact_sum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING-equals-scalar-max (TPC-H Q15 shape: the top supplier(s) by
+# revenue, ties preserved — an aggregate compared against the max over
+# the same aggregate).
+# --------------------------------------------------------------------------
+@register_local(
+    "top_supplier_by_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-vs-scalar-max-of-itself: the revenue rollup is computed
+    ONCE, the max is a 1-row reduction of that rollup (broadcast cross —
+    suppliers-sized input, so the 'scan twice' of the naive form never
+    touches the fact table twice), and ties survive (every supplier at
+    the max, exactly the Q15 contract).  The date window pushes to the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_rev",
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )

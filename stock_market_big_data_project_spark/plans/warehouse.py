@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import oracle_exact_sum
 from ..sources.tables import load_events, load_table
 from .registry import register_local
 
@@ -119,14 +118,9 @@ def array_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks-sized work (collect_list) is one ordinary aggregate."""
     ev = load_events(spark, sf_dir)
     arrs = ev.groupBy(F.col("user_id").alias("symbol")).agg(
-        F.array_sort(
-            F.transform(
-                # deterministic pre-sort order is irrelevant post-sort,
-                # but collect under an order key keeps the plan stable
-                F.collect_list("value"),
-                lambda x: x,
-            )
-        ).alias("vals")
+        # collect order is nondeterministic under shuffle; array_sort
+        # canonicalizes before any element access
+        F.array_sort(F.collect_list("value")).alias("vals")
     )
     arrs = arrs.select(
         "symbol",

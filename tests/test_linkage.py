@@ -267,14 +267,10 @@ def _bfs_pure_python(
 ) -> dict[int, int]:
     """Independent BFS: breadth-first frontier expansion with a dict."""
     dist = {seed: 0}
-    frontier = [seed]
     for h in range(1, max_hops + 1):
-        nxt = []
         for s, d in edges:
             if s in dist and dist[s] == h - 1 and d not in dist:
                 dist[d] = h
-                nxt.append(d)
-        frontier = nxt
     return dist
 
 
