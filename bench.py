@@ -220,6 +220,7 @@ EXTRA = [
     "below_avg_quantity_revenue",
     "top_supplier_by_revenue",
     "bipartite_butterfly_stats",
+    "symspell_fuzzy_join_dist2",
 ]
 
 

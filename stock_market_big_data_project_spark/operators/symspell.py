@@ -101,3 +101,99 @@ def oracle_deletion_keys_cte(
       FROM {src_cte},
            LATERAL unnest(generate_series(0, length({name_col}))) AS _t(i)
     """
+
+
+def deletion_keys_depth2(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
+    """(id, name, key) — the string itself, every 1-deletion, and every
+    2-deletion (delete positions i < j of the ORIGINAL string), giving
+    1 + len + C(len, 2) keys per row.  The symmetric-delete guarantee
+    extends: levenshtein(s, t) <= 2 ⟹ the depth-2 neighborhoods
+    intersect (each unit edit aligns to at most one deletion per side),
+    so the equi-join on these keys is a COMPLETE candidate generator for
+    k = 2 — verified against brute force in tests/test_linkage.py."""
+    pairs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.explode(
+            F.expr(
+                # (0,0) = identity; (i,0) = delete i; (i,j>i) = delete i,j
+                "flatten(transform(sequence(0, length({n})), i -> "
+                "transform(sequence(0, CASE WHEN i = 0 THEN 0 "
+                "ELSE length({n}) END), j -> "
+                "CASE WHEN j = 0 OR j > i THEN struct(i, j) END)))".format(
+                    n=name_col
+                )
+            )
+        ).alias("_ij"),
+    ).filter(F.col("_ij").isNotNull())
+    return pairs.select(
+        "_id",
+        "_name",
+        F.expr(
+            "CASE WHEN _ij.i = 0 THEN _name "
+            "WHEN _ij.j = 0 THEN concat(substring(_name, 1, _ij.i - 1), "
+            "substring(_name, _ij.i + 1)) "
+            "ELSE concat(substring(_name, 1, _ij.i - 1), "
+            "substring(_name, _ij.i + 1, _ij.j - _ij.i - 1), "
+            "substring(_name, _ij.j + 1)) END"
+        ).alias("_key"),
+    )
+
+
+def fuzzy_join_dist2(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+) -> DataFrame:
+    """All (left, right) pairs with levenshtein <= 2 via depth-2
+    symmetric-delete blocking: ~1 + len + C(len,2) keys per row through
+    one hash equi-join, Levenshtein once per CANDIDATE — the k = 2 tier
+    of fuzzy_join_dist1, still never all-pairs."""
+    lk = deletion_keys_depth2(left, left_id, left_name).withColumnsRenamed(
+        {"_id": "_lid", "_name": "_lname"}
+    )
+    rk = deletion_keys_depth2(right, right_id, right_name).withColumnsRenamed(
+        {"_id": "_rid", "_name": "_rname"}
+    )
+    cand = lk.join(rk, "_key").select("_lid", "_lname", "_rid", "_rname").distinct()
+    return (
+        cand.withColumn(
+            "edit_distance",
+            F.levenshtein("_lname", "_rname").cast("int"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_lname").alias(left_name),
+            F.col("_rid").alias(right_id),
+            F.col("_rname").alias(right_name),
+            "edit_distance",
+        )
+    )
+
+
+def oracle_deletion_keys_depth2_cte(
+    src_cte: str, id_col: str, name_col: str
+) -> str:
+    """DuckDB twin of `deletion_keys_depth2` — (i, j) pairs with the
+    identical (0,0)/(i,0)/(i,j>i) encoding and delete formulas."""
+    return f"""
+      SELECT id, name,
+             CASE WHEN i = 0 THEN name
+                  WHEN j = 0 THEN substr(name, 1, i - 1) || substr(name, i + 1)
+                  ELSE substr(name, 1, i - 1)
+                       || substr(name, i + 1, j - i - 1)
+                       || substr(name, j + 1)
+             END AS key
+      FROM (
+        SELECT {id_col} AS id, {name_col} AS name,
+               unnest(generate_series(0, length({name_col}))) AS i
+        FROM {src_cte}
+      ), LATERAL unnest(
+        generate_series(0, CASE WHEN i = 0 THEN 0 ELSE length(name) END)
+      ) AS _t(j)
+      WHERE j = 0 OR j > i
+    """

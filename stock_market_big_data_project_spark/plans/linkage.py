@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from ..operators.graph import bfs_oracle_sql, label_propagation_oracle_sql
 from ..operators.pagerank import pagerank_fixed_point, pagerank_oracle_sql
-from ..operators.symspell import fuzzy_join_dist1, oracle_deletion_keys_cte
+from ..operators.symspell import (
+    fuzzy_join_dist1,
+    oracle_deletion_keys_cte,
+    oracle_deletion_keys_depth2_cte,
+)
 from ..sources.tables import load_table
 from .audit import EAGER_ITERATIVE
 from .registry import register_local
@@ -382,4 +386,71 @@ def bipartite_butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("shared").alias("n_wedges"),
         F.sum(F.expr("shared * (shared - 1) div 2")).alias("n_butterflies"),
         F.max("shared").alias("max_shared_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SymSpell k = 2: the parameterized tier — a feed corrupted at TWO
+# distinct key-dependent positions ('X' then 'Y', both absent from
+# fixture names, and p2 - p1 ≡ 7 mod 18 so the positions never collide),
+# matched with depth-2 deletion-neighborhood blocking.
+# --------------------------------------------------------------------------
+_D2_P1 = "(1 + (c_custkey % length(c_name)))"
+_D2_P2 = "(1 + ((c_custkey + 7) % length(c_name)))"
+
+
+def _overlay_sql(src: str, ch: str, pos: str) -> str:
+    return (
+        f"substr({src}, 1, {pos} - 1) || '{ch}' || substr({src}, {pos} + 1)"
+    )
+
+
+_D2_NAME_SQL = _overlay_sql(
+    f"({_overlay_sql('c_name', 'X', _D2_P1)})", "Y", _D2_P2
+)
+
+
+@register_local(
+    "symspell_fuzzy_join_dist2",
+    oracle=f"""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+    ), dirty AS (
+      SELECT c_custkey AS id, {_D2_NAME_SQL} AS name FROM customer
+    ), ck AS ({oracle_deletion_keys_depth2_cte('clean', 'id', 'name')}
+    ), dk AS ({oracle_deletion_keys_depth2_cte('dirty', 'id', 'name')}
+    ), cand AS (
+      SELECT DISTINCT ck.id AS clean_id, ck.name AS clean_name,
+                      dk.id AS dirty_id, dk.name AS dirty_name
+      FROM ck JOIN dk ON ck.key = dk.key
+    )
+    SELECT clean_id, clean_name, dirty_id, dirty_name,
+           CAST(levenshtein(clean_name, dirty_name) AS INTEGER) AS edit_distance
+    FROM cand
+    WHERE levenshtein(clean_name, dirty_name) <= 2
+    """,
+)
+def symspell_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k = 2 tier of the SymSpell join: depth-2 deletion
+    neighborhoods (1 + len + C(len,2) keys per row — ~172 for the
+    fixture names) through ONE hash equi-join, Levenshtein per
+    CANDIDATE.  Every dirty row is exactly distance 2 from its source
+    (two distinct positions overwritten with characters absent from the
+    alphabet), so planted recall is total — asserted with the
+    brute-force differential in tests/test_linkage.py.  Key volume grows
+    quadratically with string length (the honest k = 2 price), but the
+    join stays candidate-bounded — never all-pairs."""
+    from ..operators.symspell import fuzzy_join_dist2
+
+    customer = load_table(spark, sf_dir, "customer")
+    clean = customer.select(
+        F.col("c_custkey").alias("clean_id"), F.col("c_name").alias("clean_name")
+    )
+    # Spark SQL accepts the identical substr/|| text the oracle uses
+    dirty = customer.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(_D2_NAME_SQL).alias("dirty_name"),
+    )
+    return fuzzy_join_dist2(
+        clean, dirty, "clean_id", "clean_name", "dirty_id", "dirty_name"
     )

@@ -406,3 +406,54 @@ class TestLabelPropagation:
             for r in label_propagation(df.repartition(5, "dst"), 3).collect()
         }
         assert a == b
+
+
+class TestSymspellDist2:
+    def test_planted_recall_dist2(self, spark):
+        """Every doubly-corrupted row links back to its source at exact
+        distance 2 (two distinct positions overwritten with
+        out-of-alphabet characters)."""
+        out = get_query("symspell_fuzzy_join_dist2")(spark, SF_DIR)
+        n_customers = (
+            spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+        )
+        self_pairs = out.filter(F.col("clean_id") == F.col("dirty_id"))
+        assert self_pairs.count() == n_customers
+        assert (
+            self_pairs.filter(F.col("edit_distance") != 2).count() == 0
+        )
+
+    def test_matches_bruteforce_random_corpus(self, spark):
+        """Depth-2 blocking is COMPLETE for distance <= 2: on an
+        md5-seeded 3-letter-alphabet corpus (maximizing 2-edit
+        collisions), the blocked join equals the quadratic scan."""
+        import hashlib
+
+        from stock_market_big_data_project_spark.operators.symspell import (
+            fuzzy_join_dist2,
+        )
+
+        def rand_word(i: int) -> str:
+            h = hashlib.md5(f"d2w{i}".encode()).hexdigest()
+            n = 4 + int(h[:2], 16) % 4  # length 4..7
+            return "".join("abc"[int(c, 16) % 3] for c in h[2 : 2 + n])
+
+        words = [(i, rand_word(i)) for i in range(50)]
+        left = spark.createDataFrame(words, ["lid", "lname"])
+        right = spark.createDataFrame(
+            [(100 + i, w) for i, w in words], ["rid", "rname"]
+        )
+        got = {
+            (r.lid, r.rid, r.edit_distance)
+            for r in fuzzy_join_dist2(
+                left, right, "lid", "lname", "rid", "rname"
+            ).collect()
+        }
+        want = {
+            (i, 100 + j, _levenshtein(a, b))
+            for i, a in words
+            for j, b in words
+            if _levenshtein(a, b) <= 2
+        }
+        assert got == want
+        assert any(d == 2 for _, _, d in want)  # distance-2 pairs exist

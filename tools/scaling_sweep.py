@@ -1,0 +1,80 @@
+"""Cross-SF scaling sweep: time a representative query slice at
+sf0.001 / sf0.01 / sf0.1 and report the wall-clock scaling ratios —
+measured evidence for the 100 TB extrapolation argument in SCALE.md.
+
+A plan that survives scale-up shows sub-linear-to-linear growth between
+10× data steps (fixed JVM/planning overhead amortizes; per-row work
+scales with data).  Super-linear growth between steps is the smell the
+sweep exists to catch (accidental quadratic pair spaces, driver-side
+materialization).
+
+Usage: python tools/scaling_sweep.py [query ...]
+Prints one JSON line: {query: {sf: seconds, ..., "r_01_001": x,
+"r_1_01": y}} with each timing the min of 2 consecutive runs (the
+steady-state rule from bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from stock_market_big_data_project_spark.plans import (
+    LOCAL_QUERIES,
+    QUERIES,
+    load_all_plans,
+)
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+DEFAULT = [
+    "q1_pricing_summary",        # scan -> agg
+    "revenue_by_region",         # multi-join
+    "quantiles_by_priority",     # window order statistics
+    "dedup_minhash_lsh",         # banded candidate join
+    "bm25_retrieval_topk",       # retrieval scoring
+    "technical_indicators_bundle",  # window stack
+    "symspell_fuzzy_join_dist1",    # deletion-key blocking join
+    "copurchase_association_rules",  # within-order self-join
+    "scd2_user_history",         # gaps-and-islands
+    "json_extraction_bundle",    # semi-structured scan
+]
+
+
+def main() -> None:
+    load_all_plans()
+    names = sys.argv[1:] or DEFAULT
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    all_q = {**LOCAL_QUERIES, **QUERIES}
+    out: dict = {}
+    for name in names:
+        fn = all_q[name]
+        row: dict = {}
+        for sf in SFS:
+            sf_dir = f"/root/testdata/{sf}"
+            best = None
+            for _ in range(2):  # consecutive repeats; min = steady state
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row[sf] = round(best, 3)
+        row["r_01_001"] = round(row["sf0.01"] / row["sf0.001"], 2)
+        row["r_1_01"] = round(row["sf0.1"] / row["sf0.01"], 2)
+        out[name] = row
+        print(f"  {name}: {row}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
