@@ -124,8 +124,11 @@ def bfs_oracle_sql(edges_cte: str, max_hops: int) -> str:
     return f"""
     WITH {edges_cte},
     d0 AS (
-      SELECT CAST((SELECT min(src) FROM sym) AS BIGINT) AS node,
-             0 AS hops
+      -- the IS NOT NULL guard keeps d0 vacuously empty on an empty
+      -- graph (min over zero rows is NULL), matching the Spark side
+      SELECT node, 0 AS hops FROM (
+        SELECT CAST((SELECT min(src) FROM sym) AS BIGINT) AS node
+      ) WHERE node IS NOT NULL
     ),
     {rounds_sql}
     SELECT node, hops FROM {prev}

@@ -61,6 +61,15 @@ def pagerank_fixed_point(
     # one scalar to the driver (bounded: a single long), same class as the
     # audited 1-row corpus-count collects
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty graph: empty result with the contract schema (guards the
+        # base = .../(100*N) division; DuckDB's oracle is vacuously empty
+        # on the same input)
+        return deg.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_scaled"),
+            "deg",
+        )
     base = (15 * SCALE) // (100 * n_nodes)
     init = SCALE // n_nodes
     ranks = deg.select("node", F.lit(init).cast("long").alias("rank_scaled"))

@@ -200,7 +200,11 @@ def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join twice, once per consumer)
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     seed = edges.agg(F.min("src").alias("m")).collect()[0]["m"]
-    out = bfs_hops(edges, seed, _BFS_HOPS)
+    if seed is None:
+        # empty graph: vacuously empty traversal, same as the oracle's
+        out = spark.createDataFrame([], "node long, hops int")
+    else:
+        out = bfs_hops(edges, seed, _BFS_HOPS)
     return out.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("part"))

@@ -457,3 +457,40 @@ class TestSymspellDist2:
         }
         assert got == want
         assert any(d == 2 for _, _, d in want)  # distance-2 pairs exist
+
+
+class TestGraphDegenerate:
+    def test_pagerank_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        out = pagerank_fixed_point(df, iterations=3)
+        assert out.count() == 0
+        assert set(out.columns) == {"node", "rank_scaled", "deg"}
+
+    def test_lpa_empty_graph(self, spark):
+        from stock_market_big_data_project_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame([], "src long, dst long")
+        assert label_propagation(df, rounds=2).count() == 0
+
+    def test_pagerank_single_edge(self, spark):
+        # two nodes, symmetric single edge: ranks must be equal and the
+        # mass identity base + 85%*(rank//1) holds exactly
+        df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+        got = {
+            r.node: r.rank_scaled
+            for r in pagerank_fixed_point(df, iterations=5).collect()
+        }
+        assert got[1] == got[2]
+        want = _pagerank_pure_python([(1, 2), (2, 1)], 5)
+        assert got == want
+
+    def test_bfs_self_loop_only(self, spark):
+        from stock_market_big_data_project_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        df = spark.createDataFrame([(7, 7)], ["src", "dst"])
+        got = {r.node: r.hops for r in bfs_hops(df, 7, 3).collect()}
+        assert got == {7: 0}
