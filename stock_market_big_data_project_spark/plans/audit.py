@@ -35,6 +35,7 @@ STREAMING_HARNESS = {
     "streaming_indicators_parity",
     "streaming_pagerank_edges_parity",
     "streaming_scd2_parity",
+    "streaming_fuzzy_link_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

@@ -458,3 +458,96 @@ def symspell_fuzzy_join_dist2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_dist2(
         clean, dirty, "clean_id", "clean_name", "dirty_id", "dirty_name"
     )
+
+
+@register_local(
+    "streaming_fuzzy_link_parity",
+    oracle=f"""
+    WITH clean AS (
+      SELECT c_custkey AS id, c_name AS name FROM customer
+    ), dirty AS (
+      SELECT c_custkey AS id, {_DIRTY_NAME_SQL} AS name FROM customer
+    ), ck AS ({oracle_deletion_keys_cte('clean', 'id', 'name')}
+    ), dk AS ({oracle_deletion_keys_cte('dirty', 'id', 'name')}
+    ), cand AS (
+      SELECT DISTINCT ck.id AS clean_id, ck.name AS clean_name,
+                      dk.id AS dirty_id, dk.name AS dirty_name
+      FROM ck JOIN dk ON ck.key = dk.key
+    )
+    SELECT clean_id, clean_name, dirty_id, dirty_name,
+           CAST(levenshtein(clean_name, dirty_name) AS INTEGER) AS edit_distance
+    FROM cand
+    WHERE levenshtein(clean_name, dirty_name) <= 1
+    """,
+)
+def streaming_fuzzy_link_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on the LIVE feed path — the fifteenth streaming
+    parity: the CLEAN registry's deletion-key index is built once and
+    sits at rest; each micro-batch of the dirty feed expands only ITS
+    delta into deletion keys, probes the at-rest index (the
+    BM25/IVF-index-maintenance shape applied to record linkage), and
+    appends its verified matches.  The union of per-batch match deltas
+    must equal the batch fuzzy join bitwise — which the SAME oracle as
+    `symspell_fuzzy_join_dist1` checks.  Per-tick work is
+    delta·(len+1) keys; the clean index is touched only by hash-join
+    probes, never rebuilt."""
+    import shutil
+    import tempfile
+
+    from ..operators.symspell import deletion_keys
+
+    td = tempfile.mkdtemp(prefix="stream_fuzzy_")
+    src_dir = f"{td}/src"
+    matches_dir = f"{td}/state_matches"
+    try:
+        clean, dirty = _clean_and_dirty(spark, sf_dir)
+        # the dirty FEED arrives as a stream, range-split by id into
+        # three micro-batches
+        dirty.repartitionByRange(3, "dirty_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        # the at-rest index: clean-side deletion keys, built ONCE
+        clean_keys = deletion_keys(
+            clean, "clean_id", "clean_name"
+        ).withColumnsRenamed({"_id": "_cid", "_name": "_cname"}).localCheckpoint()
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            dk = deletion_keys(
+                batch_df, "dirty_id", "dirty_name"
+            ).withColumnsRenamed({"_id": "_did", "_name": "_dname"})
+            (
+                dk.join(clean_keys, "_key")
+                .select("_cid", "_cname", "_did", "_dname")
+                .distinct()
+                .withColumn(
+                    "edit_distance",
+                    F.levenshtein("_cname", "_dname").cast("int"),
+                )
+                .filter(F.col("edit_distance") <= 1)
+                .write.mode("append")
+                .parquet(matches_dir)
+            )
+
+        stream = (
+            spark.readStream.schema("dirty_id long, dirty_name string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(matches_dir).select(
+            F.col("_cid").alias("clean_id"),
+            F.col("_cname").alias("clean_name"),
+            F.col("_did").alias("dirty_id"),
+            F.col("_dname").alias("dirty_name"),
+            "edit_distance",
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
