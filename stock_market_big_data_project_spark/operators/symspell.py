@@ -52,6 +52,44 @@ def deletion_keys(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     )
 
 
+def _fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    keys_fn,
+    max_dist: int,
+) -> DataFrame:
+    """The shared blocking-join core: expand both sides with `keys_fn`
+    (a deletion-neighborhood generator), hash equi-join on the key,
+    dedup candidates, verify with ONE Levenshtein per candidate.  The
+    k = 1 / k = 2 tiers differ only in the key generator and threshold —
+    parameterized here so the pipeline exists exactly once."""
+    lk = keys_fn(left, left_id, left_name).withColumnsRenamed(
+        {"_id": "_lid", "_name": "_lname"}
+    )
+    rk = keys_fn(right, right_id, right_name).withColumnsRenamed(
+        {"_id": "_rid", "_name": "_rname"}
+    )
+    cand = lk.join(rk, "_key").select("_lid", "_lname", "_rid", "_rname").distinct()
+    return (
+        cand.withColumn(
+            "edit_distance",
+            F.levenshtein("_lname", "_rname").cast("int"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_lname").alias(left_name),
+            F.col("_rid").alias(right_id),
+            F.col("_rname").alias(right_name),
+            "edit_distance",
+        )
+    )
+
+
 def fuzzy_join_dist1(
     left: DataFrame,
     right: DataFrame,
@@ -64,26 +102,9 @@ def fuzzy_join_dist1(
     without all-pairs: deletion-key equi-join -> distinct candidates ->
     Levenshtein verify.  Output columns: left_id, left_name, right_id,
     right_name, edit_distance."""
-    lk = deletion_keys(left, left_id, left_name).withColumnsRenamed(
-        {"_id": "_lid", "_name": "_lname"}
-    )
-    rk = deletion_keys(right, right_id, right_name).withColumnsRenamed(
-        {"_id": "_rid", "_name": "_rname"}
-    )
-    cand = lk.join(rk, "_key").select("_lid", "_lname", "_rid", "_rname").distinct()
-    return (
-        cand.withColumn(
-            "edit_distance",
-            F.levenshtein("_lname", "_rname").cast("int"),
-        )
-        .filter(F.col("edit_distance") <= 1)
-        .select(
-            F.col("_lid").alias(left_id),
-            F.col("_lname").alias(left_name),
-            F.col("_rid").alias(right_id),
-            F.col("_rname").alias(right_name),
-            "edit_distance",
-        )
+    return _fuzzy_join(
+        left, right, left_id, left_name, right_id, right_name,
+        deletion_keys, 1,
     )
 
 
@@ -152,26 +173,9 @@ def fuzzy_join_dist2(
     symmetric-delete blocking: ~1 + len + C(len,2) keys per row through
     one hash equi-join, Levenshtein once per CANDIDATE — the k = 2 tier
     of fuzzy_join_dist1, still never all-pairs."""
-    lk = deletion_keys_depth2(left, left_id, left_name).withColumnsRenamed(
-        {"_id": "_lid", "_name": "_lname"}
-    )
-    rk = deletion_keys_depth2(right, right_id, right_name).withColumnsRenamed(
-        {"_id": "_rid", "_name": "_rname"}
-    )
-    cand = lk.join(rk, "_key").select("_lid", "_lname", "_rid", "_rname").distinct()
-    return (
-        cand.withColumn(
-            "edit_distance",
-            F.levenshtein("_lname", "_rname").cast("int"),
-        )
-        .filter(F.col("edit_distance") <= 2)
-        .select(
-            F.col("_lid").alias(left_id),
-            F.col("_lname").alias(left_name),
-            F.col("_rid").alias(right_id),
-            F.col("_rname").alias(right_name),
-            "edit_distance",
-        )
+    return _fuzzy_join(
+        left, right, left_id, left_name, right_id, right_name,
+        deletion_keys_depth2, 2,
     )
 
 

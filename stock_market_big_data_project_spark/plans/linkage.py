@@ -396,11 +396,14 @@ def bipartite_butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # SymSpell k = 2: the parameterized tier — a feed corrupted at TWO
 # distinct key-dependent positions ('X' then 'Y', both absent from
-# fixture names, and p2 - p1 ≡ 7 mod 18 so the positions never collide),
-# matched with depth-2 deletion-neighborhood blocking.
+# fixture names), matched with depth-2 deletion-neighborhood blocking.
+# p2 = p1 + d mod len with d ∈ 1..len-1, so the positions are distinct
+# STRUCTURALLY — for any name length ≥ 2, not just the fixture's 18
+# (review fix: the previous +7 offset collided when len | 7).
 # --------------------------------------------------------------------------
 _D2_P1 = "(1 + (c_custkey % length(c_name)))"
-_D2_P2 = "(1 + ((c_custkey + 7) % length(c_name)))"
+_D2_STEP = "(1 + (c_custkey % (length(c_name) - 1)))"
+_D2_P2 = f"(1 + (({_D2_P1} - 1 + {_D2_STEP}) % length(c_name)))"
 
 
 def _overlay_sql(src: str, ch: str, pos: str) -> str:
@@ -540,12 +543,19 @@ def streaming_fuzzy_link_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        out = spark.read.parquet(matches_dir).select(
-            F.col("_cid").alias("clean_id"),
-            F.col("_cname").alias("clean_name"),
-            F.col("_did").alias("dirty_id"),
-            F.col("_dname").alias("dirty_name"),
-            "edit_distance",
+        # distinct() guards foreachBatch's at-least-once semantics: a
+        # retried batch re-appends its matches, and the set-merge at
+        # rest must fold them (same guard as the edges parity)
+        out = (
+            spark.read.parquet(matches_dir)
+            .distinct()
+            .select(
+                F.col("_cid").alias("clean_id"),
+                F.col("_cname").alias("clean_name"),
+                F.col("_did").alias("dirty_id"),
+                F.col("_dname").alias("dirty_name"),
+                "edit_distance",
+            )
         )
         # localCheckpoint: the result must outlive the temp dirs
         return out.localCheckpoint()

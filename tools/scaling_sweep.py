@@ -23,13 +23,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 from stock_market_big_data_project_spark.plans import (
     LOCAL_QUERIES,
     QUERIES,
     load_all_plans,
 )
+from stock_market_big_data_project_spark.session import get_spark
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
 DEFAULT = [
@@ -49,28 +48,36 @@ DEFAULT = [
 def main() -> None:
     load_all_plans()
     names = sys.argv[1:] or DEFAULT
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
+    # the bench session factory, not a hand-rolled builder: the sweep's
+    # whole point is comparability with bench.py, so it must run under
+    # the identical engine config (AQE, UTC, driver memory, codegen
+    # cache) — review fix
+    spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     all_q = {**LOCAL_QUERIES, **QUERIES}
     out: dict = {}
     for name in names:
         fn = all_q[name]
         row: dict = {}
+        raw: dict = {}
         for sf in SFS:
             sf_dir = f"/root/testdata/{sf}"
             best = None
             for _ in range(2):  # consecutive repeats; min = steady state
-                t0 = time.time()
+                t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
+                dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                # drop orphaned shuffle/broadcast state NOW so the next
+                # timing doesn't pay this run's cleanup debt (bench.py's
+                # steady-state rule)
+                spark.sparkContext._jvm.System.gc()
+            raw[sf] = best
             row[sf] = round(best, 3)
-        row["r_01_001"] = round(row["sf0.01"] / row["sf0.001"], 2)
-        row["r_1_01"] = round(row["sf0.1"] / row["sf0.01"], 2)
+        # ratios over the UN-rounded floats (rounding can hit 0.0 on a
+        # sub-millisecond run and divide by zero)
+        row["r_01_001"] = round(raw["sf0.01"] / max(raw["sf0.001"], 1e-6), 2)
+        row["r_1_01"] = round(raw["sf0.1"] / max(raw["sf0.01"], 1e-6), 2)
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
     print(json.dumps(out))
