@@ -230,6 +230,11 @@ def train_forest_batch(
     series_arange = np.arange(s_count)
 
     old_err = np.seterr(divide="ignore", invalid="ignore")
+    # shared all-ones weight buffer: every level's bincounts take a ones
+    # vector whose length varies — slicing one preallocated buffer beats
+    # allocating+filling a fresh array per level (the trainer is
+    # allocation-bound, not flop-bound; see the in-place gain pipeline)
+    ones_buf = np.ones(n_rows * kf)
     for t in range(p.n_trees):
         grad = y_all - pred
         # per-row cells over this tree's SAMPLED feature slots
@@ -269,7 +274,7 @@ def train_forest_batch(
             cg = np.bincount(
                 np.concatenate([slot_act, slot_act + n_fr]),
                 weights=np.concatenate(
-                    [np.ones(slot_act.size), grad_act]
+                    [ones_buf[: slot_act.size], grad_act]
                 ),
                 minlength=2 * n_fr,
             )
@@ -310,24 +315,42 @@ def train_forest_batch(
             # bitwise-identical results at half the call overhead
             gn = np.bincount(
                 np.concatenate([cells, cells + size]),
-                weights=np.concatenate([w, np.ones(cells.size)]),
+                weights=np.concatenate([w, ones_buf[: cells.size]]),
                 minlength=2 * size,
             )
-            gn_l = np.cumsum(gn.reshape(2, n_fr, kf, b), axis=3)
+            gn_l = gn.reshape(2, n_fr, kf, b)
+            # prefix sums in place (add.accumulate walks the bin axis
+            # sequentially, so aliasing input and output is exact), then
+            # the gain assembled with out= ops — SAME expressions in the
+            # SAME order as the allocating form (bitwise-identical; the
+            # differential suite pins it), minus ~6 frontier-sized
+            # temporaries per level. The gain search is the trainer's
+            # measured hotspot and it is allocation-bound, not flop-bound
+            # (profiled r10: gain temporaries ≈ 2× the cumsum cost, 10×
+            # the bincount cost at deep-level frontier shapes).
+            np.cumsum(gn_l, axis=3, out=gn_l)
             gl, nl = gn_l[0], gn_l[1]
             # node totals come from the FLAT row-order sums above (one
             # canonical summation order for GR, the parent score, and the
             # leaf values — not the per-slot bin-grouped order)
             g_tot = gsums[:, None, None]
             n_tot = counts[:, None, None]
-            gr = g_tot - gl
-            nr = n_tot - nl
             # Empty-side cells (NL=0 or NR=0) are clamped, not masked: the
             # empty side's G is exactly 0, so its term is 0 and the cell's
             # gain equals the other side's full score ≤ the parent score
             # G²/N — it can win the argmax only when NO cell improves, and
             # then the split test below rejects the node anyway.
-            gain = gl * gl / np.maximum(nl, 1) + gr * gr / np.maximum(nr, 1)
+            gr = np.subtract(g_tot, gl)
+            np.multiply(gr, gr, out=gr)
+            nr = np.subtract(n_tot, nl)
+            np.maximum(nr, 1, out=nr)
+            np.divide(gr, nr, out=gr)  # gr := GR²/max(NR,1)
+            # gl (gn_l[0]) is dead after this point — nl stays live for
+            # the child-validity gate below, so its clamp gets a buffer
+            np.multiply(gl, gl, out=gl)
+            nlc = np.maximum(nl, 1)
+            np.divide(gl, nlc, out=gl)  # gl := GL²/max(NL,1)
+            gain = np.add(gl, gr, out=gl)
             flatgain = gain.reshape(n_fr, kf * b)
             best = np.argmax(flatgain, axis=1)
             ar = np.arange(n_fr)

@@ -43,6 +43,11 @@ def pagerank_fixed_point(
     outdegree >= 1 — pass a symmetrized (undirected) graph to guarantee
     that (no dangling-mass redistribution step is then needed, and every
     node receives mail every round, so no left-join null handling).
+    The precondition is ENFORCED, not just documented: a cheap anti-join
+    probe (dst nodes with no out-edges) raises ValueError up front, so a
+    caller passing a raw directed graph gets a loud failure instead of
+    silently dropped sink nodes + leaked rank mass that would also
+    silently diverge from the oracle.
     """
     edges = (
         edges.select(
@@ -58,6 +63,20 @@ def pagerank_fixed_point(
         .withColumnRenamed("src", "node")
         .localCheckpoint()
     )
+    # precondition probe: any dst that never appears as a src is a sink
+    # with outdegree 0 — fail loudly (one bounded boolean job over the
+    # already-checkpointed edges; iteration cost dwarfs it)
+    dangling = (
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(deg, "node", "left_anti")
+    )
+    if not dangling.isEmpty():
+        raise ValueError(
+            "pagerank_fixed_point requires outdegree >= 1 for every node "
+            "(symmetrize the edge list first); found dst nodes with no "
+            "out-edges"
+        )
     # one scalar to the driver (bounded: a single long), same class as the
     # audited 1-row corpus-count collects
     n_nodes = deg.count()

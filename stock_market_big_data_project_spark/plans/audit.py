@@ -121,6 +121,16 @@ PYTHON_STAGE_OK = {
     "tokenizer_fertility_compare",   # the unigram Viterbi segmentation
                                      # Arrow pass over the distinct-word
                                      # table (vocab-bounded)
+    # r10 family bundles: each is a UNION of its legs' already-audited
+    # plans, so the Python stages are exactly the legs' audited codec /
+    # packing Arrow stages — no new Python surface
+    "multimodal_decode_bundle",      # the five codecs' audited Arrow
+                                     # encode/decode stages, unioned
+    "perceptual_dedup_bundle",       # the image/video/audio perceptual
+                                     # legs' audited codec+dHash stages
+    "training_prep_bundle",          # sequence_packing_ffd's audited
+                                     # per-shard FFD Arrow pass (via the
+                                     # lazy-leg audit constituent)
 }
 
 # Queries that deliberately cross-join a ≤1-row (or few-row) broadcast
@@ -177,6 +187,12 @@ TINY_CROSS_OK = {
                                        # crosses (each O(1))
     "top_supplier_by_revenue",         # 1-row max-revenue scalar (the
                                        # Q15 HAVING-=-max decorrelation)
+    "subquery_pack_bundle",            # its dormant-customers + top-
+                                       # supplier legs' 1-row scalar
+                                       # crosses (both audited above)
+    "warehouse_eventflow_bundle",      # data_quality_report's six 1-row
+                                       # check-count crosses (audited
+                                       # above)
 }
 
 # Exchange ceiling: the widest audited legitimate plan (the verified dedup
@@ -207,6 +223,13 @@ WIDE_PLAN_OK = {
     # uniqueness delta / pushed-filter count) plus its 1-row broadcast;
     # the union sums them. Per-check width is minimal by construction.
     "data_quality_report": 24,
+    # r10 family bundles: a bundle's exchange count is the SUM of its
+    # legs' audited widths (each leg is a registered query with its own
+    # audited plan) — measured 24 / 37 / 44 at sf0.001, with headroom for
+    # AQE join-strategy differences across SFs
+    "perceptual_dedup_bundle": 32,
+    "subquery_pack_bundle": 48,
+    "warehouse_eventflow_bundle": 56,
 }
 
 

@@ -31,7 +31,7 @@ from ..operators.symspell import (
 )
 from ..sources.tables import load_table
 from .audit import EAGER_ITERATIVE
-from .registry import register_local
+from .registry import register, register_local
 
 # One character overwritten with 'X' ('X' never occurs in fixture names,
 # so every dirty row is at exact distance 1 from its source) at a
@@ -58,7 +58,7 @@ def _clean_and_dirty(spark: SparkSession, sf_dir: str):
     return clean, dirty
 
 
-@register_local(
+@register(
     "symspell_fuzzy_join_dist1",
     oracle=f"""
     WITH clean AS (

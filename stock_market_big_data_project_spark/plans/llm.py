@@ -94,7 +94,7 @@ _NORM_SQL = (
 )
 
 
-@register(
+@register_local(
     "dedup_normalized_exact",
     oracle=f"""
     SELECT md5({_NORM_SQL}) AS norm_md5,
@@ -791,7 +791,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- REAL BMP codec (r8): decode + resize, bitwise-certified -----------------------
-@register(
+@register_local(
     "multimodal_bmp_decode",
     oracle="""
     WITH d AS (

@@ -43,6 +43,10 @@ _PLAN_MODULES = (
     "linkage",
     "eventflow",
     "warehouse",
+    # bundles LAST: it composes the other modules' registered queries +
+    # oracles into per-family driver rows (it also imports the siblings
+    # itself, so direct imports work too)
+    "bundles",
 )
 
 

@@ -687,7 +687,7 @@ def q6_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic to diverge (OP-31/36 family; the distributed exact-percentile
 # pattern).
 # --------------------------------------------------------------------------
-@register(
+@register_local(
     "quantiles_by_priority",
     oracle="""
     WITH t AS (

@@ -449,7 +449,7 @@ def perplexity_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_ALPHA = 0.3
 
 
-@register(
+@register_local(
     "temperature_sampling_mix",
     oracle=f"""
     WITH tok AS (

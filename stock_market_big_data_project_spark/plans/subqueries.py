@@ -463,19 +463,24 @@ def below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar AVG decorrelation: the per-part average is ONE
     map-side-combined aggregate over lineitem (decimal-exact, so the
     0.2× threshold is the identical double on both engines), joined back
-    on the part key — the fact table is scanned twice but shuffled on
-    the same key both times, and the part filter prunes the probe side
-    before the threshold join."""
+    on the part key.  The `p_type='SMALL'` part keys are semi-joined into
+    the aggregate's BUILD side first — only surviving parts can reach the
+    output, and the semi join keeps every lineitem row of those parts, so
+    their averages are unchanged while the full-lineitem aggregate (the
+    query's dominant cost at 100×) disappears.  Both lineitem passes
+    shuffle on the same key; AQE broadcasts the filtered part side."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_type") == "SMALL"
     ).select("p_partkey")
-    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+    li_small = li.join(
+        part, li.l_partkey == part.p_partkey, "left_semi"
+    )
+    avg_q = li_small.groupBy(F.col("l_partkey").alias("_pk")).agg(
         exact_avg("l_quantity", "_avg_qty")
     )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(avg_q, li.l_partkey == F.col("_pk"))
+        li_small.join(avg_q, li_small.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
         .groupBy("l_returnflag")
         .agg(

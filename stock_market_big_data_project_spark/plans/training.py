@@ -451,7 +451,7 @@ _LB_SHARDS = 16
 _LB_BATCH = 8
 
 
-@register(
+@register_local(
     "length_bucketed_batches",
     oracle=f"""
     WITH dl AS (
@@ -1897,7 +1897,7 @@ _SPAN_LEADS = ", ".join(
 )
 
 
-@register(
+@register_local(
     "substring_dup_spans",
     oracle=f"""
     WITH toks AS (
@@ -1956,7 +1956,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- cross-source overlap matrix (r6) ------------------------------------------------
-@register(
+@register_local(
     "source_overlap_matrix",
     oracle=f"""
     WITH sh AS ({oracle_word_shingles(5)}),

@@ -8,6 +8,7 @@ cannot (completeness of the blocking, partition invariance)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -196,7 +197,11 @@ class TestIndicators:
             grp = grp.reset_index(drop=True)
             if len(grp) < 25:
                 continue
-            fp = (grp.close * 1000).round().astype("int64")
+            # half-AWAY-from-zero, matching Spark F.round / DuckDB round —
+            # pandas .round() is half-to-even and would diverge on an exact
+            # .5 millipoint (spurious differential failure, not engine drift)
+            fp = np.floor(grp.close.to_numpy() * 1000 + 0.5).astype("int64")
+            fp = pd.Series(fp, index=grp.index)
             s20 = fp.rolling(20).sum()
             q20 = (fp * fp).rolling(20).sum()
             mean20 = s20 / 20000.0
@@ -465,6 +470,14 @@ class TestGraphDegenerate:
         out = pagerank_fixed_point(df, iterations=3)
         assert out.count() == 0
         assert set(out.columns) == {"node", "rank_scaled", "deg"}
+
+    def test_pagerank_rejects_dangling_sink(self, spark):
+        # a raw DIRECTED graph with a sink (2 has no out-edge) violates
+        # the outdegree>=1 contract — must fail loudly, not silently drop
+        # the node and leak rank mass
+        df = spark.createDataFrame([(1, 2), (3, 1)], ["src", "dst"])
+        with pytest.raises(ValueError, match="outdegree"):
+            pagerank_fixed_point(df, iterations=2)
 
     def test_lpa_empty_graph(self, spark):
         from stock_market_big_data_project_spark.operators.graph import (

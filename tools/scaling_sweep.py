@@ -31,6 +31,14 @@ from stock_market_big_data_project_spark.plans import (
 from stock_market_big_data_project_spark.session import get_spark
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
+
+# Data root: the same SPARK_GRAFT_SF_DIR convention bench.py uses (the
+# sweep's comparability-with-bench goal covers the data location too).
+# The env var names one SF directory; the sweep substitutes each sweep SF
+# for its trailing component.  Fallback matches bench.py's default.
+_TESTDATA_ROOT = os.path.dirname(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+)
 DEFAULT = [
     "q1_pricing_summary",        # scan -> agg
     "revenue_by_region",         # multi-join
@@ -60,24 +68,45 @@ def main() -> None:
         fn = all_q[name]
         row: dict = {}
         raw: dict = {}
+        raw_serve: dict = {}
         for sf in SFS:
-            sf_dir = f"/root/testdata/{sf}"
+            sf_dir = os.path.join(_TESTDATA_ROOT, sf)
             best = None
+            serve = None
             for _ in range(2):  # consecutive repeats; min = steady state
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                # SERVING-path time: re-save the SAME DataFrame. For lazy
+                # plans this re-runs the whole plan (≈ the number above);
+                # for queries that eagerly stage state at build time (the
+                # BM25 candidate checkpoint, the graph iterations) it
+                # isolates the post-build path — the cost a repeated
+                # workload actually pays per query. Telling the two apart
+                # is exactly what the bm25 4.3× "outlier" needed: its
+                # build is corpus-linear BY DESIGN, its serving path is
+                # candidate-bounded (VERDICT r9 #3).
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                ds = time.perf_counter() - t0
+                serve = ds if serve is None else min(serve, ds)
                 # drop orphaned shuffle/broadcast state NOW so the next
                 # timing doesn't pay this run's cleanup debt (bench.py's
                 # steady-state rule)
                 spark.sparkContext._jvm.System.gc()
             raw[sf] = best
+            raw_serve[sf] = serve
             row[sf] = round(best, 3)
+            row[f"{sf}_serve"] = round(serve, 3)
         # ratios over the UN-rounded floats (rounding can hit 0.0 on a
         # sub-millisecond run and divide by zero)
         row["r_01_001"] = round(raw["sf0.01"] / max(raw["sf0.001"], 1e-6), 2)
         row["r_1_01"] = round(raw["sf0.1"] / max(raw["sf0.01"], 1e-6), 2)
+        row["r_1_01_serve"] = round(
+            raw_serve["sf0.1"] / max(raw_serve["sf0.01"], 1e-6), 2
+        )
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
     print(json.dumps(out))
