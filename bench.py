@@ -226,6 +226,15 @@ EXTRA = [
     # their legs' iterative cost at CALL time (untimed, like the
     # standalone pagerank/bfs entries above), so the timed number is the
     # composed union over the checkpointed results plus the lazy legs.
+    # round-10 Q21/Q20/Q11 decorrelation shapes (also composed in
+    # subquery_pack_bundle)
+    "sole_late_shipper_suppliers",
+    "dominant_part_suppliers",
+    "high_share_parts",
+    # round-10 time-series completeness: interval RANGE frames + the
+    # hypertable-style multi-grain rollup
+    "range_frame_sliding_stats",
+    "time_hierarchy_rollup",
     "multimodal_decode_bundle",
     "perceptual_dedup_bundle",
     "graph_analytics_bundle",

@@ -187,9 +187,13 @@ TINY_CROSS_OK = {
                                        # crosses (each O(1))
     "top_supplier_by_revenue",         # 1-row max-revenue scalar (the
                                        # Q15 HAVING-=-max decorrelation)
+    "high_share_parts",                # 1-row global-revenue scalar (the
+                                       # Q11 HAVING-vs-fraction-of-total
+                                       # decorrelation)
     "subquery_pack_bundle",            # its dormant-customers + top-
-                                       # supplier legs' 1-row scalar
-                                       # crosses (both audited above)
+                                       # supplier + high-share legs'
+                                       # 1-row scalar crosses (audited
+                                       # above)
     "warehouse_eventflow_bundle",      # data_quality_report's six 1-row
                                        # check-count crosses (audited
                                        # above)
@@ -228,7 +232,9 @@ WIDE_PLAN_OK = {
     # audited plan) — measured 24 / 37 / 44 at sf0.001, with headroom for
     # AQE join-strategy differences across SFs
     "perceptual_dedup_bundle": 32,
-    "subquery_pack_bundle": 48,
+    # 54 measured with the thirteen-shape pack (Q21 alone is three keyed
+    # shuffles + two self-join sides)
+    "subquery_pack_bundle": 64,
     "warehouse_eventflow_bundle": 56,
 }
 

@@ -307,12 +307,21 @@ _register_bundle(
             ("p90_totalprice", "d"), ("p99_totalprice", "d"),
             ("min_price", "d"), ("max_price", "d"), ("n_orders", "i"),
         ],
+        "sole_late_shipper_suppliers": [
+            ("s_name", "s"), ("numwait", "i"),
+        ],
+        "dominant_part_suppliers": [
+            ("s_suppkey", "i"), ("s_name", "s"),
+        ],
+        "high_share_parts": [
+            ("l_partkey", "i"), ("part_rev", "d"),
+        ],
     },
-    """The subquery-decorrelation pack (Q2/Q4/Q7/Q15/Q16/Q17/Q18/Q19/Q22
-    shapes) plus exact order-statistics quantiles as ONE hash-checked
-    DAG — every oracle states the SUBQUERY form, every Spark leg the
-    decorrelated JOIN form, composed verbatim; the bitwise union hash
-    proves all ten rewrites in one driver slot.""",
+    """The subquery-decorrelation pack (Q2/Q4/Q7/Q11/Q15/Q16/Q17/Q18/
+    Q19/Q20/Q21/Q22 shapes) plus exact order-statistics quantiles as ONE
+    hash-checked DAG — every oracle states the SUBQUERY form, every
+    Spark leg the decorrelated JOIN form, composed verbatim; the bitwise
+    union hash proves all thirteen rewrites in one driver slot.""",
 )
 
 # --------------------------------------------------------------------------

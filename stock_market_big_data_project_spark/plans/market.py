@@ -2288,3 +2288,90 @@ def hopping_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bounded time-RANGE window frames (r10): per-symbol 4-hour sliding sums.
+# A RANGE frame is a genuinely different physical operator from the ROWS
+# frames used elsewhere — the frame boundary is a VALUE predicate
+# (ts' ∈ [ts − 4h, ts], peers included), not a row offset, so duplicate
+# timestamps enter every peer's frame on both engines identically.
+# --------------------------------------------------------------------------
+@register_local(
+    "range_frame_sliding_stats",
+    oracle="""
+    SELECT user_id AS symbol, ts, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             AS roll_sum,
+           COUNT(*) OVER w AS roll_n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS roll_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 4 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_frame_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark expresses the interval RANGE frame over epoch micros
+    (rangeBetween(−4h·1e6, 0) on unix_micros(ts)) — boundary-identical to
+    DuckDB's INTERVAL frame at µs precision, inclusive both ends. The sum
+    accumulates as decimal inside the frame (order-independent), divided
+    in double. One shuffle on the symbol key; the frame scan is a single
+    per-partition ordered pass at any scale."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-4 * 3600 * 1_000_000, 0)
+    )
+    roll_sum = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast(
+        "double"
+    )
+    roll_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        F.col("user_id").alias("symbol"),
+        "ts",
+        "event_id",
+        roll_sum.alias("roll_sum"),
+        roll_n.alias("roll_n"),
+        (roll_sum / roll_n).alias("roll_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-hierarchy rollup (r10): hour/day/week grains in ONE fact scan — the
+# hypertable "continuous aggregate" shape, expressed as GROUPING SETS so
+# Catalyst plans one Expand + one hash aggregate however many grains are
+# requested. ONE ANSI text runs on BOTH engines (the _SQL_BOTH_ENGINES
+# pattern): grain labels come from GROUPING(), truncations from
+# date_trunc (ISO-Monday weeks on both engines).
+# --------------------------------------------------------------------------
+_TIME_ROLLUP_SQL = """
+    SELECT user_id AS symbol,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0 THEN 'hour'
+                WHEN GROUPING(date_trunc('day', ts)) = 0 THEN 'day'
+                ELSE 'week' END AS grain,
+           COALESCE(date_trunc('hour', ts), date_trunc('day', ts),
+                    date_trunc('week', ts)) AS bucket_ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY GROUPING SETS (
+      (user_id, date_trunc('hour', ts)),
+      (user_id, date_trunc('day', ts)),
+      (user_id, date_trunc('week', ts))
+    )
+"""
+
+
+@register_local("time_hierarchy_rollup", oracle=_TIME_ROLLUP_SQL)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical SQL text on Spark and DuckDB; Spark side reads events
+    through load_events (nanos handling) registered as a temp view. At
+    100 TB the Expand triples the aggregate's input rows but the scan
+    happens once and the partial aggregates combine map-side — the same
+    trade grouping_sets_pricing documents; materialized per-grain tables
+    would trade that for storage and staleness (this is the query-time
+    form of a continuous aggregate)."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_TIME_ROLLUP_SQL)

@@ -538,3 +538,188 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-correlated EXISTS + NOT EXISTS self-joins (TPC-H Q21 shape,
+# adapted to the fixture's columns: "late" = shipped >60 days after the
+# order date, since the fixtures carry no commit/receipt dates): suppliers
+# who were the ONLY late shipper on a finished multi-supplier order — the
+# hardest classic decorrelation (two correlated subqueries against the
+# SAME fact table, one kept, one negated).
+# --------------------------------------------------------------------------
+@register_local(
+    "sole_late_shipper_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 decorrelation: the late-lineitem slice is computed ONCE (orders
+    filtered to 'F' joined to lineitem with the 60-day residual), then the
+    EXISTS becomes a left-semi against lineitem keys on (same order,
+    different supplier) and the NOT EXISTS a left-anti against the SAME
+    late slice on the same condition — both single keyed shuffles on the
+    order key, with the supplier-inequality as a residual.  lineitem is
+    scanned twice but only (orderkey, suppkey) columns cross the
+    exchanges; supplier broadcasts onto the surviving rows."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_k3"), F.col("l_suppkey").alias("_s3")
+    )
+    sole = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_k2"))
+            & (F.col("l_suppkey") != F.col("_s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_k3"))
+            & (F.col("l_suppkey") != F.col("_s3")),
+            "left_anti",
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        sole.join(F.broadcast(supplier), sole.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested IN with a correlated scalar aggregate in HAVING (TPC-H Q20 shape,
+# adapted: no partsupp table in the fixtures, so "availability" becomes
+# shipped-quantity share): suppliers who shipped more than 30% of some
+# large part's total shipped quantity.
+# --------------------------------------------------------------------------
+@register_local(
+    "dominant_part_suppliers",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING {oracle_exact_sum('l.l_quantity')} >
+             0.3 * (SELECT {oracle_exact_sum('l2.l_quantity')}
+                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    )
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 decorrelation: the part filter semi-joins into BOTH aggregates'
+    build sides (the Q17 prune — the correlated denominator only matters
+    for surviving partkeys, and partkey equality makes the restricted
+    total identical), the per-(supplier, part) sums and per-part totals
+    are two map-side-combined aggregates over the SAME pruned slice, the
+    HAVING becomes a join-back on the part key, and the outer IN a
+    left-semi into supplier.  Decimal-exact sums make the 0.3× threshold
+    the identical double on both engines."""
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    li_f = li.join(part_keys, li.l_partkey == part_keys.p_partkey, "left_semi")
+    per_sp = li_f.groupBy("l_suppkey", "l_partkey").agg(
+        exact_sum("l_quantity", "_sp_qty")
+    )
+    per_part = li_f.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        exact_sum("l_quantity", "_p_qty")
+    )
+    winners = (
+        per_sp.join(per_part, per_sp.l_partkey == F.col("_pk"))
+        .filter(F.col("_sp_qty") > 0.3 * F.col("_p_qty"))
+        .select("l_suppkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.join(
+        winners, supplier.s_suppkey == winners.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --------------------------------------------------------------------------
+# Group aggregate HAVING vs a global-scalar fraction (TPC-H Q11 shape):
+# parts whose revenue exceeds 0.1% of total revenue.
+# --------------------------------------------------------------------------
+@register_local(
+    "high_share_parts",
+    oracle=f"""
+    SELECT l_partkey,
+           {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} AS part_rev
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING {oracle_exact_sum('l_extendedprice * (1 - l_discount)')} >
+           0.001 * (SELECT {oracle_exact_sum('l2.l_extendedprice * (1 - l2.l_discount)')}
+                    FROM lineitem l2)
+    """,
+)
+def high_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 decorrelation: the global total is NOT a second lineitem scan —
+    decimal partial sums reassociate losslessly, so the 1-row total is an
+    exact re-aggregation of the per-part decimal partials, broadcast-
+    crossed onto the group rows (the Q22 scalar pattern).  One shuffle on
+    the group key; the threshold 0.001×total is the identical double on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev.cast("decimal(38,6)")).alias("_rev_dec")
+    )
+    tot = per_part.agg(
+        F.sum("_rev_dec").cast("double").alias("_total_rev")
+    )
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(
+            F.col("_rev_dec").cast("double") > 0.001 * F.col("_total_rev")
+        )
+        .select(
+            "l_partkey",
+            F.col("_rev_dec").cast("double").alias("part_rev"),
+        )
+    )

@@ -103,6 +103,13 @@ def test_eager_iterative_list_is_current(spark):
         # edges constituent
         "label_propagation_communities",  # Pregel community detection
         # over the same audited edges constituent
+        "graph_analytics_bundle",  # r10 family bundle: its iterative
+        # legs execute at build time; audited via the same shared
+        # symmetrized-edges constituent as the legs themselves
+        "training_prep_bundle",  # r10 family bundle: the BPE/k-means
+        # trainer legs execute at build time (each audited via its own
+        # constituent above); the bundle's constituent is the union of
+        # its three LAZY legs
     }
     for name, builder in EAGER_ITERATIVE.items():
         assert (
