@@ -435,7 +435,14 @@ def main() -> None:
             print(f"  [{r}] calibration/{name}: {t}s", file=sys.stderr, flush=True)
             spark.sparkContext._jvm.System.gc()
     cal_total = round(sum(cal_timings.values()), 3)
-    cal_factor = round(cal_total / PROBE_REFERENCE_TOTAL, 3)
+    # the pinned reference is an sf0.1 measurement — at any other SF the
+    # probes are just warm-up-grade timings and the ratio would be a
+    # nonsense machine normalization; emit factor = None so a cross-round
+    # reader of value_calibrated can never compare across SFs (review
+    # finding r10)
+    cal_factor = (
+        round(cal_total / PROBE_REFERENCE_TOTAL, 3) if sf == 0.1 else None
+    )
 
     timings = run_set(HEADLINE)
     extra = run_set(EXTRA)
@@ -552,9 +559,15 @@ def main() -> None:
         "probe_total": cal_total,
         "probe_reference_total": PROBE_REFERENCE_TOTAL,
         "factor": cal_factor,
-        "value_calibrated": round(total / max(cal_factor, 1e-6), 3),
-        "engine_total_calibrated": round(
-            engine_total / max(cal_factor, 1e-6), 3
+        "value_calibrated": (
+            round(total / max(cal_factor, 1e-6), 3)
+            if cal_factor is not None
+            else None
+        ),
+        "engine_total_calibrated": (
+            round(engine_total / max(cal_factor, 1e-6), 3)
+            if cal_factor is not None
+            else None
         ),
     }
     detail = {

@@ -74,7 +74,22 @@ def _leg_oracle(name: str) -> str:
 Spec = list[tuple[str, str]]
 
 
+def _check_spec(leg: str, spec: Spec) -> None:
+    """Fail LOUDLY at registration time if a leg declares more doubles
+    than the common schema carries — both projection helpers would
+    otherwise drop the overflow SYMMETRICALLY, so parity would still
+    pass while the extra column silently escaped certification."""
+    n_d = sum(1 for _, kind in spec if kind == "d")
+    if n_d > _N_DOUBLES:
+        raise ValueError(
+            f"bundle leg {leg!r} declares {n_d} double columns; the "
+            f"common schema carries {_N_DOUBLES} — widen _N_DOUBLES "
+            "(both sides) instead of letting the overflow vanish"
+        )
+
+
 def _spark_leg(df: DataFrame, leg: str, spec: Spec) -> DataFrame:
+    _check_spec(leg, spec)
     key_parts = []
     doubles = []
     for col, kind in spec:
@@ -104,6 +119,7 @@ def _spark_leg(df: DataFrame, leg: str, spec: Spec) -> DataFrame:
 
 
 def _oracle_leg(name: str, leg: str, spec: Spec) -> str:
+    _check_spec(leg, spec)
     key_parts = []
     doubles = []
     for col, kind in spec:
@@ -128,15 +144,21 @@ def _oracle_leg(name: str, leg: str, spec: Spec) -> str:
     )
 
 
+def _union_legs(
+    spark: SparkSession, sf_dir: str, legs: dict[str, Spec]
+) -> DataFrame:
+    out = None
+    for name, spec in legs.items():
+        part = _spark_leg(_leg_fn(name)(spark, sf_dir), name, spec)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _bundle(legs: dict[str, Spec]):
     """(spark_fn, oracle_sql) composing every leg verbatim."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for name, spec in legs.items():
-            part = _spark_leg(_leg_fn(name)(spark, sf_dir), name, spec)
-            out = part if out is None else out.unionByName(part)
-        return out
+        return _union_legs(spark, sf_dir, legs)
 
     oracle = "\nUNION ALL\n".join(
         _oracle_leg(name, name, spec) for name, spec in legs.items()
@@ -328,28 +350,35 @@ _register_bundle(
 # Training-prep family: trainer replays (FFD packing, BPE merge trainer,
 # Lloyd k-means) + length-bucketed batching + temperature mixing.
 # --------------------------------------------------------------------------
+# the bundle's LAZY legs, defined ONCE: the registration below and the
+# audit constituent both consume this dict, so the audited plan can
+# never drift from the shipped one (review finding r10)
+_TRAINING_LAZY_LEGS: dict[str, Spec] = {
+    "sequence_packing_ffd": [
+        ("doc_id", "i"), ("len", "i"), ("shard", "i"), ("seq", "i"),
+        ("offset", "i"), ("truncated", "b"),
+    ],
+    "length_bucketed_batches": [
+        ("bucket", "i"), ("shard", "i"), ("batch_id", "i"),
+        ("n_docs", "i"), ("max_len", "i"), ("sum_len", "i"),
+        ("pad_tokens", "i"), ("pad_frac", "d"), ("members_md5", "s"),
+    ],
+    "temperature_sampling_mix": [
+        ("source", "s"), ("n_tokens", "i"), ("weight", "d"),
+        ("alloc_tokens", "i"), ("epochs", "d"),
+    ],
+}
+
 _register_bundle(
     "training_prep_bundle",
     {
-        "sequence_packing_ffd": [
-            ("doc_id", "i"), ("len", "i"), ("shard", "i"), ("seq", "i"),
-            ("offset", "i"), ("truncated", "b"),
-        ],
+        **_TRAINING_LAZY_LEGS,
         "bpe_learn_merges": [
             ("round", "i"), ("pair", "s"), ("merged", "s"), ("total", "i"),
         ],
         "embedding_kmeans_train": [
             ("cell", "i"), ("size", "i"), ("inertia", "d"),
             ("centroid_norm2", "d"),
-        ],
-        "length_bucketed_batches": [
-            ("bucket", "i"), ("shard", "i"), ("batch_id", "i"),
-            ("n_docs", "i"), ("max_len", "i"), ("sum_len", "i"),
-            ("pad_tokens", "i"), ("pad_frac", "d"), ("members_md5", "s"),
-        ],
-        "temperature_sampling_mix": [
-            ("source", "s"), ("n_tokens", "i"), ("weight", "d"),
-            ("alloc_tokens", "i"), ("epochs", "d"),
         ],
     },
     """The training-data-prep family as ONE hash-checked DAG: FFD
@@ -364,37 +393,13 @@ _register_bundle(
 def _training_prep_lazy_constituent(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Audit constituent: the bundle's LAZY legs unioned (the BPE and
-    k-means trainers execute eagerly at build time and are audited via
-    their own EAGER_ITERATIVE constituents on their standalone
-    registrations)."""
-    lazy = {
-        k: v
-        for k, v in (
-            (
-                "sequence_packing_ffd",
-                [("doc_id", "i"), ("len", "i"), ("shard", "i"),
-                 ("seq", "i"), ("offset", "i"), ("truncated", "b")],
-            ),
-            (
-                "length_bucketed_batches",
-                [("bucket", "i"), ("shard", "i"), ("batch_id", "i"),
-                 ("n_docs", "i"), ("max_len", "i"), ("sum_len", "i"),
-                 ("pad_tokens", "i"), ("pad_frac", "d"),
-                 ("members_md5", "s")],
-            ),
-            (
-                "temperature_sampling_mix",
-                [("source", "s"), ("n_tokens", "i"), ("weight", "d"),
-                 ("alloc_tokens", "i"), ("epochs", "d")],
-            ),
-        )
-    }
-    out = None
-    for name, spec in lazy.items():
-        part = _spark_leg(_leg_fn(name)(spark, sf_dir), name, spec)
-        out = part if out is None else out.unionByName(part)
-    return out
+    """Audit constituent: the bundle's LAZY legs unioned — the SAME
+    _TRAINING_LAZY_LEGS specs and the SAME _union_legs machinery the
+    registered bundle ships, so the audited plan cannot drift from it.
+    The BPE and k-means trainer legs execute eagerly at build time and
+    are audited via their own EAGER_ITERATIVE constituents on their
+    standalone registrations."""
+    return _union_legs(spark, sf_dir, _TRAINING_LAZY_LEGS)
 
 
 EAGER_ITERATIVE.update(

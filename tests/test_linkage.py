@@ -199,8 +199,13 @@ class TestIndicators:
                 continue
             # half-AWAY-from-zero, matching Spark F.round / DuckDB round —
             # pandas .round() is half-to-even and would diverge on an exact
-            # .5 millipoint (spurious differential failure, not engine drift)
-            fp = np.floor(grp.close.to_numpy() * 1000 + 0.5).astype("int64")
+            # .5 millipoint (spurious differential failure, not engine
+            # drift). sign*floor(|x|+0.5) rather than floor(x+0.5): the
+            # latter is half-UP and would round -2.5 to -2 where the
+            # engines give -3 (latent today only because fixture prices
+            # are positive).
+            x = grp.close.to_numpy() * 1000
+            fp = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
             fp = pd.Series(fp, index=grp.index)
             s20 = fp.rolling(20).sum()
             q20 = (fp * fp).rolling(20).sum()
