@@ -232,7 +232,9 @@ EXTRA = [
     "dominant_part_suppliers",
     "high_share_parts",
     # round-10 time-series completeness: interval RANGE frames + the
-    # hypertable-style multi-grain rollup
+    # hypertable-style multi-grain rollup. streaming_time_rollup_parity
+    # is excluded for the replay-at-call-time reason above; its batch
+    # twin is timed via time_hierarchy_rollup.
     "range_frame_sliding_stats",
     "time_hierarchy_rollup",
     "multimodal_decode_bundle",

@@ -36,6 +36,7 @@ STREAMING_HARNESS = {
     "streaming_pagerank_edges_parity",
     "streaming_scd2_parity",
     "streaming_fuzzy_link_parity",
+    "streaming_time_rollup_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

@@ -2375,3 +2375,95 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of a continuous aggregate)."""
     load_events(spark, sf_dir).createOrReplaceTempView("events")
     return spark.sql(_TIME_ROLLUP_SQL)
+
+
+@register_local("streaming_time_rollup_parity", oracle=_TIME_ROLLUP_SQL)
+def streaming_time_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-hierarchy rollup on the LIVE tick path — the sixteenth
+    streaming parity and the incremental-view-maintenance form of a
+    continuous aggregate: each micro-batch appends delta-sized partials
+    at the FINEST grain only (per-(symbol, hour) decimal sums + counts),
+    and the coarser day/week grains are served by RE-AGGREGATING the
+    maintained hour state — no second fact scan, the exact trick a
+    hypertable uses. Decimal partials reassociate losslessly, so the
+    maintained rollup hash-matches the batch GROUPING SETS over raw
+    events under any batch split (events replayed as three range-split
+    micro-batches, so most buckets span batches and the match proves the
+    cross-batch merge law). Per-batch writes land under a
+    batch_id-keyed path with overwrite, so a retried foreachBatch
+    replaces its own partials instead of double-counting them
+    (exactly-once effect over at-least-once execution). State is
+    buckets-sized (symbols × hours), never ticks-sized."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_events_stream
+
+    td = tempfile.mkdtemp(prefix="stream_rollup_")
+    src_dir = f"{td}/src"
+    hours_dir = f"{td}/state_hours"
+    try:
+        load_events(spark, sf_dir).repartitionByRange(3, "event_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy(
+                    F.col("user_id").alias("symbol"),
+                    F.date_trunc("hour", "ts").alias("hour_ts"),
+                )
+                .agg(
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias(
+                        "sum_dec"
+                    ),
+                    F.count(F.lit(1)).alias("n_events"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{hours_dir}/batch_id={batch_id}")
+            )
+
+        q = (
+            read_events_stream(spark, src_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        hours = (
+            spark.read.parquet(hours_dir)
+            .groupBy("symbol", "hour_ts")
+            .agg(
+                F.sum("sum_dec").alias("sum_dec"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+
+        def grain(df: DataFrame, label: str, bucket) -> DataFrame:
+            return df.groupBy(
+                "symbol", bucket.alias("bucket_ts")
+            ).agg(
+                F.sum("sum_dec").cast("double").alias("sum_value"),
+                F.sum("n_events").alias("n_events"),
+            ).select(
+                "symbol",
+                F.lit(label).alias("grain"),
+                "bucket_ts",
+                "sum_value",
+                "n_events",
+            )
+
+        out = (
+            grain(hours, "hour", F.col("hour_ts"))
+            .unionByName(
+                grain(hours, "day", F.date_trunc("day", "hour_ts"))
+            )
+            .unionByName(
+                grain(hours, "week", F.date_trunc("week", "hour_ts"))
+            )
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
