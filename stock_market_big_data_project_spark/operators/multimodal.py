@@ -50,12 +50,17 @@ def attach_binary_payload(df: DataFrame, id_col: str = "doc_id",
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """STUB — deterministic fake for the image decoder.
-
-    A real implementation would `PIL.Image.open(BytesIO(payload))`; that
-    library is not in this container, so dimensions derive from the byte
-    length (stable, oracle-checkable). Swap this function for the real
-    codec; nothing else changes.
+    """Deterministic placeholder decoder for the GENERIC-MIME plumbing
+    demo only — NOT the engine's multimodal decode surface. Real,
+    complete, hash-certified codecs exist for all five formats: BMP
+    (this module, below), PNG (operators/png.py), baseline JPEG
+    (operators/jpeg.py), WAV/PCM (operators/wav.py), y4m video
+    (operators/y4m.py) — all driver-certified via
+    `multimodal_decode_bundle`. This fake (dims derived from byte
+    length, stable and oracle-checkable) exists so the fused
+    decode→resize→sample PIPELINE SHAPE can be demonstrated on an
+    arbitrary opaque mime without tying the demo to one format; swap it
+    for a format dispatch over the real codecs and nothing else changes.
     """
     n = len(payload)
     return 16 + n % 64, 16 + (n * 7) % 64
@@ -88,7 +93,10 @@ RESIZED_SCHEMA = "doc_id bigint, out_width int, out_height int, out_n_bytes int,
 
 
 def resize_images(df: DataFrame) -> DataFrame:
-    """mapInPandas resize stage (STUB codec, real plumbing).
+    """mapInPandas resize stage (placeholder codec, real plumbing — the
+    REAL per-format decoders live in png.py/jpeg.py/wav.py/y4m.py + the
+    BMP section below; this generic-mime stage demonstrates the
+    plumbing shape only).
 
     Fake 2×-downsample: output dims = decode dims halved, output payload =
     first ⌈n/4⌉ bytes. `out_md5` fingerprints the "resized" payload via its
@@ -163,17 +171,23 @@ PIPELINE_SCHEMA = (
 
 
 def multimodal_pipeline(df: DataFrame, k: int = 4) -> DataFrame:
-    """Decode → resize → frame-sample FUSED into ONE mapInPandas pass
-    (STUB codecs, real plumbing): per input payload, k rows carrying the
-    decode metadata, the resized-output fingerprint, and one frame each.
+    """Decode → resize → frame-sample FUSED into ONE mapInPandas pass:
+    per input payload, k rows carrying the decode metadata, the
+    resized-output fingerprint, and one frame each. The decode step here
+    is the `_fake_decode` placeholder (generic-mime demo) — the REAL,
+    hash-certified codecs live in operators/png.py, operators/jpeg.py,
+    operators/wav.py, operators/y4m.py and the BMP section below
+    (driver-certified together via `multimodal_decode_bundle`); only
+    this fused demo keeps a placeholder, to stay format-agnostic.
 
     This is the shape a production multimodal pipeline wants at 100 TB:
     the binary payload is read ONCE per row inside a single Arrow batch
     stage — chaining the three stages as separate operators would either
     re-attach and re-ship the payload per stage or join three outputs on
     doc_id (two shuffles for data that never needed to leave the task).
-    Swap the `_fake_decode`/truncation/byte-range stubs for PIL/ffmpeg
-    calls; schema, batching, and the 1→k UDTF shape stay as-is.
+    Swap the `_fake_decode`/truncation/byte-range placeholders for a
+    format dispatch over the real codecs (or PIL/ffmpeg where
+    available); schema, batching, and the 1→k UDTF shape stay as-is.
     """
     import hashlib
 
@@ -218,10 +232,11 @@ def multimodal_pipeline(df: DataFrame, k: int = 4) -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL codec: uncompressed 24-bit BMP (no external libraries needed).
 #
-# The PIL-backed formats stay declared stubs above (env block, COVERAGE.md),
-# but BMP's uncompressed BI_RGB layout is fully specified by two fixed-size
-# headers + padded BGR rows, so encode/decode here are complete, standard-
-# conformant implementations — not fakes. The fixture payloads are REAL BMP
+# Only the generic-mime fused demo above keeps a placeholder decode; every
+# per-format decoder is real (PNG/JPEG/WAV/y4m in their own modules, BMP
+# here). BMP's uncompressed BI_RGB layout is fully specified by two
+# fixed-size headers + padded BGR rows, so encode/decode here are complete,
+# standard-conformant implementations — not fakes. The fixture payloads are REAL BMP
 # files whose pixels follow a doc_id-derived integer formula, which lets the
 # DuckDB oracle predict the decoded-pixel fingerprint relationally: the
 # hash-green query certifies decode(encode(pixels)) == pixels end to end.

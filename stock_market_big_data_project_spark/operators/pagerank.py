@@ -39,15 +39,19 @@ def pagerank_fixed_point(
 ) -> DataFrame:
     """(node, rank_scaled, deg) after `iterations` damped power rounds.
 
-    `edges` must be a DIRECTED edge list (src, dst) where every node has
-    outdegree >= 1 — pass a symmetrized (undirected) graph to guarantee
-    that (no dangling-mass redistribution step is then needed, and every
-    node receives mail every round, so no left-join null handling).
-    The precondition is ENFORCED, not just documented: a cheap anti-join
-    probe (dst nodes with no out-edges) raises ValueError up front, so a
-    caller passing a raw directed graph gets a loud failure instead of
-    silently dropped sink nodes + leaked rank mass that would also
-    silently diverge from the oracle.
+    `edges` must be a DIRECTED edge list (src, dst) where the src and dst
+    node sets coincide — pass a symmetrized (undirected) graph to
+    guarantee that (no dangling-mass redistribution step is then needed,
+    and every node receives mail every round, so no left-join null
+    handling). The precondition is ENFORCED, not just documented, in BOTH
+    directions: a dst node with no out-edges (outdegree 0) would silently
+    drop rank mass every round, and a src node with no in-edges would
+    vanish from the rank table after round 1 (round ranks are grouped
+    mail — only mail recipients survive). Either way the result is
+    wrong-PageRank on BOTH engines: the DuckDB oracle unrolls the
+    identical join trajectory, so the hash row would still match while
+    both sides computed a rank vector that is not PageRank of the input
+    graph. Two cheap anti-join probes raise ValueError up front instead.
     """
     edges = (
         edges.select(
@@ -76,6 +80,22 @@ def pagerank_fixed_point(
             "pagerank_fixed_point requires outdegree >= 1 for every node "
             "(symmetrize the edge list first); found dst nodes with no "
             "out-edges"
+        )
+    # the other direction (same contract, different failure mode): a src
+    # node that never appears as a dst receives no mail and disappears
+    # from the rank table after round 1 — wrong-PageRank on both engines,
+    # not an oracle mismatch, so it must fail loudly here
+    no_mail = deg.join(
+        edges.select(F.col("dst").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    )
+    if not no_mail.isEmpty():
+        raise ValueError(
+            "pagerank_fixed_point requires indegree >= 1 for every node "
+            "(symmetrize the edge list first); found src nodes with no "
+            "in-edges — they would vanish from the rank table after "
+            "round 1"
         )
     # one scalar to the driver (bounded: a single long), same class as the
     # audited 1-row corpus-count collects

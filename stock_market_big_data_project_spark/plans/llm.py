@@ -5,8 +5,12 @@ surface (twitter/main.py:11-28, OP-68) into the operator family a 100 TB
 training-data pipeline needs.
 
 Every query here is a composition of built-in DataFrame ops (hashes are
-md5-derived so DuckDB mirrors them bit-for-bit); the one pandas stage is the
-multimodal decode stub, whose Spark-side plumbing is real.
+md5-derived so DuckDB mirrors them bit-for-bit); the pandas stages are
+Arrow-batched codec/matmul passes. The multimodal decode surface is REAL
+and hash-certified for all five formats (operators/png.py, jpeg.py,
+wav.py, y4m.py, plus BMP in operators/multimodal.py — driver-certified
+via `multimodal_decode_bundle`); only the generic-mime fused pipeline
+demo (`multimodal_pipeline`) keeps a placeholder decode.
 """
 
 from __future__ import annotations

@@ -484,6 +484,17 @@ class TestGraphDegenerate:
         with pytest.raises(ValueError, match="outdegree"):
             pagerank_fixed_point(df, iterations=2)
 
+    def test_pagerank_rejects_src_without_in_edges(self, spark):
+        # every dst has out-edges here, but node 3 never receives mail —
+        # it would silently vanish from the rank table after round 1 (on
+        # both engines, since the oracle replays the same trajectory), so
+        # the src-direction probe must fail loudly too
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 1)], ["src", "dst"]
+        )
+        with pytest.raises(ValueError, match="in-edges"):
+            pagerank_fixed_point(df, iterations=2)
+
     def test_lpa_empty_graph(self, spark):
         from stock_market_big_data_project_spark.operators.graph import (
             label_propagation,

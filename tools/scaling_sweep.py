@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -36,9 +37,27 @@ SFS = ["sf0.001", "sf0.01", "sf0.1"]
 # sweep's comparability-with-bench goal covers the data location too).
 # The env var names one SF directory; the sweep substitutes each sweep SF
 # for its trailing component.  Fallback matches bench.py's default.
-_TESTDATA_ROOT = os.path.dirname(
+# Validated up front (ADVICE r10): a custom layout whose final component
+# is not an sfX.Y directory — or a bare/relative path whose dirname is
+# '' — would otherwise silently resolve wrong sibling paths and fail
+# confusingly at read time.
+_SF_DIR_ENV = os.path.abspath(
     os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
 )
+if not re.fullmatch(r"sf[\d.]+", os.path.basename(_SF_DIR_ENV)):
+    raise SystemExit(
+        f"SPARK_GRAFT_SF_DIR={_SF_DIR_ENV!r}: final path component must be "
+        "an sf<N> directory (e.g. /root/testdata/sf0.1) — the sweep "
+        "substitutes sibling sf dirs for it"
+    )
+_TESTDATA_ROOT = os.path.dirname(_SF_DIR_ENV)
+
+# Optional fourth decade (VERDICT r10 #3): a locally generated
+# sf1-equivalent directory (tools/gen_sf1.py) appended as a sweep point
+# when SPARK_GRAFT_SF1_DIR is set — it lives outside the read-only
+# testdata root, so it is named explicitly instead of by sibling
+# substitution.
+_SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR")
 DEFAULT = [
     "q1_pricing_summary",        # scan -> agg
     "revenue_by_region",         # multi-join
@@ -63,14 +82,25 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     all_q = {**LOCAL_QUERIES, **QUERIES}
+    # (label, directory) sweep points: the three testdata SFs by sibling
+    # substitution, plus the optional generated sf1 decade. Existence is
+    # checked BEFORE any Spark work (ADVICE r10).
+    points = [(sf, os.path.join(_TESTDATA_ROOT, sf)) for sf in SFS]
+    if _SF1_DIR:
+        points.append(("sf1", os.path.abspath(_SF1_DIR.rstrip("/"))))
+    for label, d in points:
+        if not os.path.isdir(d):
+            raise SystemExit(
+                f"sweep point {label}: directory {d!r} does not exist "
+                "(check SPARK_GRAFT_SF_DIR / SPARK_GRAFT_SF1_DIR)"
+            )
     out: dict = {}
     for name in names:
         fn = all_q[name]
         row: dict = {}
         raw: dict = {}
         raw_serve: dict = {}
-        for sf in SFS:
-            sf_dir = os.path.join(_TESTDATA_ROOT, sf)
+        for sf, sf_dir in points:
             best = None
             serve = None
             for _ in range(2):  # consecutive repeats; min = steady state
@@ -107,6 +137,11 @@ def main() -> None:
         row["r_1_01_serve"] = round(
             raw_serve["sf0.1"] / max(raw_serve["sf0.01"], 1e-6), 2
         )
+        if "sf1" in raw:
+            row["r_sf1_sf01"] = round(raw["sf1"] / max(raw["sf0.1"], 1e-6), 2)
+            row["r_sf1_sf01_serve"] = round(
+                raw_serve["sf1"] / max(raw_serve["sf0.1"], 1e-6), 2
+            )
         out[name] = row
         print(f"  {name}: {row}", file=sys.stderr)
     print(json.dumps(out))
