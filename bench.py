@@ -243,6 +243,8 @@ EXTRA = [
     "subquery_pack_bundle",
     "training_prep_bundle",
     "warehouse_eventflow_bundle",
+    "io_layout_bundle",
+    "embedding_power_iteration_fixed",
 ]
 
 
@@ -413,38 +415,56 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
         return out
 
-    # Machine-calibration probe (VERDICT r9 #2): time the FROZEN probe
-    # plans first and report probe_total / pinned-reference as
-    # calibration_factor. The r1 de-facto baseline machine is gone (the
-    # host class shifted 1.5-2.0x mid-r9, judge-verified on byte-identical
-    # plans), so cross-round totals and the 2x gate compare
-    # machine-normalized numbers: value / calibration_factor. The probes
-    # never change (stock_market_big_data_project_spark/calibration.py);
-    # BASELINE.md documents the rule.
+    # Machine-calibration probes (VERDICT r9 #2, variance-hardened per
+    # VERDICT r10 #1): time the FROZEN probe plans
+    # (stock_market_big_data_project_spark/calibration.py) both BEFORE
+    # and AFTER the headline set. The r10 factor showed a same-day
+    # 1.000 -> 1.332 swing while the raw headline moved +1.8% — a single
+    # pre-run probe pass over-responds to transient host state (page
+    # cache, I/O) relative to the 44-query mix it normalizes. The factor
+    # is now the MEDIAN of the six per-probe ratios (3 probes x 2
+    # phases, each best-of-3 vs its own pinned per-probe reference), and
+    # the line also carries the start/end spread plus a disagreement
+    # flag vs the prior recorded round, so a judge can see when
+    # normalization is doing work vs adding noise. The probe plans stay
+    # FROZEN; only timing/reporting changed. BASELINE.md documents the
+    # median rule.
+    from statistics import median
+
     from stock_market_big_data_project_spark.calibration import (
+        PROBE_REFERENCE,
         PROBE_REFERENCE_TOTAL,
         PROBES,
     )
 
-    cal_timings: dict[str, float] = {}
-    for name, fn in PROBES.items():
-        for r in range(N_RUNS):
-            df = fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            t = round(time.perf_counter() - t0, 3)
-            cal_timings[name] = min(cal_timings.get(name, t), t)
-            print(f"  [{r}] calibration/{name}: {t}s", file=sys.stderr, flush=True)
-            spark.sparkContext._jvm.System.gc()
-    cal_total = round(sum(cal_timings.values()), 3)
+    def run_probes(phase: str) -> dict[str, float]:
+        # pinned best-of-3 per probe, INDEPENDENT of the
+        # SPARK_GRAFT_BENCH_RUNS override (ADVICE r10): the pinned
+        # reference is itself a best-of-3, so any other repeat count
+        # would silently change the methodology and bias the factor
+        best: dict[str, float] = {}
+        for name, fn in PROBES.items():
+            for r in range(3):
+                df = fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t = round(time.perf_counter() - t0, 3)
+                best[name] = min(best.get(name, t), t)
+                print(
+                    f"  [{r}] calibration/{phase}/{name}: {t}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                spark.sparkContext._jvm.System.gc()
+        return best
+
     # the pinned reference is an sf0.1 measurement — at any other SF the
     # probes are just warm-up-grade timings and the ratio would be a
     # nonsense machine normalization; emit factor = None so a cross-round
     # reader of value_calibrated can never compare across SFs (review
-    # finding r10)
-    cal_factor = (
-        round(cal_total / PROBE_REFERENCE_TOTAL, 3) if sf == 0.1 else None
-    )
+    # finding r10). The end-phase pass only exists to feed the factor,
+    # so it too runs at sf0.1 only.
+    cal_start = run_probes("start")
 
     timings = run_set(HEADLINE)
     extra = run_set(EXTRA)
@@ -535,6 +555,21 @@ def main() -> None:
             print(f"  [{r}] streaming_replay_hourly: {t}s", file=sys.stderr, flush=True)
     spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
+    # end-phase calibration pass + the median factor (VERDICT r10 #1)
+    cal_end = run_probes("end") if sf == 0.1 else {}
+    cal_ratios = {
+        f"{phase}/{name}": round(t / PROBE_REFERENCE[name], 4)
+        for phase, bests in (("start", cal_start), ("end", cal_end))
+        for name, t in bests.items()
+    }
+    if sf == 0.1:
+        cal_factor = round(median(cal_ratios.values()), 3)
+        cal_spread = round(
+            max(cal_ratios.values()) - min(cal_ratios.values()), 3
+        )
+    else:
+        cal_factor, cal_spread = None, None
+
     total = round(sum(timings.values()), 3)
     # Split accounting (VERDICT r8 #2): `recursive_forecast` runs the
     # reference's 300-tree GBT model family — a permanent ~5 s fidelity
@@ -556,11 +591,64 @@ def main() -> None:
     # carries ONLY the headline map (≈1.3 KB); the full detail — the extra
     # (round-2+) per-query timings and the per-query max (cold-path)
     # numbers — goes to bench_detail.json next to this script.
+    # Disagreement flag (VERDICT r10 #1): if the factor's round-over-round
+    # drift and the raw headline's drift tell different stories by >15%,
+    # say so in the line — that is exactly the case where normalization
+    # is adding noise rather than removing machine weather. Compared
+    # against the newest recorded BENCH_r{N}.json at the same SF that
+    # carried a factor.
+    def _prior_bench() -> dict | None:
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        best_n, prior = -1, None
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", p)
+            if not m:
+                continue
+            try:
+                with open(p) as fh:
+                    parsed = (json.load(fh) or {}).get("parsed") or {}
+            except (OSError, ValueError):
+                continue
+            if (
+                parsed.get("sf") == sf
+                and parsed.get("value")
+                and parsed.get("calibration_factor")
+                and int(m.group(1)) > best_n
+            ):
+                best_n, prior = int(m.group(1)), parsed
+        return prior
+
+    cal_disagree = None
+    cal_drift: dict | None = None
+    prior = _prior_bench() if cal_factor is not None else None
+    if prior is not None:
+        raw_drift = total / prior["value"]
+        factor_drift = cal_factor / prior["calibration_factor"]
+        rel = abs(raw_drift / factor_drift - 1)
+        cal_disagree = rel > 0.15
+        cal_drift = {
+            "prior_round_value": prior["value"],
+            "prior_round_factor": prior["calibration_factor"],
+            "raw_drift": round(raw_drift, 3),
+            "factor_drift": round(factor_drift, 3),
+            "rel_disagreement": round(rel, 3),
+        }
+
     calibration = {
-        "probes": cal_timings,
-        "probe_total": cal_total,
+        "probes_start": cal_start,
+        "probes_end": cal_end,
+        # per-probe per-phase best-of-3 / pinned per-probe reference
+        "ratios": cal_ratios,
+        "probe_reference": PROBE_REFERENCE,
         "probe_reference_total": PROBE_REFERENCE_TOTAL,
+        # median of the six ratios (3 frozen probes x start/end phases)
         "factor": cal_factor,
+        "spread": cal_spread,
+        "disagreement": cal_disagree,
+        "drift_vs_prior": cal_drift,
         "value_calibrated": (
             round(total / max(cal_factor, 1e-6), 3)
             if cal_factor is not None
@@ -604,6 +692,8 @@ def main() -> None:
                 "engine_total": engine_total,
                 "model_total": model_total,
                 "calibration_factor": cal_factor,
+                "calibration_spread": cal_spread,
+                "calibration_disagreement": cal_disagree,
                 "value_calibrated": calibration["value_calibrated"],
                 "unit": "sec",
                 "n_runs": N_RUNS,
