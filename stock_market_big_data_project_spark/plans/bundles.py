@@ -255,6 +255,17 @@ _register_bundle(
 # --------------------------------------------------------------------------
 # Graph analytics family over the shared co-purchase graph.
 # --------------------------------------------------------------------------
+# the bundle's LAZY leg, defined ONCE: the registration below and the
+# audit constituent both consume this dict (the training_prep_bundle
+# pattern), so the audited union plan can never drift from the shipped
+# one (ADVICE r10)
+_GRAPH_LAZY_LEGS: dict[str, Spec] = {
+    "bipartite_butterfly_stats": [
+        ("n_copurchase_pairs", "i"), ("n_wedges", "i"),
+        ("n_butterflies", "i"), ("max_shared_parts", "i"),
+    ],
+}
+
 _register_bundle(
     "graph_analytics_bundle",
     {
@@ -268,10 +279,7 @@ _register_bundle(
         "label_propagation_communities": [
             ("node_type", "s"), ("key", "i"), ("community", "i"),
         ],
-        "bipartite_butterfly_stats": [
-            ("n_copurchase_pairs", "i"), ("n_wedges", "i"),
-            ("n_butterflies", "i"), ("max_shared_parts", "i"),
-        ],
+        **_GRAPH_LAZY_LEGS,
     },
     """The graph family over the same co-purchase edges as ONE
     hash-checked DAG: integer PageRank (6 damped rounds), BFS hop
@@ -279,11 +287,24 @@ _register_bundle(
     leg the registered query composed verbatim; the iterative legs'
     unrolled-CTE oracles replay bitwise inside the union.""",
 )
-# the iterative legs execute at build time and return checkpoint scans;
-# the audit gate inspects the shared pre-checkpoint edge plan, same as
-# the legs themselves (plans/linkage.py)
+
+
+def _graph_lazy_constituent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit constituent: the bundle's LAZY leg (butterfly counting)
+    through the SAME _GRAPH_LAZY_LEGS spec and _union_legs machinery the
+    registered bundle ships, so the non-iterative leg and the union
+    projection stay under the exchange/python-stage gate (ADVICE r10 —
+    previously the bundle's audit was redirected entirely to the shared
+    edges plan, leaving this leg's composed form unaudited). The three
+    iterative legs execute eagerly at build time and are audited via
+    their own EAGER_ITERATIVE constituents on their standalone
+    registrations (the shared pre-checkpoint edges plan,
+    plans/linkage.py)."""
+    return _union_legs(spark, sf_dir, _GRAPH_LAZY_LEGS)
+
+
 EAGER_ITERATIVE.update(
-    {"graph_analytics_bundle": linkage._copurchase_edges}
+    {"graph_analytics_bundle": _graph_lazy_constituent}
 )
 
 # --------------------------------------------------------------------------
@@ -338,12 +359,31 @@ _register_bundle(
         "high_share_parts": [
             ("l_partkey", "i"), ("part_rev", "d"),
         ],
+        # r11 additions: the remaining classic aggregate shapes
+        "promo_revenue_share": [
+            ("ship_year", "i"), ("promo_share", "d"), ("n_items", "i"),
+        ],
+        "national_market_share": [
+            ("o_year", "i"), ("mkt_share", "d"), ("n_items", "i"),
+        ],
+        "customer_order_distribution": [
+            ("c_count", "i"), ("custdist", "i"),
+        ],
+        "returned_items_top_customers": [
+            ("c_custkey", "i"), ("c_name", "s"), ("revenue", "d"),
+            ("n_items", "i"),
+        ],
+        "late_shipment_priority_counts": [
+            ("l_linestatus", "s"), ("high_line_count", "i"),
+            ("low_line_count", "i"),
+        ],
     },
-    """The subquery-decorrelation pack (Q2/Q4/Q7/Q11/Q15/Q16/Q17/Q18/
-    Q19/Q20/Q21/Q22 shapes) plus exact order-statistics quantiles as ONE
-    hash-checked DAG — every oracle states the SUBQUERY form, every
-    Spark leg the decorrelated JOIN form, composed verbatim; the bitwise
-    union hash proves all thirteen rewrites in one driver slot.""",
+    """The subquery-decorrelation pack (Q2/Q4/Q7/Q8/Q10/Q11/Q12/Q13/Q14/
+    Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22 shapes) plus exact order-statistics
+    quantiles as ONE hash-checked DAG — every oracle states the
+    SUBQUERY/ANSI form, every Spark leg the decorrelated JOIN form,
+    composed verbatim; the bitwise union hash proves all eighteen
+    rewrites in one driver slot.""",
 )
 
 # --------------------------------------------------------------------------
@@ -442,4 +482,50 @@ _register_bundle(
     ordered by VERDICT r9 #1 realized through the bundle), the temporal
     dimension join over it, funnel conversion, weekly cohort retention,
     JSON extraction, and the six-check data-quality report.""",
+)
+
+# --------------------------------------------------------------------------
+# IO / storage-layout family (VERDICT r10 #2 — drains the standing
+# promotion queue): custom-sink manifest export, mojibake cleanup,
+# small-files compaction, bucketed fact⋈fact, Z-order clustering, and
+# schema evolution on read, each composed verbatim.  The zorder and
+# schema-evolution legs were driver-tier standalone through r10; their
+# slots fund the bundle + the streaming DataSource parity promotion, and
+# their constructs ride this bundle's hash row (tier-map invariant kept).
+# --------------------------------------------------------------------------
+_register_bundle(
+    "io_layout_bundle",
+    {
+        "manifest_export_roundtrip": [
+            ("fingerprint", "i"), ("n_rows", "i"),
+        ],
+        "unicode_cleanup_bundle": [
+            ("doc_id", "i"), ("n_zero_width", "i"), ("n_controls", "i"),
+            ("n_quotes", "i"), ("cleaned_md5", "s"),
+        ],
+        "compacted_scan_pricing": [
+            ("l_returnflag", "s"), ("revenue", "d"), ("n_lines", "i"),
+        ],
+        "bucketed_join_orders_lineitem": [
+            ("l_orderkey", "i"), ("sum_qty", "d"), ("revenue", "d"),
+            ("o_totalprice", "d"), ("n_lines", "i"),
+        ],
+        "zorder_compacted_scan": [
+            ("l_returnflag", "s"), ("revenue", "d"), ("n_lines", "i"),
+        ],
+        "schema_evolution_read": [
+            ("source", "s"), ("n_docs", "i"), ("n_with_quality", "i"),
+            ("sum_quality", "d"),
+        ],
+    },
+    """The IO/storage-layout surface as ONE hash-checked DAG: the
+    two-phase-commit manifest export (readback fingerprint), the
+    ftfy-style Unicode cleanup map, range-sorted small-files compaction
+    (post-compaction pruned scan), the Exchange-free bucketed
+    lineitem⋈orders join, the Z-order (Morton) clustered scan, and the
+    mergeSchema two-generation read — each leg the registered query
+    composed verbatim, with every leg's own build-time self-check
+    (manifest totals, file-skip asserts, Exchange-free assert) still
+    enforced inside the bundle.  Layout must never change results: every
+    leg's oracle runs against the ORIGINAL tables.""",
 )

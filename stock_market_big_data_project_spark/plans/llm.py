@@ -3342,7 +3342,11 @@ def streaming_covariance_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # components come from an iterative eigensolve (driver-side power
 # iteration over the dim²-bounded covariance — the k-means/BPE trainer
 # declaration); the strong check is the numpy eigendecomposition
-# differential in tests/test_pca.py.
+# differential in tests/test_pca.py. Since r11 the eigensolve FAMILY
+# additionally carries a full hash oracle via its fixed-point twin
+# `embedding_power_iteration_fixed` below (the forecast_structure
+# pattern: the float production path stays rows-only, the
+# integer-exact trajectory is hash-certified round by round).
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding table onto its top-2 principal
     components — dimensionality reduction / whitening as an in-engine
@@ -3376,6 +3380,177 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums[r["d"]] += int(r["s"])
     mean = np.array([s / (_COV_SCALE * n_vecs) for s in sums])
     return pca_project(emb, comps, mean=mean)
+
+
+# --- fixed-point power iteration (r11 — VERDICT r10 #4) --------------------------------
+# The hash-certifiable tier of the eigensolve family: the float power
+# iteration behind embedding_pca_project is convergence-stopped libm
+# arithmetic (rows-only by necessity), but a FIXED-round power iteration
+# in scaled-integer arithmetic replays exactly — the pagerank/k-means
+# trainer-replay pattern applied to the eigensolve. Round law (all exact
+# integer except one IEEE sqrt whose ±1 floor error is corrected):
+#
+#     C_q        = round(cov * 1e9)          (9dp-certified doubles — the
+#                                             embedding_covariance values)
+#     w          = C_q · v_q                 (exact int matvec, order-free)
+#     w2         = trunc(w / 1e9)            (sign-split // — DuckDB's //
+#                                             truncates toward zero, Python's
+#                                             floors; the CASE makes both
+#                                             engines compute trunc)
+#     s          = isqrt(Σ w2²)              (floor(sqrt(double)) ± 1-step
+#                                             integer correction — exact)
+#     v_q'       = trunc(w2 * 1e9 / s)       (renormalized to ~unit scale)
+#
+# Overflow audit: |cov| ≤ 1 (unit-norm embeddings) ⇒ |C_q| ≤ ~1e9;
+# |v_q| ≤ 1e9 ⇒ |w| ≤ 64·1e18 ≈ 6.4e19 (exceeds int64 — Python ints and
+# DuckDB HUGEINT carry it); |w2| ≤ 6.4e10 ⇒ Σw2² ≤ 2.6e23 (HUGEINT);
+# emitted v_scaled ≤ 1e9 and norm_scaled ≤ ~8e11 both fit BIGINT.
+# 48 rounds: the fixture covariance's eigengap is small (λ2/λ1 ≈ 0.93 —
+# ten clusters spread variance over ~9 near-degenerate directions), so
+# 8 rounds would certify a trajectory that hasn't aligned yet; measured
+# at sf0.001: alignment with numpy's top eigenvector 0.36 @ 8 rounds,
+# 0.996 @ 48. Each extra round is one 64-row CTE — replay cost trivial.
+_PI_ROUNDS = 48
+_PI_CSCALE = 10**9
+_PI_VSCALE = 10**9
+_PI_DIM = 64
+
+
+def _power_iteration_oracle(rounds: int = _PI_ROUNDS) -> str:
+    """DuckDB replay of the WHOLE fixed-point power iteration: quantized
+    covariance from the certified _COV_ORACLE, then one matvec + trunc
+    rescale + corrected-isqrt normalize per round as materialized CTEs,
+    emitting every round's full vector + norm."""
+    parts = [f"""
+    WITH cq AS MATERIALIZED (
+      SELECT d1, d2, CAST(round(cov * {_PI_CSCALE}) AS BIGINT) AS c
+      FROM ({_COV_ORACLE}) _cov
+    ), sym AS MATERIALIZED (
+      SELECT d1 AS i, d2 AS j, c FROM cq
+      UNION ALL
+      SELECT d2, d1, c FROM cq WHERE d1 <> d2
+    ), v0 AS (
+      SELECT j, CAST({_PI_VSCALE} AS HUGEINT) AS v
+      FROM range(0, {_PI_DIM}) t(j)
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , w{r} AS MATERIALIZED (
+      SELECT i, sum(CAST(c AS HUGEINT) * v) AS w
+      FROM sym JOIN v{r - 1} ON v{r - 1}.j = sym.j GROUP BY i
+    ), w2_{r} AS MATERIALIZED (
+      SELECT i, CASE WHEN w >= 0 THEN w // {_PI_CSCALE}
+                     ELSE -((-w) // {_PI_CSCALE}) END AS w2
+      FROM w{r}
+    ), s{r} AS MATERIALIZED (
+      SELECT CASE WHEN s1 * s1 > n2 THEN s1 - 1
+                  WHEN (s1 + 1) * (s1 + 1) <= n2 THEN s1 + 1
+                  ELSE s1 END AS s
+      FROM (SELECT n2, CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS HUGEINT) AS s1
+            FROM (SELECT sum(w2 * w2) AS n2 FROM w2_{r}))
+    ), v{r} AS MATERIALIZED (
+      SELECT i AS j,
+             CASE WHEN w2 >= 0 THEN (w2 * {_PI_VSCALE}) // s
+                  ELSE -((-w2 * {_PI_VSCALE}) // s) END AS v
+      FROM w2_{r}, s{r}
+    )""")
+    parts.append("\nUNION ALL\n".join(
+        f"SELECT {r} AS round, CAST(j AS INT) AS d, "
+        f"CAST(v AS BIGINT) AS v_scaled, "
+        f"(SELECT CAST(s AS BIGINT) FROM s{r}) AS norm_scaled FROM v{r}"
+        for r in range(1, rounds + 1)
+    ))
+    return "".join(parts)
+
+
+@register_local(
+    "embedding_power_iteration_fixed",
+    oracle=_power_iteration_oracle(),
+)
+def embedding_power_iteration_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant-eigenvector power iteration over the embedding covariance
+    in FIXED-POINT INTEGER arithmetic — the eigensolve made
+    hash-certifiable (VERDICT r10 #4; retires the family's last
+    oracle-less gap the way forecast_structure did for the forecaster).
+
+    The corpus-sized work is the certified `embedding_covariance`
+    aggregate; its 2080-cell COLLECT is dim²-bounded (the k-means
+    centroid-grid declaration). The 8 rounds then run driver-side on
+    exact Python integers — matvec, trunc-rescale, corrected integer
+    sqrt, trunc-renormalize (round law + overflow audit in the module
+    comment above) — and the emitted (round, d, v_scaled, norm_scaled)
+    TRAJECTORY hash-matches the DuckDB oracle, which re-derives the
+    covariance from scratch and replays every round as materialized
+    CTEs. norm_scaled is the Rayleigh-quotient-scaled norm ‖C·v‖ — its
+    convergence to λ_max·1e9 is asserted against numpy's eigh in
+    tests/test_pca.py.
+
+    At 100 TB: identical shape — one mergeable covariance aggregate,
+    then O(rounds · dim²) driver arithmetic; nothing corpus-sized ever
+    reaches the driver."""
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    c_q = [[0] * _PI_DIM for _ in range(_PI_DIM)]
+    for r in cov_rows:
+        q = int(round(r["cov"] * _PI_CSCALE))
+        c_q[r["d1"]][r["d2"]] = q
+        c_q[r["d2"]][r["d1"]] = q
+
+    def tz(a: int, b: int) -> int:
+        # trunc-toward-zero division on exact ints — mirrors the oracle's
+        # sign-split CASE (DuckDB // truncates, Python // floors; the
+        # split makes both compute trunc)
+        return a // b if a >= 0 else -((-a) // b)
+
+    def isq(n2: int) -> int:
+        # floor(sqrt(double)) is within ±1 of isqrt for n2 ≤ 2.6e23; one
+        # correction step each direction makes it exact — the SAME
+        # expression the oracle replays (math.isqrt would be exact too,
+        # but mirroring the replayed expression keeps one definition)
+        import math
+
+        s0 = int(math.floor(math.sqrt(float(n2))))
+        if s0 * s0 > n2:
+            s0 -= 1
+        if (s0 + 1) * (s0 + 1) <= n2:
+            s0 += 1
+        return s0
+
+    v = [_PI_VSCALE] * _PI_DIM
+    rows = []
+    for rnd in range(1, _PI_ROUNDS + 1):
+        w = [
+            sum(c_q[i][j] * v[j] for j in range(_PI_DIM))
+            for i in range(_PI_DIM)
+        ]
+        w2 = [tz(x, _PI_CSCALE) for x in w]
+        s = isq(sum(x * x for x in w2))
+        if s == 0:
+            raise ValueError(
+                "power iteration degenerated to the zero vector "
+                "(all-zero covariance?)"
+            )
+        v = [tz(x * _PI_VSCALE, s) for x in w2]
+        rows.extend(
+            (rnd, d, v[d], s) for d in range(_PI_DIM)
+        )
+    return spark.createDataFrame(
+        rows, "round int, d int, v_scaled long, norm_scaled long"
+    )
+
+
+def _power_iteration_cov_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit constituent of embedding_power_iteration_fixed: the
+    corpus-sized covariance aggregate it collects (the registered
+    callable returns a driver-literal frame — vacuously clean)."""
+    emb = _emb(spark, sf_dir)
+    return _cov_combine(_cov_moment_cells(emb), _cov_dim_sums(emb))
+
+
+EAGER_ITERATIVE.update(
+    {"embedding_power_iteration_fixed": _power_iteration_cov_plan}
+)
 
 
 # --- distribution-drift matrix: two-sample KS across sources (r7) ----------------------

@@ -1749,7 +1749,10 @@ def pysource_quote_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _feed_agg(df)
 
 
-@register_local(
+# driver tier since r11 (the last standing-queue member): the streaming
+# half of the custom Python DataSource surface gains its own driver hash
+# row beside the batch pysource_quote_feed
+@register(
     "streaming_pysource_ticks_parity",
     oracle=_feed_oracle_sql(_FEED_N),
 )

@@ -1084,7 +1084,9 @@ def _zvalue(a, b, bits: int = _Z_BITS):
     return z
 
 
-@register(
+# local tier since r11: composed verbatim in the driver-tier
+# io_layout_bundle, which carries its construct's hash row
+@register_local(
     "zorder_compacted_scan",
     oracle="""
     WITH b AS (
@@ -1240,7 +1242,9 @@ EAGER_ITERATIVE.update({"zorder_compacted_scan": _zorder_scan_plan})
 # missing the column. A 100 TB table cannot be rewritten every time the
 # pipeline adds a field, so this read path is the operational contract.
 # --------------------------------------------------------------------------
-@register(
+# local tier since r11: composed verbatim in the driver-tier
+# io_layout_bundle, which carries its construct's hash row
+@register_local(
     "schema_evolution_read",
     oracle="""
     WITH evolved AS (

@@ -723,3 +723,285 @@ def high_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_rev_dec").cast("double").alias("part_rev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r11 additions — the remaining classic TPC-H aggregate shapes the pack
+# lacked, adapted to the fixture star schema (no partsupp table):
+# conditional-aggregate ratio (Q14), market-share ratio over a six-join
+# chain (Q8), left join with a filtered JOIN predicate + two-level
+# aggregate (Q13), ordered top-k over grouped revenue (Q10), and
+# CASE-bucketed counts under a non-equi date residual (Q12).
+# --------------------------------------------------------------------------
+_DEC38 = "decimal(38,6)"
+
+
+@register_local(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                       THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(38,6))
+                       ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')}
+             AS promo_share,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue as a percentage of total revenue per ship
+    year — a conditional decimal aggregate and an unconditional one in
+    the SAME grouped pass (one scan, one shuffle), then one double
+    division (identical IEEE op from hash-equal inputs).  The part side
+    carries only (p_partkey, p_type) — column pruning keeps the
+    broadcast build tiny at any part-table width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec0 = F.lit(0).cast(_DEC38)
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev.cast(_DEC38))
+                .otherwise(dec0)
+            ).cast("double").alias("_promo"),
+            exact_sum(rev, "_all"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.select(
+        "ship_year",
+        (100.0 * F.col("_promo") / F.col("_all")).alias("promo_share"),
+        "n_items",
+    )
+
+
+@register_local(
+    "national_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(o_year AS INT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                    THEN CAST(vol AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / {oracle_exact_sum('vol')} AS mkt_share,
+           count(*) AS n_items
+    FROM rev GROUP BY 1
+    """,
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape (role-playing nation dimension under BOTH the customer
+    and the supplier leg): NATION_7 suppliers' share of revenue sold to
+    ASIA customers, per order year.  Six-table join chain where every
+    dimension broadcasts (nation twice under different aliases, region
+    folded into the customer-nation build side) and the fact flows
+    through exactly one grouped exchange; the share is a conditional /
+    unconditional decimal-sum pair divided once in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n1 = nation.alias("n1")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    asia_cust = (
+        cust.join(
+            F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey")
+        )
+        .join(
+            F.broadcast(region),
+            (F.col("n1.n_regionkey") == region.r_regionkey)
+            & (region.r_name == "ASIA"),
+        )
+        .select("c_custkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec0 = F.lit(0).cast(_DEC38)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_cust), orders.o_custkey == asia_cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(n2), supp.s_nationkey == n2.n2_nationkey
+        )
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", rev.cast(_DEC38))
+            .otherwise(dec0)
+        ).cast("double").alias("_nat"),
+        exact_sum(rev, "_all"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("_nat") / F.col("_all")).alias("mkt_share"),
+        "n_items",
+    )
+
+
+@register_local(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: the filtered-JOIN-predicate left join (the filter
+    belongs in the ON clause — pushing it to a WHERE would silently drop
+    zero-order customers from the distribution) followed by a two-level
+    aggregate.  count(o_orderkey) counts only matched rows, so customers
+    whose every order is '4-NOT SPECIFIED' land in the c_count=0 bucket
+    exactly like order-less customers — the semantics the ON-vs-WHERE
+    distinction exists for."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register_local(
+    "returned_items_top_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue, n_items FROM (
+      SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+             {oracle_exact_sum('l.l_extendedprice * (1 - l.l_discount)')}
+               AS revenue,
+             count(*) AS n_items
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+      GROUP BY c.c_custkey
+    ) QUALIFY row_number() OVER (ORDER BY revenue DESC, c_custkey) <= 20
+    """,
+)
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returned items per customer, top 20.
+    The grouped revenue is decimal-exact (hash-equal doubles on both
+    engines), so the ORDER BY revenue ranking is deterministic given the
+    c_custkey tie-break; Spark plans the top-k as a single
+    TakeOrderedAndProject-style window over the grouped rows, never a
+    global sort of the fact table."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grouped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_name").alias("c_name"),
+            exact_sum(rev, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        grouped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+
+
+@register_local(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: CASE-bucketed priority counts over lineitems that
+    shipped more than 45 days after their order date — the non-equi date
+    residual rides the equi join on the order key (one keyed shuffle),
+    and both CASE branches aggregate in the same grouped pass.  Counts
+    are integer-exact; the oracle casts DuckDB's HUGEINT sums back to
+    BIGINT for schema parity."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )

@@ -111,6 +111,36 @@ def test_projection_partitioning_invariance(spark):
     assert a == b
 
 
+def test_fixed_point_power_iteration_converges_to_eigh(spark):
+    """The hash-certified fixed-point trajectory must END at numpy's
+    answer: the round-48 vector aligns with eigh's dominant eigenvector
+    and norm_scaled/1e9 approaches λ_max (the quantization + small
+    eigengap bound the achievable tolerance — measured 0.996 alignment,
+    6e-4 relative λ error at sf0.001)."""
+    cov_rows = get_query("embedding_covariance")(spark, SF_DIR).collect()
+    c = np.zeros((64, 64))
+    for r in cov_rows:
+        c[r["d1"], r["d2"]] = r["cov"]
+        c[r["d2"], r["d1"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(c)
+    lam, v_ref = evals[-1], evecs[:, -1]
+    out = get_query("embedding_power_iteration_fixed")(
+        spark, SF_DIR
+    ).collect()
+    last = max(r["round"] for r in out)
+    v = np.zeros(64)
+    norm_scaled = None
+    for r in out:
+        if r["round"] == last:
+            v[r["d"]] = r["v_scaled"]
+            norm_scaled = r["norm_scaled"]
+    v /= np.linalg.norm(v)
+    align = abs(float(v @ v_ref))
+    assert align > 0.98, align
+    rel = abs(norm_scaled / 1e9 - lam) / lam
+    assert rel < 5e-3, rel
+
+
 def test_power_iteration_negative_dominant_eigenvalue():
     """ADVICE r7: a negative dominant eigenvalue sign-flips the iterate
     each step; convergence must accept ±w or it silently burns all

@@ -97,15 +97,21 @@ def test_eager_iterative_list_is_current(spark):
         # checkpoints + cleans its temp rewrite (r8 leak fix); the
         # constituent re-stages it so the pruned scan stays audited
         "schema_evolution_read",  # same write-then-read shape
+        "embedding_power_iteration_fixed",  # fixed-point eigensolve:
+        # the registered callable collects the dim²-bounded covariance
+        # and iterates driver-side; audited via the covariance-aggregate
+        # constituent it collects
         "pagerank_copurchase",  # Pregel power iteration: per-round
         # equi-joins over the audited symmetrized-edges constituent
         "bfs_shortest_hops",  # Pregel traversal over the same audited
         # edges constituent
         "label_propagation_communities",  # Pregel community detection
         # over the same audited edges constituent
-        "graph_analytics_bundle",  # r10 family bundle: its iterative
-        # legs execute at build time; audited via the same shared
-        # symmetrized-edges constituent as the legs themselves
+        "graph_analytics_bundle",  # r10 family bundle: its three
+        # iterative legs execute at build time (each audited via the
+        # shared symmetrized-edges constituent on its standalone
+        # registration); the bundle's constituent is its LAZY butterfly
+        # leg's composed union (ADVICE r10)
         "training_prep_bundle",  # r10 family bundle: the BPE/k-means
         # trainer legs execute at build time (each audited via its own
         # constituent above); the bundle's constituent is the union of
