@@ -37,6 +37,7 @@ STREAMING_HARNESS = {
     "streaming_scd2_parity",
     "streaming_fuzzy_link_parity",
     "streaming_time_rollup_parity",
+    "streaming_hopping_volume_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

@@ -2249,11 +2249,11 @@ def orc_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hopping (sliding) windows — the third time-window type beside the
 # tumbling (streaming_batch_parity) and session (session_window_native)
 # aggregations: 2-hour windows sliding every hour, so each tick lands in
-# exactly two overlapping windows.
+# exactly two overlapping windows. The oracle is shared with the r11
+# streaming parity below, which serves the same windows from
+# incrementally maintained hour state.
 # --------------------------------------------------------------------------
-@register_local(
-    "hopping_window_volume",
-    oracle=f"""
+_HOPPING_SQL = f"""
     WITH x AS (
       SELECT user_id AS symbol, ts, value,
              unnest([date_trunc('hour', ts),
@@ -2266,7 +2266,12 @@ def orc_roundtrip_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_exact_avg('value')} AS avg_value
     FROM x
     GROUP BY symbol, win_start
-    """,
+    """
+
+
+@register_local(
+    "hopping_window_volume",
+    oracle=_HOPPING_SQL,
 )
 def hopping_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`F.window(ts, '2 hours', '1 hour')` — Spark expands each row into
@@ -2291,6 +2296,107 @@ def hopping_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+@register_local("streaming_hopping_volume_parity", oracle=_HOPPING_SQL)
+def streaming_hopping_volume_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hopping windows on the LIVE tick path — the seventeenth streaming
+    parity: each micro-batch appends delta-sized per-(symbol, hour)
+    decimal partials (the streaming_time_rollup_parity state shape,
+    batch_id-keyed overwrite so a retried foreachBatch replaces its own
+    partials — exactly-once effect over at-least-once execution), and
+    the 2h/1h hopping windows are SERVED from the maintained hour state:
+    each hour bucket expands into its two covering window starts and the
+    partials re-aggregate — no tick rescan, state is buckets-sized. The
+    decimal sums reassociate losslessly and the average divides the
+    merged decimal total once in double, so the served windows
+    hash-match the batch `hopping_window_volume` oracle over raw events
+    under any batch split (three range-split micro-batches, so most
+    windows span batches and the match proves the cross-batch merge
+    law)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_events_stream
+
+    td = tempfile.mkdtemp(prefix="stream_hopping_")
+    src_dir = f"{td}/src"
+    hours_dir = f"{td}/state_hours"
+    try:
+        load_events(spark, sf_dir).repartitionByRange(3, "event_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy(
+                    F.col("user_id").alias("symbol"),
+                    F.date_trunc("hour", "ts").alias("hour_ts"),
+                )
+                .agg(
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias(
+                        "sum_dec"
+                    ),
+                    F.count(F.lit(1)).alias("n_ticks"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{hours_dir}/batch_id={batch_id}")
+            )
+
+        q = (
+            read_events_stream(spark, src_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        hours = (
+            spark.read.parquet(hours_dir)
+            .groupBy("symbol", "hour_ts")
+            .agg(
+                F.sum("sum_dec").alias("sum_dec"),
+                F.sum("n_ticks").alias("n_ticks"),
+            )
+        )
+        # each maintained hour bucket feeds exactly two hopping windows
+        # (length/slide = 2) — the same Expand shape the batch query
+        # plans over raw ticks, here over the tiny hour-state table
+        out = (
+            hours.select(
+                "symbol",
+                "sum_dec",
+                "n_ticks",
+                F.explode(
+                    F.array(
+                        F.col("hour_ts") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("hour_ts"),
+                    )
+                ).alias("win_start"),
+            )
+            .groupBy("symbol", "win_start")
+            .agg(
+                F.sum("n_ticks").alias("n_ticks"),
+                F.try_divide(
+                    F.sum("sum_dec").cast("double"), F.sum("n_ticks")
+                ).alias("avg_value"),
+            )
+            .select(
+                "symbol",
+                "win_start",
+                (F.col("win_start") + F.expr("INTERVAL 2 HOURS")).alias(
+                    "win_end"
+                ),
+                "n_ticks",
+                "avg_value",
+            )
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
