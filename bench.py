@@ -245,6 +245,8 @@ EXTRA = [
     "warehouse_eventflow_bundle",
     "io_layout_bundle",
     "embedding_power_iteration_fixed",
+    "embedding_filtered_topk",
+    "part_supplier_variety",
 ]
 
 

@@ -58,6 +58,8 @@ EAGER_ITERATIVE: dict = {}
 # list — a PythonUDF node in any other query is a red flag.
 PYTHON_STAGE_OK = {
     "embedding_bruteforce_topk",     # matmul candidate prescreen
+    "embedding_filtered_topk",       # the same prescreen over the
+                                     # metadata-filtered corpus
     "embedding_near_dup_bruteforce", # matmul candidate prescreen
     "embedding_near_dup_pairs",      # band keys via BLAS matmul
     "embedding_dedup_clusters",      # same band-key matmul, via its audited

@@ -616,6 +616,54 @@ def embedding_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+@register_local(
+    "embedding_filtered_topk",
+    oracle=f"""
+    WITH {_VECS},
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(sum(CAST(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE)
+                           AS DECIMAL(18,15))) AS DOUBLE) AS dot
+      FROM v a
+      JOIN v b ON a.d = b.d AND a.vec_id != b.vec_id
+      JOIN embeddings e ON e.vec_id = b.vec_id
+      WHERE a.vec_id < 10 AND e.label IN (0, 1, 2, 3)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY dot / (sqrt(na.norm2) * sqrt(nb.norm2)) DESC,
+                        neighbor_id) AS rank
+      FROM dots
+      JOIN norms na ON na.vec_id = query_id
+      JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 9) AS cosine, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the composition every production
+    retrieval stack needs and most ANN indexes handle badly: top-5
+    cosine neighbors among only the vectors whose label ∈ {0,1,2,3}
+    (PRE-filtering: the predicate restricts the corpus before the
+    search, so recall is exact w.r.t. the filtered set — vs
+    POST-filtering an unfiltered top-k, which silently under-returns
+    when the filter is selective: a 40% filter needs ~k/0.4 over-fetch
+    and still has no recall guarantee). Here the filter composes with
+    the exact decimal-rescored `cosine_topk` as the certification
+    baseline; at 100 TB the same predicate pushes into the IVF cell
+    scan (label becomes a partition/cluster column, so filtered search
+    prunes cells exactly like partition pruning — the
+    embedding_ivfpq_topk layout with one more pushed predicate)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("label").isin(0, 1, 2, 3))
+    return cosine_topk(corpus, queries, k=5)
+
+
 # Shared bucket CTE: 16 md5-derived hyperplanes → 16-bit sign bucket —
 # identical values to operators/similarity.py::lsh_bucket.
 _LSH_BUCKETS_SQL = """

@@ -1005,3 +1005,49 @@ def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("low_line_count"),
         )
     )
+
+
+@register_local(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt,
+           count(*) AS n_lines
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — the pack's remaining decorrelation: NOT IN
+    (uncorrelated subquery) → LEFT ANTI join (exact because s_suppkey is
+    non-null by construction; with a nullable subquery column NOT IN's
+    three-valued semantics would need the extra null-check branch), plus
+    a grouped COUNT(DISTINCT) — supplier variety per (brand, type, size)
+    excluding negative-balance suppliers. The anti join's build side is
+    the tiny excluded-supplier list (broadcast); the distinct-count
+    aggregates in one exchange on the composite group key. The oracle
+    states the NOT IN form; the hash match proves the rewrite."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    ).filter(F.col("p_brand") != "Brand#5")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
