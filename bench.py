@@ -247,6 +247,7 @@ EXTRA = [
     "embedding_power_iteration_fixed",
     "embedding_filtered_topk",
     "part_supplier_variety",
+    "nation_year_profit",
 ]
 
 

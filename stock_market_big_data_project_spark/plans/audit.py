@@ -236,10 +236,12 @@ WIDE_PLAN_OK = {
     # audited plan) — measured 24 / 37 / 44 at sf0.001, with headroom for
     # AQE join-strategy differences across SFs
     "perceptual_dedup_bundle": 32,
-    # 71 measured with the eighteen-shape pack (r11 added Q8/Q10/Q12/
-    # Q13/Q14 legs — Q8 alone carries a six-join broadcast chain); each
-    # leg is individually audited, the bundle's width is their sum
-    "subquery_pack_bundle": 88,
+    # 80 measured with the twenty-shape pack (r11 added Q8/Q9/Q10/Q12/
+    # Q13/Q14 + the Q16 NOT-IN variant — Q8 alone carries a six-join
+    # broadcast chain); each leg is individually audited, the bundle's
+    # width is their sum; headroom for AQE join-strategy differences
+    # across SFs
+    "subquery_pack_bundle": 96,
     "warehouse_eventflow_bundle": 56,
 }
 

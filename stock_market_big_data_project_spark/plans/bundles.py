@@ -381,14 +381,21 @@ _register_bundle(
             ("p_brand", "s"), ("p_type", "s"), ("p_size", "i"),
             ("supplier_cnt", "i"), ("n_lines", "i"),
         ],
+        "nation_year_profit": [
+            ("supp_nation", "s"), ("o_year", "i"), ("profit", "d"),
+            ("n_lines", "i"),
+        ],
     },
-    """The subquery-decorrelation pack (Q2/Q4/Q7/Q8/Q10/Q11/Q12/Q13/Q14/
-    Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22 shapes — Q16 both as the
+    """The subquery-decorrelation pack — with the r11 additions every
+    classic TPC-H aggregate shape (Q1–Q22, minus the ones that are
+    standalone headline queries) is now represented: Q2/Q4/Q7/Q8/Q9/Q10/
+    Q11/Q12/Q13/Q14/Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22, Q16 both as the
     dominant-part variant and as the NOT-IN → anti-join + grouped
-    COUNT-DISTINCT variant) plus exact order-statistics quantiles as ONE
-    hash-checked DAG — every oracle states the SUBQUERY/ANSI form, every
-    Spark leg the decorrelated JOIN form, composed verbatim; the bitwise
-    union hash proves all nineteen rewrites in one driver slot.""",
+    COUNT-DISTINCT variant, plus exact order-statistics quantiles, as
+    ONE hash-checked DAG — every oracle states the SUBQUERY/ANSI form,
+    every Spark leg the decorrelated JOIN form, composed verbatim; the
+    bitwise union hash proves all twenty rewrites in one driver
+    slot.""",
 )
 
 # --------------------------------------------------------------------------

@@ -1051,3 +1051,68 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register_local(
+    "nation_year_profit",
+    oracle=f"""
+    SELECT n.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - p.p_retailprice * l.l_quantity * 0.1
+                         AS DECIMAL(38,6))) AS DOUBLE) AS profit,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gi%'
+    GROUP BY 1, 2
+    """,
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (the last classic TPC-H aggregate the pack lacked —
+    adapted to the fixture schema, which has no partsupp: supply cost
+    is modeled as 10% of retail price per unit): profit by supplier
+    nation and order year over a name-filtered part slice. The derived
+    per-row measure (revenue − cost) is ONE double expression quantized
+    to decimal(38,6) — identical on both engines — then summed exactly;
+    four dimension joins broadcast, the fact flows through one grouped
+    exchange. The `p_name LIKE '%gi%'` predicate prunes the part build
+    side before the join (pushed to the dimension scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gi"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "supp_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount.cast("decimal(38,6)"))
+            .cast("double")
+            .alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
