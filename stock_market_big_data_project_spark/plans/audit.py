@@ -38,6 +38,7 @@ STREAMING_HARNESS = {
     "streaming_fuzzy_link_parity",
     "streaming_time_rollup_parity",
     "streaming_hopping_volume_parity",
+    "streaming_cohort_retention_parity",
 }
 
 # Queries whose registered callable EXECUTES an iterative algorithm at

@@ -117,9 +117,7 @@ def funnel_conversion_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cohort retention: users grouped by first-seen week; for each later week
 # they were active, one cell (cohort_week, week_offset, n_active).
 # --------------------------------------------------------------------------
-@register_local(
-    "cohort_retention_matrix",
-    oracle="""
+_COHORT_SQL = """
     WITH first_seen AS (
       SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
       FROM events GROUP BY user_id
@@ -132,7 +130,12 @@ def funnel_conversion_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cohort_week, week_offset, count(*) AS n_active
     FROM activity
     GROUP BY cohort_week, week_offset
-    """,
+    """
+
+
+@register_local(
+    "cohort_retention_matrix",
+    oracle=_COHORT_SQL,
 )
 def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two user-keyed aggregates over one scan: first-seen week, then the
@@ -163,6 +166,96 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@register_local("streaming_cohort_retention_parity", oracle=_COHORT_SQL)
+def streaming_cohort_retention_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort retention on the LIVE tick path — the eighteenth streaming
+    parity, and the first whose maintained state merges under a
+    DIFFERENT algebra than decimal sums: per-user first-seen is a MIN
+    merge, per-(user, activity-week) presence is a SET-UNION merge.
+    Each micro-batch appends two delta-sized state tables under
+    idempotent batch_id-keyed overwrite (a retried foreachBatch replaces
+    its own partials): (user_id, min ts in batch) and the batch's
+    DISTINCT (user_id, activity_week) pairs. The served matrix derives
+    from merged state alone — global first-seen = min of batch mins
+    (exact on microsecond timestamps), activity grid = distinct of the
+    unioned pair sets, then the SAME calendar-week expressions the batch
+    query uses — no event rescan, state is users + (user × active-week)
+    sized, never ticks-sized. A user whose first-seen week moves EARLIER
+    in a later batch is the case sum-based IVM cannot express and min
+    merge handles exactly: the three range-split micro-batches make
+    most users span batches, so the bitwise hash match against the
+    batch oracle proves the cross-batch (min, set-union) merge law."""
+    import shutil
+    import tempfile
+
+    from ..streaming.ingest import read_events_stream
+
+    td = tempfile.mkdtemp(prefix="stream_cohort_")
+    src_dir = f"{td}/src"
+    seen_dir = f"{td}/state_first_seen"
+    act_dir = f"{td}/state_activity"
+    try:
+        load_events(spark, sf_dir).repartitionByRange(3, "event_id").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+
+        def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy("user_id")
+                .agg(F.min("ts").alias("min_ts"))
+                .write.mode("overwrite")
+                .parquet(f"{seen_dir}/batch_id={batch_id}")
+            )
+            (
+                batch_df.select(
+                    "user_id",
+                    F.date_trunc("week", "ts").alias("act_week"),
+                )
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(f"{act_dir}/batch_id={batch_id}")
+            )
+
+        q = (
+            read_events_stream(spark, src_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{td}/_ckpt")
+            .start()
+        )
+        q.awaitTermination()
+        first_seen = (
+            spark.read.parquet(seen_dir)
+            .groupBy("user_id")
+            .agg(F.date_trunc("week", F.min("min_ts")).alias("cohort_week"))
+        )
+        activity = (
+            spark.read.parquet(act_dir)
+            .select("user_id", "act_week")
+            .distinct()
+            .join(first_seen, "user_id")
+            .select(
+                "user_id",
+                "cohort_week",
+                (
+                    F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+                )
+                .cast("int")
+                .alias("week_offset"),
+            )
+            .distinct()
+        )
+        out = activity.groupBy("cohort_week", "week_offset").agg(
+            F.count(F.lit(1)).alias("n_active")
+        )
+        # localCheckpoint: the result must outlive the temp dirs
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
