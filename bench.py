@@ -82,7 +82,7 @@ EXTRA = [
     "dedup_minhash_verified",
     "embedding_near_dup_pairs",
     "text_analysis_bundle",
-    "multimodal_pipeline_stub",
+    "multimodal_pipeline_dispatch",
     "approx_sketch_bundle",
     # round-3 driver additions. streaming_stateful_ffill_parity is NOT
     # here: it is a streaming harness that replays its stream at CALL time
@@ -245,6 +245,7 @@ EXTRA = [
     "warehouse_eventflow_bundle",
     "io_layout_bundle",
     "embedding_power_iteration_fixed",
+    "embedding_pca_project_fixed",
     "embedding_filtered_topk",
     "part_supplier_variety",
     "nation_year_profit",
@@ -465,9 +466,11 @@ def main() -> None:
     # probes are just warm-up-grade timings and the ratio would be a
     # nonsense machine normalization; emit factor = None so a cross-round
     # reader of value_calibrated can never compare across SFs (review
-    # finding r10). The end-phase pass only exists to feed the factor,
-    # so it too runs at sf0.1 only.
-    cal_start = run_probes("start")
+    # finding r10). BOTH probe phases exist only to feed the factor, so
+    # neither runs off-sf0.1 — which also keeps calibration_ratios out of
+    # bench_detail.json at other SFs, where the per-probe ratios would be
+    # the same nonsense numbers the factor gating prevents (ADVICE r11).
+    cal_start = run_probes("start") if sf == 0.1 else {}
 
     timings = run_set(HEADLINE)
     extra = run_set(EXTRA)
@@ -663,6 +666,25 @@ def main() -> None:
             else None
         ),
     }
+    # Governed value (VERDICT r11 #3): ONE number the 2x gate reads, with
+    # no judge discretion. When calibration is trustworthy
+    # (disagreement is False) it is value_calibrated; when the
+    # disagreement flag fired — the case where normalization is adding
+    # noise — it is the WORSE (larger) of raw and calibrated, the
+    # conservative choice; when no factor exists (off-sf0.1, or no
+    # prior round to compare against) it is whichever of the two is
+    # available, again preferring the worse. BASELINE.md states the rule.
+    _vc = calibration["value_calibrated"]
+    if _vc is None:
+        value_governed, governed_by = total, "raw"
+    elif cal_disagree:
+        value_governed = max(total, _vc)
+        governed_by = "raw" if total >= _vc else "calibrated"
+    else:
+        value_governed, governed_by = _vc, "calibrated"
+    calibration["value_governed"] = value_governed
+    calibration["governed_by"] = governed_by
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -698,6 +720,8 @@ def main() -> None:
                 "calibration_spread": cal_spread,
                 "calibration_disagreement": cal_disagree,
                 "value_calibrated": calibration["value_calibrated"],
+                "value_governed": value_governed,
+                "governed_by": governed_by,
                 "unit": "sec",
                 "n_runs": N_RUNS,
                 "queries": timings,

@@ -70,10 +70,12 @@ PYTHON_STAGE_OK = {
     "recursive_forecast",            # per-symbol trainer/forecaster
     "forecast_structure",            # hash-checked projection of the same
                                      # forecaster Arrow stage
-    "multimodal_pipeline_stub",      # fused decode→resize→sample UDTF
-    "multimodal_decode_stub",        # codec plumbing
-    "multimodal_resize_stub",        # codec plumbing
-    "multimodal_frame_sample",       # codec plumbing
+    "multimodal_pipeline_dispatch",  # fused mime-dispatch decode→
+                                     # downsample→segment UDTF (r12:
+                                     # real BMP/PNG/WAV/y4m decoders)
+    "multimodal_decode_dispatch",    # mime-dispatch decode stage
+    "multimodal_resize_dispatch",    # mime-dispatch decode+downsample
+    "multimodal_segment_sample",     # mime-dispatch 1→k segment UDTF
     "multimodal_byte_histogram",     # vectorized bincount features
     "multimodal_bmp_decode",         # REAL BMP encode + decode/resize
                                      # codec stages (narrow Arrow passes)

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import exact_avg, oracle_exact_avg
 from ..sources.tables import load_events
-from .registry import register_local
+from .registry import register, register_local
 
 
 # --------------------------------------------------------------------------
@@ -168,7 +168,10 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_local("streaming_cohort_retention_parity", oracle=_COHORT_SQL)
+@register(  # promoted r12 (VERDICT r11 #4): the first streaming parity
+    # under a non-sum merge algebra (min + set-union) takes a driver slot
+    "streaming_cohort_retention_parity", oracle=_COHORT_SQL
+)
 def streaming_cohort_retention_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -9,8 +9,9 @@ md5-derived so DuckDB mirrors them bit-for-bit); the pandas stages are
 Arrow-batched codec/matmul passes. The multimodal decode surface is REAL
 and hash-certified for all five formats (operators/png.py, jpeg.py,
 wav.py, y4m.py, plus BMP in operators/multimodal.py — driver-certified
-via `multimodal_decode_bundle`); only the generic-mime fused pipeline
-demo (`multimodal_pipeline`) keeps a placeholder decode.
+via `multimodal_decode_bundle`), and as of r12 the generic-mime
+pipeline DISPATCHES on mime type to those real decoders (the
+`multimodal_*_dispatch` queries below) — no placeholder decode remains.
 """
 
 from __future__ import annotations
@@ -31,11 +32,12 @@ from ..operators.dedup import (
 from ..operators.multimodal import (
     attach_binary_payload,
     attach_bmp_payload,
+    attach_media_payload,
     byte_histogram_features,
-    decode_images,
+    decode_media,
     decode_resize_bmp,
-    resize_images,
-    sample_frames,
+    downsample_media,
+    segment_media,
 )
 from ..operators.similarity import (
     cosine_topk,
@@ -822,24 +824,151 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket(_emb(spark, sf_dir), n_planes=16)
 
 
-# --- multimodal plumbing ----------------------------------------------------------
+# --- multimodal mime-dispatch surface (r12: real codecs, no placeholder) ----------
+# One relational law for a MIXED-FORMAT corpus: doc_id % 4 selects the
+# format (BMP / PNG / WAV / y4m), each branch re-derives that format's
+# certified fixture formulas, and the outputs are normalized across
+# modalities (leading-axis "units": pixel rows / sample ticks / frames).
+# The Spark side parses REAL encoded files with the real decoders; the
+# oracle never parses a byte — any dispatch or decoder bug breaks the hash.
+_MEDIA_SPECS = {
+    "bmp": dict(
+        mime="image/bmp",
+        dims="SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h"
+             " FROM documents WHERE doc_id % 4 = 0",
+        axes=(("y", "h"), ("x", "w")),
+        hx="printf('%02X%02X%02X', (doc_id + 7 * x + 13 * y) % 256, "
+           "(3 * doc_id + x + 11 * y) % 256, (5 * doc_id + 3 * x + y) % 256)",
+        order="y, x",
+        lead="y", lead_n="h",
+        width="w", height="h",
+        out_pred="y % 2 = 0 AND x % 2 = 0",
+        out_width="(w + 1) // 2", out_height="(h + 1) // 2",
+    ),
+    "png": dict(
+        # doc_id % 4 = 1 is always odd, so the PNG branch is always the
+        # fixture's greyscale variant (png.py::_png_fixture_pixels)
+        mime="image/png",
+        dims="SELECT doc_id, 8 + (doc_id * 5) % 9 AS w, "
+             "8 + (doc_id * 7) % 6 AS h FROM documents WHERE doc_id % 4 = 1",
+        axes=(("y", "h"), ("x", "w")),
+        hx="printf('%02X', (9 * doc_id + 5 * x + 7 * y) % 256)",
+        order="y, x",
+        lead="y", lead_n="h",
+        width="w", height="h",
+        out_pred="y % 2 = 0 AND x % 2 = 0",
+        out_width="(w + 1) // 2", out_height="(h + 1) // 2",
+    ),
+    "wav": dict(
+        # doc_id % 4 = 2 is always even → always the stereo fixture
+        # variant (wav.py::_wav_fixture_samples); content order is
+        # (tick, channel), each sample hex'd as offset-binary %04X
+        mime="audio/wav",
+        dims="SELECT doc_id, 64 + (doc_id * 11) % 129 AS n"
+             " FROM documents WHERE doc_id % 4 = 2",
+        axes=(("i", "n"), ("c", "2")),
+        hx="printf('%04X', (doc_id * 31 + 7 * i * i + 13 * i * (c + 1)"
+           " + 5 * c) % 65536)",
+        order="i, c",
+        lead="i", lead_n="n",
+        width="2", height="n",
+        out_pred="i % 2 = 0",
+        out_width="2", out_height="(n + 1) // 2",
+    ),
+    "y4m": dict(
+        mime="video/y4m",
+        dims="SELECT doc_id, 6 + doc_id % 8 AS n, 6 + (doc_id * 3) % 5 AS w,"
+             " 8 AS h FROM documents WHERE doc_id % 4 = 3",
+        axes=(("f", "n"), ("p", "3"), ("y", "h"), ("x", "w")),
+        hx="printf('%02X', (doc_id + 17 * f + 29 * p + 7 * x + 13 * y"
+           " + f * x + 3 * f * y) % 256)",
+        order="f, p, y, x",
+        lead="f", lead_n="n",
+        width="w", height="h",
+        out_pred="f % 2 = 0",
+        out_width="w", out_height="h",
+    ),
+}
+
+
+def _media_dispatch_sql(cols: str) -> str:
+    """UNION-ALL oracle over the four mime branches. Each branch unrolls
+    its format's fixture formulas over unnest()ed axes, fingerprints the
+    canonical hex stream (full / downsample-kept / per-segment), and the
+    outer SELECT DISTINCT projects the stage's column subset (doc-level
+    stages collapse the two segment rows; segment-level stages keep
+    them)."""
+    ctes, selects = [], []
+    for q, s in _MEDIA_SPECS.items():
+        src = f"{q}_d"
+        ctes.append(f"{q}_d AS ({s['dims']})")
+        for ax, cnt in s["axes"]:
+            nxt = f"{q}_u{ax}"
+            ctes.append(
+                f"{nxt} AS (SELECT *, unnest(range(0, {cnt})) AS {ax}"
+                f" FROM {src})"
+            )
+            src = nxt
+        ctes.append(f"{q}_px AS (SELECT *, {s['hx']} AS hx FROM {src})")
+        ctes.append(f"""{q}_doc AS (
+      SELECT doc_id, any_value({s['width']}) AS width,
+             any_value({s['height']}) AS height,
+             any_value({s['lead_n']}) AS n_units,
+             any_value({s['out_width']}) AS out_width,
+             any_value({s['out_height']}) AS out_height,
+             any_value(({s['lead_n']} + 1) // 2) AS out_units,
+             md5(string_agg(hx, '' ORDER BY {s['order']})) AS content_md5
+      FROM {q}_px GROUP BY doc_id)""")
+        ctes.append(f"""{q}_out AS (
+      SELECT doc_id, md5(string_agg(hx, '' ORDER BY {s['order']})) AS out_md5
+      FROM {q}_px WHERE {s['out_pred']} GROUP BY doc_id)""")
+        ctes.append(
+            f"{q}_segd AS (SELECT doc_id, {s['lead_n']} AS n_lead,"
+            f" unnest(range(0, 2)) AS j FROM {q}_d)"
+        )
+        ctes.append(f"""{q}_seg AS (
+      SELECT sd.doc_id, sd.j,
+             (sd.j + 1) * sd.n_lead // 2 - sd.j * sd.n_lead // 2 AS seg_units,
+             md5(string_agg(p.hx, '' ORDER BY {s['order']})) AS seg_md5
+      FROM {q}_segd sd JOIN {q}_px p
+        ON p.doc_id = sd.doc_id
+       AND p.{s['lead']} >= sd.j * sd.n_lead // 2
+       AND p.{s['lead']} <  (sd.j + 1) * sd.n_lead // 2
+      GROUP BY sd.doc_id, sd.j, sd.n_lead)""")
+        selects.append(f"""SELECT d.doc_id, '{s['mime']}' AS mime,
+           CAST(d.width AS INT) AS width, CAST(d.height AS INT) AS height,
+           CAST(d.n_units AS INT) AS n_units, d.content_md5,
+           CAST(d.out_width AS INT) AS out_width,
+           CAST(d.out_height AS INT) AS out_height,
+           CAST(d.out_units AS INT) AS out_units, o.out_md5,
+           CAST(g.j AS INT) AS seg_no,
+           CAST(g.seg_units AS INT) AS seg_units, g.seg_md5
+    FROM {q}_doc d JOIN {q}_out o USING (doc_id)
+    JOIN {q}_seg g USING (doc_id)""")
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT {cols} FROM (\n{union}\n) all_media"
+    )
+
+
 @register_local(
-    "multimodal_decode_stub",
-    oracle="""
-    SELECT doc_id, 'image/fake' AS mime,
-           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
-           CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height
-    FROM documents
-    """,
+    "multimodal_decode_dispatch",
+    oracle=_media_dispatch_sql(
+        "doc_id, mime, width, height, n_units, content_md5"
+    ),
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary multimodal column + mapInPandas decode stage. The decode is a
-    STUB (deterministic fake from byte length — no codec libs here); the
-    Spark plumbing (binary column, typed metadata struct, Arrow batching,
-    mapInPandas schema) is the real contract."""
-    payloads = attach_binary_payload(_docs(spark, sf_dir))
-    return decode_images(payloads)
+def multimodal_decode_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mime-dispatched decode over a MIXED real-format corpus (r12,
+    VERDICT r11 #6 — retires the placeholder decode): doc_id % 4 selects
+    BMP / PNG / WAV / y4m, the payload is genuinely encoded by that
+    format's encoder, and ONE mapInPandas stage dispatches each payload
+    to its format's REAL decoder (operators/multimodal.py::decode_media),
+    emitting modality-normalized metadata + the decoded-content
+    fingerprint. The oracle re-derives all four formats' fixture
+    formulas relationally — a dispatch bug, a decoder bug, or a wrong
+    normalization in ANY branch breaks the hash."""
+    return decode_media(attach_media_payload(_docs(spark, sf_dir)))
 
 
 # --- REAL BMP codec (r8): decode + resize, bitwise-certified -----------------------
@@ -1554,7 +1683,9 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming incremental image dedup (r9) ----------------------------------------
-@register_local("streaming_image_dhash_parity", oracle=_IMG_DHASH_ORACLE)
+@register(  # promoted r12 (VERDICT r11 #4): longest-waiting r9 leftover
+    "streaming_image_dhash_parity", oracle=_IMG_DHASH_ORACLE
+)
 def streaming_image_dhash_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IMAGE dedup on the LIVE append path — the eleventh
     streaming parity (streaming/image_dedup.py): the corpus replays as 3
@@ -1623,90 +1754,67 @@ _HEXDOCS = """
 
 
 @register_local(
-    "multimodal_resize_stub",
-    oracle=f"""
-    WITH {_HEXDOCS}
-    SELECT doc_id,
-           CAST((16 + n % 64) // 2 AS INT) AS out_width,
-           CAST((16 + (n * 7) % 64) // 2 AS INT) AS out_height,
-           CAST((n + 3) // 4 AS INT) AS out_n_bytes,
-           md5(substring(hx, 1, CAST(2 * ((n + 3) // 4) AS BIGINT))) AS out_md5
-    FROM p
-    """,
+    "multimodal_resize_dispatch",
+    oracle=_media_dispatch_sql(
+        "doc_id, mime, out_width, out_height, out_units, out_md5"
+    ),
 )
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas resize stage (STUB codec): dims halved, payload
-    "downsampled" to the first quarter of its bytes; the md5 fingerprint of
-    the output payload lets the oracle verify the binary result without a
-    BLOB md5 (hash of the uppercase hex, identical in both engines)."""
-    return resize_images(attach_binary_payload(_docs(spark, sf_dir)))
+def multimodal_resize_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mime-dispatched decode + 2×-downsample over the real codecs (r12):
+    a true spatial resize for images (numpy striding over decoded
+    pixels), 2:1 decimation for audio, every-other-frame sampling for
+    video — each the format's natural meaning of "half", fingerprinted
+    under the same hex law as the decode stage."""
+    return downsample_media(attach_media_payload(_docs(spark, sf_dir)))
 
 
 @register_local(
-    "multimodal_frame_sample",
-    oracle=f"""
-    WITH {_HEXDOCS},
-    f AS (
-      SELECT doc_id, hx, n, unnest(range(0, 4)) AS j FROM p
-    )
-    SELECT doc_id, CAST(j AS INT) AS frame_no,
-           CAST(((j + 1) * n) // 4 - (j * n) // 4 AS INT) AS frame_n_bytes,
-           md5(substring(hx, CAST(2 * ((j * n) // 4) + 1 AS BIGINT),
-                         CAST(2 * (((j + 1) * n) // 4 - (j * n) // 4) AS BIGINT)))
-             AS frame_md5
-    FROM f
-    """,
+    "multimodal_segment_sample",
+    oracle=_media_dispatch_sql(
+        "doc_id, mime, seg_no, seg_units, seg_md5"
+    ),
 )
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N frame-sampling stage (video STUB): each payload split into 4
-    equal byte ranges inside one mapInPandas pass — the UDTF shape a real
-    frame sampler has (binary in, k typed rows out, no per-frame JVM
-    round-trip)."""
-    return sample_frames(attach_binary_payload(_docs(spark, sf_dir)), k=4)
+def multimodal_segment_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→k segment-sampling stage over DECODED content (r12 — replaces
+    the raw-byte-range stub): segment j covers leading-axis units
+    [⌊j·n/k⌋, ⌊(j+1)·n/k⌋) — pixel-row bands for images, sample blocks
+    for audio, frame ranges for video (the generic form of keyframe
+    sampling). The mapInPandas UDTF shape (one binary row in, k typed
+    rows out) is the real contract a frame sampler has at scale."""
+    return segment_media(attach_media_payload(_docs(spark, sf_dir)), k=2)
 
 
 # --------------------------------------------------------------------------
-# Multimodal bundle: decode → resize → frame-sample FUSED into one
-# mapInPandas pass (payload read once; chaining the stage operators would
-# join three outputs on doc_id — two shuffles for task-local data). The
-# per-stage forms live in the local tier.
+# Multimodal pipeline: decode → downsample → segment-sample FUSED into one
+# mapInPandas pass (payload decoded once; chaining the stage operators
+# would re-decode per stage or join three outputs on doc_id — two shuffles
+# for task-local data). The per-stage forms live in the local tier.
 # --------------------------------------------------------------------------
-@register_local(  # local tier as of r03: the REAL-computation twin
+@register_local(  # local tier: the REAL-computation twin
     # `multimodal_byte_histogram` keeps the driver slot (50-query cap);
-    # this stub pipeline stays bitwise-checked at sf0.001/sf0.01 by
-    # tests/test_oracle_parity.py
-    "multimodal_pipeline_stub",
-    oracle=f"""
-    WITH {_HEXDOCS},
-    f AS (
-      SELECT doc_id, hx, n, unnest(range(0, 4)) AS j FROM p
-    )
-    SELECT doc_id, 'image/fake' AS mime, CAST(n AS INT) AS n_bytes,
-           CAST(16 + n % 64 AS INT) AS width,
-           CAST(16 + (n * 7) % 64 AS INT) AS height,
-           CAST((16 + n % 64) // 2 AS INT) AS out_width,
-           CAST((16 + (n * 7) % 64) // 2 AS INT) AS out_height,
-           CAST((n + 3) // 4 AS INT) AS out_n_bytes,
-           md5(substring(hx, 1, CAST(2 * ((n + 3) // 4) AS BIGINT))) AS out_md5,
-           CAST(j AS INT) AS frame_no,
-           CAST(((j + 1) * n) // 4 - (j * n) // 4 AS INT) AS frame_n_bytes,
-           md5(substring(hx, CAST(2 * ((j * n) // 4) + 1 AS BIGINT),
-                         CAST(2 * (((j + 1) * n) // 4 - (j * n) // 4) AS BIGINT)))
-             AS frame_md5
-    FROM f
-    """,
+    # this fused dispatch pipeline stays bitwise-checked at
+    # sf0.001/sf0.01 by tests/test_oracle_parity.py
+    "multimodal_pipeline_dispatch",
+    oracle=_media_dispatch_sql(
+        "doc_id, mime, width, height, n_units, content_md5, "
+        "out_width, out_height, out_units, out_md5, "
+        "seg_no, seg_units, seg_md5"
+    ),
 )
-def multimodal_pipeline_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary multimodal column through the fused decode→resize→frame-sample
-    mapInPandas stage (operators/multimodal.py::multimodal_pipeline): per
-    payload, 4 frame rows carrying decode metadata + resized fingerprint.
-    Codecs are STUBS (no image libs in this container, deterministic fakes
-    from the bytes); the Spark plumbing — binary column, Arrow batching,
-    1→k UDTF shape, single-pass fusion — is the real contract."""
+def multimodal_pipeline_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format corpus through the fused decode→downsample→segment
+    mapInPandas stage (operators/multimodal.py::multimodal_pipeline),
+    mime-dispatching every payload to its format's REAL decoder — per
+    payload, k=2 rows carrying normalized decode metadata, the
+    downsampled-content fingerprint, and one leading-axis segment each.
+    As of r12 NO placeholder decode remains anywhere in the engine
+    (VERDICT r11 #6): all four branch decoders are the certified
+    BMP/PNG/WAV/y4m implementations, exercised here end-to-end behind
+    one dispatch."""
     from ..operators.multimodal import multimodal_pipeline
 
     return multimodal_pipeline(
-        attach_binary_payload(_docs(spark, sf_dir)), k=4
+        attach_media_payload(_docs(spark, sf_dir)), k=2
     )
 
 
@@ -2802,7 +2910,10 @@ EAGER_ITERATIVE.update({"dedup_multi_signal": _multi_signal_pairs})
 # the SAME 16-permutation signature: 4 bands × 4 rows (high precision,
 # collision needs 4 agreeing minima) vs 8 bands × 2 rows (high recall,
 # any 2-minima band collides).
-@register(
+@register_local(  # demoted r12 (slot for the promotion cohort): the
+    # MinHash+LSH chain keeps its driver hash rows via dedup_multi_signal
+    # and dedup_incremental_minhash; this recall eval stays bitwise-
+    # checked locally at 3 SFs
     "lsh_dedup_recall_eval",
     oracle=f"""
     WITH sh0 AS ({oracle_word_shingles(n=3)}),
@@ -3392,9 +3503,12 @@ def streaming_covariance_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # declaration); the strong check is the numpy eigendecomposition
 # differential in tests/test_pca.py. Since r11 the eigensolve FAMILY
 # additionally carries a full hash oracle via its fixed-point twin
-# `embedding_power_iteration_fixed` below (the forecast_structure
-# pattern: the float production path stays rows-only, the
-# integer-exact trajectory is hash-certified round by round).
+# `embedding_power_iteration_fixed` below, and since r12 the ENTIRE
+# query shape — 2-component deflated eigensolve + mean-centered
+# projection of every vector — is hash-certified end to end by
+# `embedding_pca_project_fixed` (the forecast_structure pattern: the
+# float production path stays rows-only, the integer-exact twin is
+# bitwise-checked).
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding table onto its top-2 principal
     components — dimensionality reduction / whitening as an in-engine
@@ -3464,12 +3578,49 @@ _PI_VSCALE = 10**9
 _PI_DIM = 64
 
 
+def _pi_chain_sql(prefix: str, mat: str, rounds: int) -> str:
+    """The CTE chain of one fixed-point power iteration (rounds × {matvec,
+    trunc-rescale, corrected-isqrt, trunc-renormalize}) over a symmetric
+    matrix CTE `mat` (columns i, j, c). CTE names are `{prefix}`-scoped
+    so two chains (e.g. the deflated second component) compose in one
+    WITH. Emits `{prefix}v0 .. {prefix}v{rounds}` and
+    `{prefix}s1 .. {prefix}s{rounds}`; the caller selects from them."""
+    parts = [f"""
+    {prefix}v0 AS (
+      SELECT j, CAST({_PI_VSCALE} AS HUGEINT) AS v
+      FROM range(0, {_PI_DIM}) t(j)
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , {prefix}w{r} AS MATERIALIZED (
+      SELECT i, sum(CAST(c AS HUGEINT) * v) AS w
+      FROM {mat} JOIN {prefix}v{r - 1} ON {prefix}v{r - 1}.j = {mat}.j
+      GROUP BY i
+    ), {prefix}w2_{r} AS MATERIALIZED (
+      SELECT i, CASE WHEN w >= 0 THEN w // {_PI_CSCALE}
+                     ELSE -((-w) // {_PI_CSCALE}) END AS w2
+      FROM {prefix}w{r}
+    ), {prefix}s{r} AS MATERIALIZED (
+      SELECT CASE WHEN s1 * s1 > n2 THEN s1 - 1
+                  WHEN (s1 + 1) * (s1 + 1) <= n2 THEN s1 + 1
+                  ELSE s1 END AS s
+      FROM (SELECT n2, CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS HUGEINT) AS s1
+            FROM (SELECT sum(w2 * w2) AS n2 FROM {prefix}w2_{r}))
+    ), {prefix}v{r} AS MATERIALIZED (
+      SELECT i AS j,
+             CASE WHEN w2 >= 0 THEN (w2 * {_PI_VSCALE}) // s
+                  ELSE -((-w2 * {_PI_VSCALE}) // s) END AS v
+      FROM {prefix}w2_{r}, {prefix}s{r}
+    )""")
+    return "".join(parts)
+
+
 def _power_iteration_oracle(rounds: int = _PI_ROUNDS) -> str:
     """DuckDB replay of the WHOLE fixed-point power iteration: quantized
     covariance from the certified _COV_ORACLE, then one matvec + trunc
     rescale + corrected-isqrt normalize per round as materialized CTEs,
     emitting every round's full vector + norm."""
-    parts = [f"""
+    head = f"""
     WITH cq AS MATERIALIZED (
       SELECT d1, d2, CAST(round(cov * {_PI_CSCALE}) AS BIGINT) AS c
       FROM ({_COV_ORACLE}) _cov
@@ -3477,41 +3628,18 @@ def _power_iteration_oracle(rounds: int = _PI_ROUNDS) -> str:
       SELECT d1 AS i, d2 AS j, c FROM cq
       UNION ALL
       SELECT d2, d1, c FROM cq WHERE d1 <> d2
-    ), v0 AS (
-      SELECT j, CAST({_PI_VSCALE} AS HUGEINT) AS v
-      FROM range(0, {_PI_DIM}) t(j)
-    )"""]
-    for r in range(1, rounds + 1):
-        parts.append(f"""
-    , w{r} AS MATERIALIZED (
-      SELECT i, sum(CAST(c AS HUGEINT) * v) AS w
-      FROM sym JOIN v{r - 1} ON v{r - 1}.j = sym.j GROUP BY i
-    ), w2_{r} AS MATERIALIZED (
-      SELECT i, CASE WHEN w >= 0 THEN w // {_PI_CSCALE}
-                     ELSE -((-w) // {_PI_CSCALE}) END AS w2
-      FROM w{r}
-    ), s{r} AS MATERIALIZED (
-      SELECT CASE WHEN s1 * s1 > n2 THEN s1 - 1
-                  WHEN (s1 + 1) * (s1 + 1) <= n2 THEN s1 + 1
-                  ELSE s1 END AS s
-      FROM (SELECT n2, CAST(floor(sqrt(CAST(n2 AS DOUBLE))) AS HUGEINT) AS s1
-            FROM (SELECT sum(w2 * w2) AS n2 FROM w2_{r}))
-    ), v{r} AS MATERIALIZED (
-      SELECT i AS j,
-             CASE WHEN w2 >= 0 THEN (w2 * {_PI_VSCALE}) // s
-                  ELSE -((-w2 * {_PI_VSCALE}) // s) END AS v
-      FROM w2_{r}, s{r}
-    )""")
-    parts.append("\nUNION ALL\n".join(
+    ),"""
+    tail = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, CAST(j AS INT) AS d, "
         f"CAST(v AS BIGINT) AS v_scaled, "
         f"(SELECT CAST(s AS BIGINT) FROM s{r}) AS norm_scaled FROM v{r}"
         for r in range(1, rounds + 1)
-    ))
-    return "".join(parts)
+    )
+    return head + _pi_chain_sql("", "sym", rounds) + "\n" + tail
 
 
-@register_local(
+@register(  # promoted r12 (VERDICT r11 #4): the fixed-point eigensolve
+    # replay — genuinely novel r11 certification — takes a driver slot
     "embedding_power_iteration_fixed",
     oracle=_power_iteration_oracle(),
 )
@@ -3525,7 +3653,7 @@ def embedding_power_iteration_fixed(
 
     The corpus-sized work is the certified `embedding_covariance`
     aggregate; its 2080-cell COLLECT is dim²-bounded (the k-means
-    centroid-grid declaration). The 8 rounds then run driver-side on
+    centroid-grid declaration). The _PI_ROUNDS (48) rounds then run driver-side on
     exact Python integers — matvec, trunc-rescale, corrected integer
     sqrt, trunc-renormalize (round law + overflow audit in the module
     comment above) — and the emitted (round, d, v_scaled, norm_scaled)
@@ -3538,24 +3666,44 @@ def embedding_power_iteration_fixed(
     At 100 TB: identical shape — one mergeable covariance aggregate,
     then O(rounds · dim²) driver arithmetic; nothing corpus-sized ever
     reaches the driver."""
-    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    c_q = _pi_quantize_cov(embedding_covariance(spark, sf_dir).collect())
+    rows, _v, _s = _pi_fixed_run(c_q)
+    return spark.createDataFrame(
+        rows, "round int, d int, v_scaled long, norm_scaled long"
+    )
+
+
+def _pi_quantize_cov(cov_rows) -> list[list[int]]:
+    """Certified 9dp covariance doubles → the symmetric quantized integer
+    matrix (round(cov · 1e9)), the oracle's `cq`/`sym` CTEs."""
     c_q = [[0] * _PI_DIM for _ in range(_PI_DIM)]
     for r in cov_rows:
         q = int(round(r["cov"] * _PI_CSCALE))
         c_q[r["d1"]][r["d2"]] = q
         c_q[r["d2"]][r["d1"]] = q
+    return c_q
 
-    def tz(a: int, b: int) -> int:
-        # trunc-toward-zero division on exact ints — mirrors the oracle's
-        # sign-split CASE (DuckDB // truncates, Python // floors; the
-        # split makes both compute trunc)
-        return a // b if a >= 0 else -((-a) // b)
+
+def _pi_tz(a: int, b: int) -> int:
+    # trunc-toward-zero division on exact ints — mirrors the oracle's
+    # sign-split CASE (DuckDB // truncates, Python // floors; the
+    # split makes both compute trunc)
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def _pi_fixed_run(c_q: list[list[int]], rounds: int = _PI_ROUNDS):
+    """The driver-side fixed-point power iteration shared by the
+    trajectory query and the PCA deflation: returns (trajectory rows,
+    final vector, final norm). Exact Python-integer replica of the
+    oracle's per-round CTEs (round law in the module comment above)."""
 
     def isq(n2: int) -> int:
-        # floor(sqrt(double)) is within ±1 of isqrt for n2 ≤ 2.6e23; one
-        # correction step each direction makes it exact — the SAME
-        # expression the oracle replays (math.isqrt would be exact too,
-        # but mirroring the replayed expression keeps one definition)
+        # floor(sqrt(double)) is within ±1 of isqrt (exact after one
+        # correction step each direction for n2 ≤ ~2e31 — double sqrt's
+        # abs error ~ s·2⁻⁵² < 1 there; the deflated chain's worst case
+        # Σw2² ≤ ~1e27 stays inside) — the SAME expression the oracle
+        # replays (math.isqrt would be exact too, but mirroring the
+        # replayed expression keeps one definition)
         import math
 
         s0 = int(math.floor(math.sqrt(float(n2))))
@@ -3567,25 +3715,24 @@ def embedding_power_iteration_fixed(
 
     v = [_PI_VSCALE] * _PI_DIM
     rows = []
-    for rnd in range(1, _PI_ROUNDS + 1):
+    s = 0
+    for rnd in range(1, rounds + 1):
         w = [
             sum(c_q[i][j] * v[j] for j in range(_PI_DIM))
             for i in range(_PI_DIM)
         ]
-        w2 = [tz(x, _PI_CSCALE) for x in w]
+        w2 = [_pi_tz(x, _PI_CSCALE) for x in w]
         s = isq(sum(x * x for x in w2))
         if s == 0:
             raise ValueError(
                 "power iteration degenerated to the zero vector "
                 "(all-zero covariance?)"
             )
-        v = [tz(x * _PI_VSCALE, s) for x in w2]
+        v = [_pi_tz(x * _PI_VSCALE, s) for x in w2]
         rows.extend(
             (rnd, d, v[d], s) for d in range(_PI_DIM)
         )
-    return spark.createDataFrame(
-        rows, "round int, d int, v_scaled long, norm_scaled long"
-    )
+    return rows, v, s
 
 
 def _power_iteration_cov_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3598,6 +3745,176 @@ def _power_iteration_cov_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EAGER_ITERATIVE.update(
     {"embedding_power_iteration_fixed": _power_iteration_cov_plan}
+)
+
+
+# --- fixed-point 2-component PCA projection (r12 — VERDICT r11 #5) ---------------------
+# The deflation extension of the r11 eigensolve: the float
+# embedding_pca_project stays the production path (libm arithmetic,
+# rows-only by necessity), but its ENTIRE computation — top-2 components
+# via deflated power iteration AND the mean-centered projection of every
+# corpus vector — replays in exact integer arithmetic, so the family's
+# full query shape now carries a bitwise DuckDB oracle.
+#
+# Deflation law (all exact integers): after the first 48-round chain ends
+# at (v1, s1), the second chain runs over
+#     C2_q[i][j] = C_q[i][j] − trunc(s1 · v1[i] · v1[j] / 10¹⁸)
+# (λ1 ≈ s1/1e9, v̂1 ≈ v1/1e9, entries scaled 1e9 like C_q — the rank-1
+# downdate C − λ1·v̂1v̂1ᵀ in the matrix's own fixed-point scale).
+# Projection law: with x_d the decimal(18,15)-quantized embedding values
+# as scaled longs (the _COV quantization), S_d their exact per-dim sums
+# and n the corpus count, the mean-centered score against component v is
+#     p_scaled = trunc( Σ_d v_d · (x_d·n − S_d)  /  (n · 10¹⁵) )
+# — one common-denominator pass, every term an exact integer (DuckDB
+# HUGEINT / Spark decimal(38,0); worst case ~2e24·n ≪ 1e38), and the
+# single trunc division is the identical op in both engines (Spark `div`
+# and DuckDB `//` both truncate toward zero — verified).
+# Overflow audit for the deflated chain: |λ1| ≤ trace ≤ 64 ⇒ s1 ≤ 6.4e10
+# ⇒ |C2_q| ≤ 6.5e10; |w| ≤ 64·6.5e10·1e9 ≈ 4.2e21 (HUGEINT/Python int);
+# Σw2² ≤ ~1.1e27 — inside the corrected-isqrt exactness bound (~2e31).
+def _pca_fixed_oracle(rounds: int = _PI_ROUNDS) -> str:
+    d18 = 10**18
+    return f"""
+    WITH cq AS MATERIALIZED (
+      SELECT d1, d2, CAST(round(cov * {_PI_CSCALE}) AS BIGINT) AS c
+      FROM ({_COV_ORACLE}) _cov
+    ), sym AS MATERIALIZED (
+      SELECT d1 AS i, d2 AS j, c FROM cq
+      UNION ALL
+      SELECT d2, d1, c FROM cq WHERE d1 <> d2
+    ),{_pi_chain_sql("a", "sym", rounds)}
+    , defl AS MATERIALIZED (
+      SELECT a.i, a.j,
+             CAST(a.c AS HUGEINT)
+             - (CASE WHEN va.v * vb.v >= 0
+                     THEN (s1.s * va.v * vb.v) // {d18}
+                     ELSE -((s1.s * (-(va.v * vb.v))) // {d18}) END) AS c
+      FROM sym a
+      JOIN av{rounds} va ON va.j = a.i
+      JOIN av{rounds} vb ON vb.j = a.j
+      CROSS JOIN as{rounds} s1
+    ),{_pi_chain_sql("b", "defl", rounds)}
+    , pv AS (
+      SELECT vec_id, unnest(embedding) AS val,
+             unnest(range(0, len(embedding))) AS d
+      FROM embeddings
+    ), xq AS (
+      SELECT vec_id, d,
+             CAST(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,15))
+                  * {_COV_SCALE} AS BIGINT) AS x
+      FROM pv
+    ), pdims AS (
+      SELECT d, sum(CAST(x AS HUGEINT)) AS s_i FROM xq GROUP BY d
+    ), nv AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings
+    ), proj AS (
+      SELECT x.vec_id,
+             sum(CAST(va.v AS HUGEINT)
+                 * (CAST(x.x AS HUGEINT) * nv.n - pdims.s_i)) AS p1,
+             sum(CAST(vb.v AS HUGEINT)
+                 * (CAST(x.x AS HUGEINT) * nv.n - pdims.s_i)) AS p2
+      FROM xq x
+      JOIN pdims ON pdims.d = x.d
+      JOIN av{rounds} va ON va.j = x.d
+      JOIN bv{rounds} vb ON vb.j = x.d
+      CROSS JOIN nv
+      GROUP BY x.vec_id
+    )
+    SELECT vec_id,
+           CAST(CASE WHEN p1 >= 0 THEN p1 // (nv.n * {_COV_SCALE})
+                     ELSE -((-p1) // (nv.n * {_COV_SCALE})) END
+                AS BIGINT) AS p1_scaled,
+           CAST(CASE WHEN p2 >= 0 THEN p2 // (nv.n * {_COV_SCALE})
+                     ELSE -((-p2) // (nv.n * {_COV_SCALE})) END
+                AS BIGINT) AS p2_scaled
+    FROM proj CROSS JOIN nv
+    """
+
+
+@register_local(
+    "embedding_pca_project_fixed",
+    oracle=_pca_fixed_oracle(),
+)
+def embedding_pca_project_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 PCA projection in FIXED-POINT INTEGER arithmetic, end to end
+    (r12, VERDICT r11 #5): the full shape of `embedding_pca_project` —
+    covariance statistic, two-component eigensolve WITH rank-1
+    deflation, mean-centered projection of every corpus vector — made
+    hash-certifiable. The oracle re-derives the covariance from raw
+    embeddings and replays both 48-round chains plus the projection as
+    CTEs; the laws and overflow audit live in the module comment above.
+
+    Scale shape: the corpus-sized work is the certified
+    `embedding_covariance` aggregate plus ONE projection pass — a
+    64-row component table joined onto the exploded quantized
+    embeddings (broadcast-sized at any corpus, it is dim-bounded), one
+    groupBy(vec_id) with exact decimal sums, no Python stage. The
+    eigensolve is O(rounds·dim²) driver arithmetic, corpus-free."""
+    from decimal import Decimal
+
+    emb = _emb(spark, sf_dir)
+    c_q = _pi_quantize_cov(embedding_covariance(spark, sf_dir).collect())
+    _rows1, v1, s1 = _pi_fixed_run(c_q)
+    c2 = [
+        [
+            c_q[i][j] - _pi_tz(s1 * v1[i] * v1[j], 10**18)
+            for j in range(_PI_DIM)
+        ]
+        for i in range(_PI_DIM)
+    ]
+    _rows2, v2, _s2 = _pi_fixed_run(c2)
+
+    n = emb.count()
+    sums = [0] * _PI_DIM
+    for r in _cov_dim_sums(emb).collect():
+        sums[r["d"]] += int(r["s"])
+
+    comp = spark.createDataFrame(
+        [
+            (d, v1[d], v2[d], Decimal(sums[d]))
+            for d in range(_PI_DIM)
+        ],
+        "d int, v1 long, v2 long, s_i decimal(38,0)",
+    )
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    ).select("vec_id", "d", _cov_quant(F.col("val")).alias("x"))
+    dec38 = "decimal(38,0)"
+    n_dec = F.lit(str(n)).cast(dec38)
+    centered = F.col("x").cast(dec38) * n_dec - F.col("s_i")
+    # the component table is dim-bounded (64 rows at ANY corpus size) —
+    # a genuinely scale-constant broadcast, hinted deliberately
+    proj = (
+        x.join(F.broadcast(comp), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v1").cast(dec38) * centered).alias("p1"),
+            F.sum(F.col("v2").cast(dec38) * centered).alias("p2"),
+        )
+    )
+    return proj.select(
+        "vec_id",
+        F.expr(f"CAST(p1 div CAST({n * _COV_SCALE} AS DECIMAL(38,0)) AS BIGINT)").alias(
+            "p1_scaled"
+        ),
+        F.expr(f"CAST(p2 div CAST({n * _COV_SCALE} AS DECIMAL(38,0)) AS BIGINT)").alias(
+            "p2_scaled"
+        ),
+    )
+
+
+def _pca_fixed_cov_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit constituent of embedding_pca_project_fixed: the corpus-sized
+    covariance aggregate it collects before the driver eigensolve (the
+    projection half IS the registered callable's returned plan)."""
+    emb = _emb(spark, sf_dir)
+    return _cov_combine(_cov_moment_cells(emb), _cov_dim_sums(emb))
+
+
+EAGER_ITERATIVE.update(
+    {"embedding_pca_project_fixed": _pca_fixed_cov_plan}
 )
 
 

@@ -196,7 +196,9 @@ def _register_dashboard_bundle() -> None:
     UNION ALL SELECT * FROM macro_prev
     UNION ALL SELECT * FROM kde
     """
-    register_local("dashboard_render_bundle", oracle=oracle)(
+    # promoted r12 (VERDICT r11 #4): longest-waiting r9 leftover — the
+    # reference dashboard's full computation surface in one hash row
+    register("dashboard_render_bundle", oracle=oracle)(
         _dashboard_render_bundle
     )
 
@@ -1722,7 +1724,9 @@ def _feed_agg(df: DataFrame) -> DataFrame:
     )
 
 
-@register(
+@register_local(  # demoted r12 (slot for the promotion cohort): the
+    # custom Python DataSource surface keeps its driver hash row via
+    # streaming_pysource_ticks_parity (same source, streaming variant)
     "pysource_quote_feed",
     oracle=f"""
     WITH feed AS ({_feed_oracle_sql(_FEED_N)})
@@ -2192,8 +2196,10 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-symbol level are both map-side-combined rollups; the residual
     variance re-joins the profile onto the events ONCE (keyed the same
     (symbol, hod) as the profile aggregate, so at 100 TB the exchange is
-    reused, and the profile side is symbols × 24 rows — broadcast-sized
-    relative to any corpus)."""
+    reused).  The profile side is symbols × 24 rows — the symbol
+    dimension grows with data, so it stays UNHINTED and AQE size-gates
+    the join: broadcast at test SFs, shuffle join (on the already-reused
+    key) past the threshold."""
     ev = load_events(spark, sf_dir)
     lv = ev.groupBy(F.col("user_id").alias("symbol")).agg(
         exact_avg("value", "level")
@@ -2210,7 +2216,7 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").alias("hod"),
             "value",
         )
-        .join(F.broadcast(seas.select("symbol", "hod", "hod_mean")), ["symbol", "hod"])
+        .join(seas.select("symbol", "hod", "hod_mean"), ["symbol", "hod"])
         .withColumn("_d", F.col("value") - F.col("hod_mean"))
     )
     resid = dev.groupBy("symbol", "hod").agg(
@@ -2340,6 +2346,11 @@ def streaming_hopping_volume_parity(
                         "sum_dec"
                     ),
                     F.count(F.lit(1)).alias("n_ticks"),
+                    # non-null value count, tracked separately so the
+                    # served average divides by count(value) like
+                    # exact_avg / the oracle — not count(*) — and the
+                    # parity holds even if the feed carries null values
+                    F.count("value").alias("n_vals"),
                 )
                 .write.mode("overwrite")
                 .parquet(f"{hours_dir}/batch_id={batch_id}")
@@ -2359,6 +2370,7 @@ def streaming_hopping_volume_parity(
             .agg(
                 F.sum("sum_dec").alias("sum_dec"),
                 F.sum("n_ticks").alias("n_ticks"),
+                F.sum("n_vals").alias("n_vals"),
             )
         )
         # each maintained hour bucket feeds exactly two hopping windows
@@ -2369,6 +2381,7 @@ def streaming_hopping_volume_parity(
                 "symbol",
                 "sum_dec",
                 "n_ticks",
+                "n_vals",
                 F.explode(
                     F.array(
                         F.col("hour_ts") - F.expr("INTERVAL 1 HOUR"),
@@ -2380,7 +2393,7 @@ def streaming_hopping_volume_parity(
             .agg(
                 F.sum("n_ticks").alias("n_ticks"),
                 F.try_divide(
-                    F.sum("sum_dec").cast("double"), F.sum("n_ticks")
+                    F.sum("sum_dec").cast("double"), F.sum("n_vals")
                 ).alias("avg_value"),
             )
             .select(

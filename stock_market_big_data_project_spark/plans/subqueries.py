@@ -245,9 +245,10 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery decorrelation: min-per-part, join back on value
     equality, min-suppkey tie-break (a deterministic total order — ties on
     the double min are real when two suppliers quote the same price).  The
-    part filter prunes first; supplier is a fixed-small dimension at any SF
-    (suppliers per the spec scale 100x slower than lineitem) and is
-    explicitly broadcast."""
+    part filter prunes first; supplier grows linearly with SF in this
+    fixture (10k rows per unit SF — billions at a 100 TB SF), so it stays
+    UNHINTED and AQE size-gates the build side: BroadcastHashJoin at test
+    SFs, shuffle join past the threshold."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
@@ -272,7 +273,7 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         part.join(m, m.l_partkey == part.p_partkey)
         .join(best.withColumnRenamed("l_partkey", "_bk"), F.col("_bk") == part.p_partkey)
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("best_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("best_suppkey"))
         .select(
             "p_partkey",
             "p_name",
@@ -312,7 +313,10 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans are independent broadcasts (25 rows each at ANY scale factor), so
     the role-playing costs zero extra shuffles.  Both nation filters apply
     inside their broadcast build sides; the <> residual runs post-join.
-    supplier is fixed-small, broadcast; customer unhinted (SF-sized)."""
+    supplier and customer are both SF-proportional in this fixture and
+    stay unhinted — AQE broadcasts them at test SFs and falls back to
+    shuffle joins past its size threshold.  Only the aliased nation scans
+    (scale-constant) carry explicit hints."""
     nations = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -341,7 +345,7 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(cn), customer.c_nationkey == F.col("cn_key"))
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(sn), supplier.s_nationkey == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
@@ -535,7 +539,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("_max_rev"))
-        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -579,7 +583,8 @@ def sole_late_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late slice on the same condition — both single keyed shuffles on the
     order key, with the supplier-inequality as a residual.  lineitem is
     scanned twice but only (orderkey, suppkey) columns cross the
-    exchanges; supplier broadcasts onto the surviving rows."""
+    exchanges; supplier (SF-proportional, unhinted) joins onto the
+    surviving rows — AQE broadcasts it at test SFs."""
     orders = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -620,7 +625,7 @@ def sole_late_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name"
     )
     return (
-        sole.join(F.broadcast(supplier), sole.l_suppkey == supplier.s_suppkey)
+        sole.join(supplier, sole.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -756,14 +761,15 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     year — a conditional decimal aggregate and an unconditional one in
     the SAME grouped pass (one scan, one shuffle), then one double
     division (identical IEEE op from hash-equal inputs).  The part side
-    carries only (p_partkey, p_type) — column pruning keeps the
-    broadcast build tiny at any part-table width."""
+    carries only (p_partkey, p_type) after column pruning, but part is
+    SF-proportional (200k rows per unit SF) so it stays unhinted: AQE
+    broadcasts it at test SFs, shuffles past the size threshold."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     dec0 = F.lit(0).cast(_DEC38)
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(
             F.sum(
@@ -809,9 +815,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape (role-playing nation dimension under BOTH the customer
     and the supplier leg): NATION_7 suppliers' share of revenue sold to
-    ASIA customers, per order year.  Six-table join chain where every
-    dimension broadcasts (nation twice under different aliases, region
-    folded into the customer-nation build side) and the fact flows
+    ASIA customers, per order year.  Six-table join chain: the
+    scale-constant dimensions (nation twice under different aliases,
+    region folded into the customer-nation build side) carry explicit
+    broadcast hints; the SF-proportional sides (the filtered ASIA
+    customer-key list, supplier) stay unhinted so AQE size-gates them —
+    broadcast at test SFs, shuffle at cluster scale.  The fact flows
     through exactly one grouped exchange; the share is a conditional /
     unconditional decimal-sum pair divided once in double."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -846,8 +855,8 @@ def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec0 = F.lit(0).cast(_DEC38)
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(asia_cust), orders.o_custkey == asia_cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(n2), supp.s_nationkey == n2.n2_nationkey
         )
@@ -946,7 +955,7 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     grouped = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey")
         .agg(
             F.any_value("c_name").alias("c_name"),
@@ -1028,7 +1037,9 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-valued semantics would need the extra null-check branch), plus
     a grouped COUNT(DISTINCT) — supplier variety per (brand, type, size)
     excluding negative-balance suppliers. The anti join's build side is
-    the tiny excluded-supplier list (broadcast); the distinct-count
+    the excluded-supplier list — a filtered slice of an SF-proportional
+    table, so it stays unhinted (AQE broadcasts it at test SFs); the
+    distinct-count
     aggregates in one exchange on the composite group key. The oracle
     states the NOT IN form; the hash match proves the rewrite."""
     part = load_table(spark, sf_dir, "part").select(
@@ -1043,8 +1054,8 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
     return (
-        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(
             F.countDistinct("l_suppkey").alias("supplier_cnt"),
@@ -1078,8 +1089,11 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation and order year over a name-filtered part slice. The derived
     per-row measure (revenue − cost) is ONE double expression quantized
     to decimal(38,6) — identical on both engines — then summed exactly;
-    four dimension joins broadcast, the fact flows through one grouped
-    exchange. The `p_name LIKE '%gi%'` predicate prunes the part build
+    nation (scale-constant) is hint-broadcast, while part and supplier
+    are SF-proportional and stay unhinted (AQE broadcasts them at test
+    SFs), so the fact flows through one grouped exchange at test scale
+    and the plan degrades gracefully to shuffle joins at 100×.
+    The `p_name LIKE '%gi%'` predicate prunes the part build
     side before the join (pushed to the dimension scan)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = (
@@ -1101,8 +1115,8 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.1
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(

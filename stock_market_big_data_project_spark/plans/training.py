@@ -55,8 +55,9 @@ _ORACLE_TOKS = f"""
 
 
 # --- Gopher-style repetition filters ---------------------------------------------
-@register(  # driver tier (r4): slot freed by brand_heavy_lineitems, whose
-    # operators stay driver-covered elsewhere (plans/relational.py)
+@register_local(  # demoted r12 (slot for the promotion cohort): the
+    # text-quality filter family keeps its driver hash rows via
+    # text_analysis_bundle and training_pipeline_e2e
     "gopher_repetition_filters",
     oracle=f"""
     WITH {_ORACLE_TOKS},
@@ -1203,7 +1204,9 @@ EAGER_ITERATIVE.update(
 _DSIR_B = 256
 
 
-@register(
+@register_local(  # demoted r12 (slot for the promotion cohort): the
+    # data-mixing/sampling family keeps its driver hash row via
+    # perplexity_quality_buckets
     "dsir_importance_weights",
     oracle=f"""
     WITH t AS (

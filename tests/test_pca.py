@@ -159,3 +159,55 @@ def test_power_iteration_negative_dominant_eigenvalue():
     comps = pca_power_components(rows, dim=64, n_components=1, n_iter=3000)
     align = abs(float(comps[0] @ q[:, 0]))
     assert align > 1.0 - 1e-9, align
+
+
+def test_fixed_point_deflated_projection_matches_numpy(spark):
+    """The r12 deflation twin must END near numpy's answer on BOTH
+    components and its integer projection must match a float recompute:
+    v2 comes from 48 rounds over the rank-1-downdated matrix, so its
+    achievable alignment is bounded by the fixture's λ3/λ2 ≈ 0.96
+    eigengap (measured 0.964 at sf0.001; λ2 relative error 2e-3). The
+    projection check is scale-exact: p_scaled/1e9 vs the numpy score
+    using the ITERATION's own components (isolating the integer
+    projection law from eigensolve convergence)."""
+    from stock_market_big_data_project_spark.plans.llm import (
+        _pi_fixed_run,
+        _pi_quantize_cov,
+        _pi_tz,
+    )
+
+    cov_rows = get_query("embedding_covariance")(spark, SF_DIR).collect()
+    c = np.zeros((64, 64))
+    for r in cov_rows:
+        c[r["d1"], r["d2"]] = r["cov"]
+        c[r["d2"], r["d1"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(c)
+    cq = _pi_quantize_cov(cov_rows)
+    _t1, v1, s1 = _pi_fixed_run(cq)
+    c2 = [
+        [cq[i][j] - _pi_tz(s1 * v1[i] * v1[j], 10**18) for j in range(64)]
+        for i in range(64)
+    ]
+    _t2, v2, s2 = _pi_fixed_run(c2)
+    v1n = np.array(v1) / np.linalg.norm(v1)
+    v2n = np.array(v2) / np.linalg.norm(v2)
+    assert abs(float(v1n @ evecs[:, -1])) > 0.98
+    assert abs(float(v2n @ evecs[:, -2])) > 0.9
+    assert abs(float(v1n @ v2n)) < 0.02  # deflation ⇒ near-orthogonal
+    assert abs(s2 / 1e9 - evals[-2]) / evals[-2] < 0.01
+
+    merged = (
+        get_query("embedding_pca_project_fixed")(spark, SF_DIR)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    x, ids = _emb_matrix(SF_DIR)
+    mean = x.mean(axis=0)
+    # the query's integer projection law, replayed in float to ~1e-6:
+    # scores against the iteration's own components (scale 1e9 → unit),
+    # centered on the exact mean — isolates the projection arithmetic
+    # from eigensolve convergence
+    for col, v in (("p1_scaled", v1), ("p2_scaled", v2)):
+        ref = (x - mean) @ (np.array(v, dtype=np.float64) / 1e9)
+        got = merged.loc[ids, col].to_numpy() / 1e9
+        assert np.allclose(got, ref, atol=2e-6), col

@@ -101,6 +101,10 @@ def test_eager_iterative_list_is_current(spark):
         # the registered callable collects the dim²-bounded covariance
         # and iterates driver-side; audited via the covariance-aggregate
         # constituent it collects
+        "embedding_pca_project_fixed",  # r12 deflation extension: same
+        # collected-covariance shape, plus a lazy projection plan that
+        # IS the registered callable's return (audited directly); the
+        # constituent re-audits the collected covariance aggregate
         "pagerank_copurchase",  # Pregel power iteration: per-round
         # equi-joins over the audited symmetrized-edges constituent
         "bfs_shortest_hops",  # Pregel traversal over the same audited
