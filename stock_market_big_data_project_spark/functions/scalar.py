@@ -34,8 +34,17 @@ def exact_avg(col: Column | str, alias: str | None = None) -> Column:
 
 
 def oracle_exact_sum(expr: str) -> str:
-    """DuckDB side of exact_sum — keep in lockstep with the Spark helper."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+    """DuckDB side of exact_sum — keep in lockstep with the Spark helper.
+
+    The decimal→double conversion routes through VARCHAR (r12): DuckDB's
+    direct CAST(DECIMAL(38,6) AS DOUBLE) computes (double)int128 / 1e6 —
+    TWO roundings — which diverges from Spark's correctly-rounded
+    BigDecimal→double by 1 ULP once the scaled sum exceeds 2⁵³ (first
+    observed at the sf1 decade: q1's sum_charge, two groups off by one
+    bit). The decimal STRING → double parse is a single correct rounding,
+    identical to Spark at every magnitude; below 2⁵³ both forms agree, so
+    all official-SF hashes are unchanged."""
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def oracle_exact_avg(expr: str) -> str:
