@@ -30,25 +30,32 @@ from pyspark.sql import functions as F
 
 def deletion_keys(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     """(id, name, key) — the string itself (i = 0) plus every one-char
-    deletion (i = 1..len), via sequence+explode so the whole expansion is
-    one codegen span."""
-    return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(name_col).alias("_name"),
-            F.explode(
-                F.sequence(F.lit(0), F.length(name_col))
-            ).alias("_i"),
-        )
-        .select(
-            "_id",
-            "_name",
-            F.expr(
-                "CASE WHEN _i = 0 THEN _name "
-                "ELSE concat(substring(_name, 1, _i - 1), "
-                "substring(_name, _i + 1)) END"
-            ).alias("_key"),
-        )
+    deletion (i = 1..len), DISTINCT per row, in one codegen span.
+
+    The per-row ``array_distinct`` (guide §2.3 — shuffle fewer bytes) is
+    load-bearing at scale: names with repeated characters generate the
+    same deletion key from several positions ("…000…" deletes to one
+    string from any of the zeros), and duplicate keys MULTIPLY through
+    the blocking equi-join (dup_l × dup_r candidate instances per true
+    pair) before the candidate `distinct` can collapse them. Measured on
+    the sf0.01 customer fixture: 258k generated keys → 140k distinct
+    (id, key); join candidate instances 11.7M raw → 2.55M deduped. The
+    dedup is per-row compute — no extra shuffle or aggregate — and the
+    surviving pair set is provably identical (the candidate distinct
+    already ignored multiplicity)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, length({n})), i -> "
+                    "CASE WHEN i = 0 THEN {n} "
+                    "ELSE concat(substring({n}, 1, i - 1), "
+                    "substring({n}, i + 1)) END)".format(n=name_col)
+                )
+            )
+        ).alias("_key"),
     )
 
 
@@ -67,13 +74,37 @@ def _fuzzy_join(
     dedup candidates, verify with ONE Levenshtein per candidate.  The
     k = 1 / k = 2 tiers differ only in the key generator and threshold —
     parameterized here so the pipeline exists exactly once."""
-    lk = keys_fn(left, left_id, left_name).withColumnsRenamed(
+    # Spread the UN-expanded (id, name) rows across cores before the key
+    # expansion (guide §2.6 idle capacity / §8 "decide with small rows"):
+    # the generator multiplies each row ~len-fold (k=1) / ~len²/2-fold
+    # (k=2) with per-row array_distinct work, so when the input is a
+    # single-file scan (one task) the whole neighborhood build runs
+    # serial. The round-robin moves only the tiny pre-expansion rows —
+    # the expanded keys were headed into the join exchange anyway.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    lk = keys_fn(left.repartition(par), left_id, left_name).withColumnsRenamed(
         {"_id": "_lid", "_name": "_lname"}
     )
-    rk = keys_fn(right, right_id, right_name).withColumnsRenamed(
+    rk = keys_fn(right.repartition(par), right_id, right_name).withColumnsRenamed(
         {"_id": "_rid", "_name": "_rname"}
     )
-    cand = lk.join(rk, "_key").select("_lid", "_lname", "_rid", "_rname").distinct()
+    # SHUFFLE_HASH, not broadcast (guide §3.1): both sides are the INPUT
+    # table × ~(len+1) (k=1) or ~len²/2 (k=2) generated keys — there is no
+    # "small side" at any real scale, but Catalyst's post-Generate size
+    # estimate is tiny enough that AQE picks a broadcast build of the
+    # whole expanded key set (measured at sf0.1: a ~10⁶-row broadcast
+    # relation, with the probe side a single scan task — the join, the
+    # candidate dedup and every Levenshtein verify ran on ONE core). The
+    # hash-partitioned join shuffles both expansions by key instead:
+    # build-side memory is per-partition-bounded, and the same exchange
+    # spreads the dedup + verify across the cluster. No sort needed —
+    # deletion keys are join-once, aggregate-after (guide §3.1 shuffled
+    # hash beats sort-merge when per-partition builds fit).
+    cand = (
+        lk.join(rk.hint("shuffle_hash"), "_key")
+        .select("_lid", "_lname", "_rid", "_rname")
+        .distinct()
+    )
     return (
         cand.withColumn(
             "edit_distance",
@@ -132,31 +163,32 @@ def deletion_keys_depth2(df: DataFrame, id_col: str, name_col: str) -> DataFrame
     intersect (each unit edit aligns to at most one deletion per side),
     so the equi-join on these keys is a COMPLETE candidate generator for
     k = 2 — verified against brute force in tests/test_linkage.py."""
-    pairs = df.select(
+    # The key string is computed INSIDE the (i, j) lambda so the whole
+    # per-row neighborhood can be array_distinct-ed before the explode —
+    # same r12 rationale as `deletion_keys`, and far more load-bearing at
+    # k = 2: deleting (i, j) and (i', j') of a repeated-character run
+    # yields the same string for MANY index pairs (a 7-zero run alone has
+    # C(7,2) = 21 double-deletions collapsing to one key), and those
+    # duplicates square through the blocking join. (0,0) = identity;
+    # (i,0) = delete i; (i,j>i) = delete i and j of the ORIGINAL string.
+    return df.select(
         F.col(id_col).alias("_id"),
         F.col(name_col).alias("_name"),
         F.explode(
-            F.expr(
-                # (0,0) = identity; (i,0) = delete i; (i,j>i) = delete i,j
-                "flatten(transform(sequence(0, length({n})), i -> "
-                "transform(sequence(0, CASE WHEN i = 0 THEN 0 "
-                "ELSE length({n}) END), j -> "
-                "CASE WHEN j = 0 OR j > i THEN struct(i, j) END)))".format(
-                    n=name_col
+            F.array_distinct(
+                F.expr(
+                    "filter(flatten(transform(sequence(0, length({n})), i -> "
+                    "transform(sequence(0, CASE WHEN i = 0 THEN 0 "
+                    "ELSE length({n}) END), j -> "
+                    "CASE WHEN i = 0 AND j = 0 THEN {n} "
+                    "WHEN j = 0 THEN concat(substring({n}, 1, i - 1), "
+                    "substring({n}, i + 1)) "
+                    "WHEN j > i THEN concat(substring({n}, 1, i - 1), "
+                    "substring({n}, i + 1, j - i - 1), "
+                    "substring({n}, j + 1)) END))), "
+                    "x -> x IS NOT NULL)".format(n=name_col)
                 )
             )
-        ).alias("_ij"),
-    ).filter(F.col("_ij").isNotNull())
-    return pairs.select(
-        "_id",
-        "_name",
-        F.expr(
-            "CASE WHEN _ij.i = 0 THEN _name "
-            "WHEN _ij.j = 0 THEN concat(substring(_name, 1, _ij.i - 1), "
-            "substring(_name, _ij.i + 1)) "
-            "ELSE concat(substring(_name, 1, _ij.i - 1), "
-            "substring(_name, _ij.i + 1, _ij.j - _ij.i - 1), "
-            "substring(_name, _ij.j + 1)) END"
         ).alias("_key"),
     )
 
