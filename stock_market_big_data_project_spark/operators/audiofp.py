@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .spread import spread_keys
+
 from .wav import decode_wav, encode_wav
 
 __all__ = [
@@ -93,6 +95,12 @@ def attach_near_dup_wav_payload(
                 }
             )
 
+    # Deliberately NOT spread_keys (r12): the WAV encode+decode+envelope
+    # chain is ~0.05 ms/row (vectorized numpy over the sample array), so
+    # even the whole sf0.1 corpus is ~60 ms of Python — the repartition's
+    # extra exchange cost more than it saved (measured 1.21 s -> 1.64 s
+    # WITH the spread; reverted). The image/video codecs are 20-40x more
+    # expensive per row and do pay for spreading.
     return df.select(id_col).mapInPandas(
         gen, schema="doc_id bigint, payload binary"
     )

@@ -31,10 +31,13 @@ is the SimHash shape — 4 equi-join buckets per image, verify ∝ candidates.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .spread import spread_keys
 
 from .png import decode_png, encode_png
 
@@ -62,21 +65,31 @@ def dhash_from_pixels(arr: np.ndarray) -> int:
     else:
         luma = a
     h, w = luma.shape
-    y, x = np.mgrid[0:h, 0:w]
-    bx = x * _GRID_W // w
-    by = y * _GRID_H // h
-    cell = (by * _GRID_W + bx).ravel()
-    sums = np.bincount(cell, weights=None, minlength=_GRID_W * _GRID_H)
+    # cell map + per-cell counts depend only on (h, w): memoize them
+    # (r12, guide §4.5 — the mgrid/bincount rebuild per call was most of
+    # the hash's cost; the fixture has a handful of distinct shapes).
+    cell, sums = _grid_cells(h, w)
     tot = np.bincount(cell, weights=luma.ravel(), minlength=_GRID_W * _GRID_H)
-    grid = (tot.astype(np.int64) // np.maximum(sums, 1)).reshape(
-        _GRID_H, _GRID_W
-    )
+    grid = (tot.astype(np.int64) // sums).reshape(_GRID_H, _GRID_W)
     bits = grid[:, :-1] < grid[:, 1:]  # (8, 8) gradient signs
-    v = 0
-    for k, b in enumerate(bits.ravel()):
-        if b:
-            v |= 1 << k
+    # exact little-endian bit pack: byte j's bit k = bits[8j + k], so
+    # int.from_bytes(..., "little") == Σ bits[i] << i — the loop's value
+    v = int.from_bytes(
+        np.packbits(bits.ravel(), bitorder="little").tobytes(), "little"
+    )
     return v - (1 << 64) if v >= 1 << 63 else v
+
+
+@lru_cache(maxsize=256)
+def _grid_cells(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(cell ids raveled, per-cell pixel counts clamped >= 1) for one
+    image shape — pure functions of (h, w), shared across calls."""
+    y, x = np.mgrid[0:h, 0:w]
+    cell = (y * _GRID_H // h * _GRID_W + x * _GRID_W // w).ravel()
+    sums = np.maximum(
+        np.bincount(cell, minlength=_GRID_W * _GRID_H), 1
+    )
+    return cell, sums
 
 
 def _near_dup_fixture_pixels(doc_id: int) -> np.ndarray:
@@ -129,7 +142,7 @@ def attach_near_dup_png_payload(
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_keys(df, id_col).mapInPandas(
         gen, schema="doc_id bigint, payload binary"
     )
 

@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .spread import spread_keys
+
 __all__ = [
     "encode_jpeg",
     "decode_jpeg",
@@ -631,7 +633,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_keys(df, id_col).mapInPandas(
         gen, schema="doc_id bigint, payload binary"
     )
 

@@ -27,6 +27,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .spread import spread_keys
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = (
@@ -114,7 +116,7 @@ def attach_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"doc_id": ids, "payload": payloads, "mime": mimes}
             )
 
-    out = df.select(id_col).mapInPandas(
+    out = spread_keys(df, id_col).mapInPandas(
         gen, schema="doc_id bigint, payload binary, mime string"
     )
     return out.select(
@@ -460,7 +462,7 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(gen, schema="doc_id bigint, payload binary")
+    return spread_keys(df, id_col).mapInPandas(gen, schema="doc_id bigint, payload binary")
 
 
 def decode_resize_bmp(df: DataFrame) -> DataFrame:

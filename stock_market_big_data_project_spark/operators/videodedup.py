@@ -30,6 +30,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .spread import spread_keys
 from pyspark.sql import functions as F
 
 from .imagehash import dhash_from_pixels
@@ -89,7 +91,7 @@ def attach_near_dup_y4m_payload(
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_keys(df, id_col).mapInPandas(
         gen, schema="doc_id bigint, payload binary"
     )
 

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .spread import spread_keys
+
 __all__ = [
     "encode_wav",
     "decode_wav",
@@ -137,7 +139,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_keys(df, id_col).mapInPandas(
         gen, schema="doc_id bigint, payload binary"
     )
 

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .spread import spread_keys
+
 __all__ = [
     "encode_y4m",
     "decode_y4m",
@@ -141,7 +143,7 @@ def attach_y4m_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_keys(df, id_col).mapInPandas(
         gen, schema="doc_id bigint, payload binary"
     )
 
