@@ -138,13 +138,35 @@ def apply_bpe(
         "doc_id",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
+    return w.withColumn("bpe_tokens", _segment_col(F.col("word"), merges))
+
+
+def segment_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """(word, bpe_tokens) over a word TABLE — the r12 vocabulary-scoped
+    apply path (guide §1.2 "don't compute things you throw away"). The
+    merge chain is a pure function of the word, so callers that only need
+    the distinct (word → tokens) map (every current caller dedups right
+    after `apply_bpe`) should segment the vocabulary once and join it
+    back onto the positioned word stream: the chained-regexp cost then
+    scales with |vocab|, not with corpus word instances (measured at
+    sf0.1: 270,704 instances vs 31 distinct words)."""
+    return words.select(
+        F.col(word_col).alias("word"),
+        _segment_col(F.col(word_col), merges).alias("bpe_tokens"),
+    )
+
+
+def _segment_col(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """The merge chain itself: char split + learned merges in order, one
+    codegen span — shared by the corpus-wide and vocabulary-scoped paths
+    so the segmentation can never drift between them."""
     syms = F.concat(
         F.lit(" "),
-        F.array_join(F.split(F.col("word"), ""), " "),
+        F.array_join(F.split(word, ""), " "),
         F.lit(" " + _EOW + " "),
     )
     for pair, merged in merges:
         syms = _merge_pair(syms, pair, merged)
-    return w.select(
-        "doc_id", "word", F.split(F.trim(syms), " ").alias("bpe_tokens")
-    )
+    return F.split(F.trim(syms), " ")

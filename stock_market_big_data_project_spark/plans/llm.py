@@ -3384,7 +3384,17 @@ def _cov_dim_sums(emb: DataFrame) -> DataFrame:
 def _cov_moment_cells(emb: DataFrame) -> DataFrame:
     """(d1, d2, chunk, n, sxy): upper-triangle cross-moment partials,
     sxy a scaled-long sum over ≤8192 rows — 2080·⌈n/8192⌉ mergeable
-    cells (merge = sum as decimal, exact)."""
+    cells (merge = sum as decimal, exact).
+
+    r12: the input is spread across cores first (guide §2.5 unsplittable
+    input / §2.6 idle capacity) — the pair-stream generator expands each
+    vector into d(d+1)/2 = 2080 product rows feeding the partial
+    aggregate, so on a single-split scan the whole 4.2M-row expansion +
+    quantize + map-side combine ran on ONE task (measured: 4.2-5.2 s at
+    sf0.1; ~1 s spread). Result is partition-independent: the chunk ids
+    derive from vec_id, the partials merge as exact integers."""
+    sc = emb.sparkSession.sparkContext
+    emb = emb.repartition(sc.defaultParallelism)
     e1 = emb.select(
         "vec_id",
         "embedding",

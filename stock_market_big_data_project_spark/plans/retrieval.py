@@ -632,21 +632,28 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE doc-keyed shuffle. At 100 TB the learned merges come off the
     at-rest trainer output (operators/stats.py's model sink); re-learning
     here keeps the registered query self-contained."""
-    from ..operators.bpe import apply_bpe, train_bpe
+    from ..operators.bpe import segment_words, train_bpe
 
     d = _docs(spark, sf_dir)
     merges = [
         (r["pair"], r["merged"])
         for r in train_bpe(d, "text", n_merges=12).collect()
     ]
-    wp = d.select(
+    # r12: spread the single-split scan before the positional explode +
+    # per-doc rollup (guide §2.5 unsplittable input) — the 270k-row word
+    # stream, the vocab join and the order-preserving collect_list all
+    # inherit the partitioning.
+    sc = spark.sparkContext
+    wp = d.repartition(sc.defaultParallelism).select(
         "doc_id",
         F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
     )
-    enc = apply_bpe(d, merges, "text")
-    # apply_bpe explodes words independently; join encodings back onto
-    # the positioned word stream so repeated words keep every position.
-    enc_vocab = enc.select("word", "bpe_tokens").distinct()
+    # r12: segment the DISTINCT word table, not every corpus instance —
+    # the merge chain is a pure function of the word, so the chained
+    # regexps run |vocab| times (31 at sf0.1) instead of per instance
+    # (270k), and the resulting (word → tokens) map joins back onto the
+    # positioned word stream exactly as the instance-wise dedup did.
+    enc_vocab = segment_words(wp.select("word").distinct(), merges)
     joined = wp.join(enc_vocab, "word")
     per_doc = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -674,18 +681,14 @@ def _bpe_apply_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit constituent of bpe_apply_encode: the encode + rollup plan
     with a fixed 1-merge table (the trainer's own rounds are audited via
     bpe_learn_merges' constituent)."""
-    from ..operators.bpe import apply_bpe
+    from ..operators.bpe import segment_words
 
     d = _docs(spark, sf_dir)
     wp = d.select(
         "doc_id",
         F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
     )
-    enc_vocab = (
-        apply_bpe(d, [("t h", "th")], "text")
-        .select("word", "bpe_tokens")
-        .distinct()
-    )
+    enc_vocab = segment_words(wp.select("word").distinct(), [("t h", "th")])
     joined = wp.join(enc_vocab, "word")
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -991,7 +994,7 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison itself re-segments only the DISTINCT word table (two
     vocab-bounded passes) and weights by word counts — one aggregate,
     no new corpus pass."""
-    from ..operators.bpe import apply_bpe, train_bpe
+    from ..operators.bpe import segment_words, train_bpe
     from ..operators.unigram import (
         train_unigram,
         unigram_segment_words,
@@ -1004,10 +1007,13 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["pair"], r["merged"])
         for r in train_bpe(d, "text", n_merges=12).collect()
     ]
-    bpe_seg = (
-        apply_bpe(d, merges, "text")
-        .select("word", F.size("bpe_tokens").alias("n_units"))
-        .distinct()
+    # r12: the docstring's "re-segments only the DISTINCT word table" is
+    # now literal for BPE too — the merge chain runs over wc's words
+    # (word_counts uses the identical trim/split/non-empty tokenization
+    # as the old corpus-wide apply, so the joined (word, n_units) rows
+    # are unchanged), matching the unigram leg's vocab-scoped shape.
+    bpe_seg = segment_words(wc, merges).select(
+        "word", F.size("bpe_tokens").alias("n_units")
     )
     logp, _ = train_unigram(
         d, "text", seed_size=60, vocab_size=48, n_iters=3, words=wc
