@@ -433,6 +433,15 @@ def simhash_fingerprints(
     One groupBy(doc) with `bits` conditional-sum aggregates (map-side
     combinable) instead of exploding every token ×bits — the shuffle carries
     one partial-agg row per doc, not tokens×bits vote rows."""
+    # Non-coalescible doc-keyed repartition BEFORE the tokenize explode
+    # (r12 — the word_shingles pattern, guide §2.4/§2.5): it satisfies
+    # the vote aggregate's ClusteredDistribution, replacing the implicit
+    # post-explode exchange 1:1, and spreads the compute-bound
+    # tokenize + 60-conditional-sum partial aggregate off the one scan
+    # task a single-split source produces (measured 1.48 s -> spread at
+    # sf0.1; the exchange moves (id, text) rows once either way).
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, id_col)
     toks = exploded_tokens(df, id_col, text_col).select(
         id_col, md5_hash64(F.col("tok")).alias("h")
     )

@@ -214,6 +214,13 @@ def kmeans_train_exact(
     9dp rounding happens IN the aggregate (F.round), so the driver only
     ferries engine-rounded literals into the next round's plan."""
     spark = df.sparkSession
+    # r12: spread the single-split scan before the per-vector decimal
+    # assignment fold (guide §2.5 unsplittable input) — the k×d HOF
+    # distance fold evaluates interpreted (~ms-scale per row), and both
+    # the per-round stats and the final timed assignment otherwise run
+    # on ONE task. Decimal sums + in-aggregate 9dp rounding make every
+    # round partition-order-invariant, so results are unchanged.
+    df = df.repartition(spark.sparkContext.defaultParallelism)
     cents = [tuple(c) for c in hyperplanes(k, n_dims, prefix="ivf:")]
     for _ in range(n_iter):
         stats = (

@@ -70,6 +70,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs + round-robin to the session parallelism (r12, guide §2.5
+    "one huge unsplittable file ... repartition immediately after the
+    read" / §2.6 idle capacity): for queries whose FIRST stage is a
+    compute-heavy per-row expansion (tokenize/shingle/score), a
+    single-split scan otherwise serializes that stage on one task. Used
+    only where the A/B measured a win — trivial first stages (e.g. one
+    md5 aggregate) keep the plain scan, where the extra exchange costs
+    more than it spreads."""
+    sc = spark.sparkContext
+    return _docs(spark, sf_dir).repartition(sc.defaultParallelism)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -356,7 +369,7 @@ def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/stopword quality scoring — pure expressions, no UDF: token
     count, mean token length, stopword ratio, and a composite quality score
     (long-enough + low-stopword)."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = tokens(F.col("text"))
     t = d.select(
         "doc_id",
@@ -2196,7 +2209,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle stream never shuffles; per-doc hit counts come from one
     map-side-combinable aggregate. `word_shingles` already dedups per doc,
     so count(*) after the join is exact distinct-shared-shingles."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     sh = word_shingles(d, "doc_id", "text", 5)
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0).select("shingle_hash").distinct()
@@ -3143,7 +3156,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20; at 100 TB you keep only the sketch and probe it with the
     candidate heavy hitters instead. The probe is 80 rows broadcast onto
     the 4096-cell counter table."""
-    t = _cms_token_stream(_docs(spark, sf_dir))
+    t = _cms_token_stream(_docs_spread(spark, sf_dir))
     return _cms_report(_cms_cells(t), t)
 
 
@@ -3262,7 +3275,7 @@ def streaming_countmin_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("j", "b")
             .agg(F.sum("c").alias("c"))
         )
-        t = _cms_token_stream(_docs(spark, sf_dir))
+        t = _cms_token_stream(_docs_spread(spark, sf_dir))
         # localCheckpoint: the result must outlive the temp dirs
         return _cms_report(merged, t).localCheckpoint()
     finally:

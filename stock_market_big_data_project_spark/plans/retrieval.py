@@ -148,6 +148,12 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     (k=10 lexical list) — one definition so the two can never drift."""
     d = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
+    # r12 A/B: a doc_id repartition before this explode (the
+    # word_shingles pattern) measured SLOWER here (bm25 0.96 -> 1.34 s,
+    # rrf 2.0 -> 3.6 s at sf0.1) — the partial aggregate collapses the
+    # token stream before the exchange, so the serial explode is cheap
+    # and the extra checkpoint-side partitions cost more than they save.
+    # Kept un-spread deliberately.
     base = d.select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("tok")
     )

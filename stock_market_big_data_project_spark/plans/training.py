@@ -43,6 +43,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs + round-robin to the session parallelism (r12, guide §2.5
+    "one huge unsplittable file ... repartition immediately after the
+    read" / §2.6 idle capacity): for queries whose FIRST stage is a
+    compute-heavy per-row expansion (tokenize/shingle/score), a
+    single-split scan otherwise serializes that stage on one task. Used
+    only where the A/B measured a win — trivial first stages (e.g. one
+    md5 aggregate) keep the plain scan, where the extra exchange costs
+    more than it spreads."""
+    sc = spark.sparkContext
+    return _docs(spark, sf_dir).repartition(sc.defaultParallelism)
+
+
 # Shared oracle CTE: whitespace tokens with 1-based positions (the same
 # zip-with-range trick as oracle_word_shingles).
 _ORACLE_TOKS = f"""
@@ -108,7 +121,7 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, gram) hash aggregates fed by one doc-keyed repartition, all
     map-side-combinable, no per-doc state. See
     operators/text.py::repetition_stats."""
-    return repetition_stats(_docs(spark, sf_dir), "doc_id", "text")
+    return repetition_stats(_docs_spread(spark, sf_dir), "doc_id", "text")
 
 
 # --- C4-style sub-document chunk dedup --------------------------------------------
@@ -1641,6 +1654,8 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything decimal-exact or integer, so the card is bit-reproducible."""
     from ..operators.text import word_shingles
 
+    # r12 A/B: _docs_spread measured neutral here (the heavy shingle leg
+    # is spread inside word_shingles already) - plain scan kept.
     d = _docs(spark, sf_dir)
     base = d.select(
         "doc_id",
@@ -1949,7 +1964,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, no quadratic join (operators/text.py::duplicated_spans)."""
     from ..operators.text import duplicated_spans
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     return duplicated_spans(d, "doc_id", "text", k=_SPAN_K).select(
         "doc_id",
         F.col("span_start").cast("int").alias("span_start"),
@@ -1998,6 +2013,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange computes the shingle pipeline once."""
     from ..operators.text import word_shingles
 
+    # r12 A/B: _docs_spread measured neutral here (word_shingles spreads
+    # the shingle pipeline itself) - plain scan kept.
     d = _docs(spark, sf_dir)
     sh = word_shingles(d, "doc_id", "text", 5)
     ss = (
@@ -2319,7 +2336,7 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     clean = (
         d.select(
             "doc_id",
