@@ -408,14 +408,38 @@ def simhash_hamming_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("_fp").alias("_fp_b"), "band", "band_key"
     )
+    joined = a.join(b, ["band", "band_key"]).filter(F.col("id_a") < F.col("id_b"))
+    xor = F.col("_fp_a").bitwiseXOR(F.col("_fp_b"))
+    dist = F.bit_count(xor).cast("int")
+    if max_bucket is None:
+        # Single-shuffle candidate tier (r13, guide §2.4 remove shuffles
+        # outright): a pair colliding in several bands used to be deduped
+        # by a `.distinct()` — a SECOND full exchange of every candidate
+        # row. But band-t agreement is a pure row-local function of the
+        # two fingerprints (the xor's band-t window is all-zero), so each
+        # pair can instead be emitted exactly once FROM ITS LOWEST
+        # AGREEING BAND: keep the join row only when no earlier band's
+        # xor window is zero. Same verify, same output rows, one exchange
+        # fewer at any scale. (The capped path below keeps the distinct:
+        # _drop_hot_buckets can remove a pair's lowest agreeing band, so
+        # the row-local rule would change WHICH capped pairs survive.)
+        no_earlier = F.lit(True)
+        first_band = F.when(F.col("band") == 0, F.lit(True))
+        for t in range(1, bands):
+            prev_window_nonzero = (
+                F.shiftright(xor, (t - 1) * width).bitwiseAND(F.lit(mask)) != 0
+            )
+            no_earlier = no_earlier & prev_window_nonzero
+            first_band = first_band.when(F.col("band") == t, no_earlier)
+        return (
+            joined.filter(first_band & (dist <= max_dist))
+            .select("id_a", "id_b", dist.alias("hamming_dist"))
+        )
     cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
         # a pair can collide in several bands — dedup before the verify
-        .select("id_a", "id_b", "_fp_a", "_fp_b")
+        joined.select("id_a", "id_b", "_fp_a", "_fp_b")
         .distinct()
     )
-    dist = F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b"))).cast("int")
     return (
         cand.withColumn("hamming_dist", dist)
         .filter(F.col("hamming_dist") <= max_dist)

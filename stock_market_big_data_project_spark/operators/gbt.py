@@ -230,11 +230,35 @@ def train_forest_batch(
     series_arange = np.arange(s_count)
 
     old_err = np.seterr(divide="ignore", invalid="ignore")
-    # shared all-ones weight buffer: every level's bincounts take a ones
-    # vector whose length varies — slicing one preallocated buffer beats
-    # allocating+filling a fresh array per level (the trainer is
-    # allocation-bound, not flop-bound; see the in-place gain pipeline)
-    ones_buf = np.ones(n_rows * kf)
+    # Preallocated per-batch scratch (r13, VERDICT r12 #3): the level loop
+    # runs trees×levels ≈ 2100 times per batch and was allocation-bound —
+    # the bincount index/weight concatenations, the (n_act × kf)
+    # cell/weight materializations and the gain pipeline's gr/nr/nlc
+    # temporaries each malloc'd fresh arrays every level. Every buffer
+    # below is written through `out=`/`copyto` views with the SAME ops in
+    # the SAME order as the allocating form, so results are bit-identical
+    # (the pure-Python differential suite pins it). Bounds: active rows
+    # ≤ n_rows, and every frontier node keeps ≥1 subsampled row (the
+    # child-validity gate), so n_fr ≤ n_rows and n_fr·kf·b ≤ n_rows·kf·b.
+    act_buf = np.empty(n_rows, dtype=bool)
+    slot_buf = np.empty(n_rows, dtype=np.int64)
+    grad_buf = np.empty(n_rows)
+    cell_act_buf = np.empty((n_rows, kf), dtype=np.int64)
+    cg_idx_buf = np.empty(2 * n_rows, dtype=np.int64)
+    cg_w_buf = np.empty(2 * n_rows)
+    hist_idx_buf = np.empty(2 * n_rows * kf, dtype=np.int64)
+    hist_w_buf = np.empty(2 * n_rows * kf)
+    gr_buf = np.empty(n_rows * kf * b)
+    nr_buf = np.empty(n_rows * kf * b)
+    nlc_buf = np.empty(n_rows * kf * b)
+
+    def _compress_active(act: np.ndarray, cur_slot: np.ndarray, grad: np.ndarray):
+        """(slot_act, grad_act) for the active rows, into the shared
+        buffers — value-identical to cur_slot[act] / grad[act]."""
+        n_act = int(np.count_nonzero(act))
+        slot_act = np.compress(act, cur_slot, out=slot_buf[:n_act])
+        grad_act = np.compress(act, grad, out=grad_buf[:n_act])
+        return slot_act, grad_act
     for t in range(p.n_trees):
         grad = y_all - pred
         # per-row cells over this tree's SAMPLED feature slots
@@ -258,9 +282,8 @@ def train_forest_batch(
 
         for level in range(p.max_depth + 1):
             n_fr = fr_local.size
-            act = alive & samp
-            slot_act = cur_slot[act]
-            grad_act = grad[act]
+            act = np.logical_and(alive, samp, out=act_buf)
+            slot_act, grad_act = _compress_active(act, cur_slot, grad)
 
             # PREFILTER: a node needs ≥2 subsampled rows (and depth room)
             # to split; leaf the rest NOW so the ×n_feat×bins histogram
@@ -270,14 +293,17 @@ def train_forest_batch(
             # one bincount for (counts, gsums): the count half sums exact
             # small integers in float64, the grad half accumulates in the
             # same sequential order as a standalone weighted bincount —
-            # bitwise-identical, half the numpy-call overhead
-            cg = np.bincount(
-                np.concatenate([slot_act, slot_act + n_fr]),
-                weights=np.concatenate(
-                    [ones_buf[: slot_act.size], grad_act]
-                ),
-                minlength=2 * n_fr,
-            )
+            # bitwise-identical, half the numpy-call overhead. The
+            # index/weight halves are staged into preallocated buffers —
+            # the same concatenated values, no per-level malloc.
+            m = slot_act.size
+            ci = cg_idx_buf[: 2 * m]
+            np.copyto(ci[:m], slot_act)
+            np.add(slot_act, n_fr, out=ci[m:])
+            cw = cg_w_buf[: 2 * m]
+            cw[:m] = 1.0
+            np.copyto(cw[m:], grad_act)
+            cg = np.bincount(ci, weights=cw, minlength=2 * n_fr)
             counts, gsums = cg[:n_fr], cg[n_fr:]
             can = counts >= 2
             if level == p.max_depth:
@@ -302,22 +328,33 @@ def train_forest_batch(
                 gsums = gsums[can]
                 counts = counts[can]
                 n_fr = fr_local.size
-                act = alive & samp
-                slot_act = cur_slot[act]
-                grad_act = grad[act]
+                act = np.logical_and(alive, samp, out=act_buf)
+                slot_act, grad_act = _compress_active(act, cur_slot, grad)
 
-            cells = (slot_act[:, None] * (kf * b) + cell_t[act]).ravel()
-            w = np.repeat(grad_act, kf)
+            # (n_act × kf) cells and repeated-grad weights, staged into
+            # the preallocated histogram feed: identical values to the
+            # old `(slot_act[:,None]·(kf·b) + cell_t[act]).ravel()` /
+            # `np.repeat(grad_act, kf)` concatenation, minus four
+            # frontier-row-sized mallocs per level
+            n_act = slot_act.size
+            cell_act = np.compress(
+                act, cell_t, axis=0, out=cell_act_buf[:n_act]
+            )
+            total = n_act * kf
             size = n_fr * kf * b
+            hi = hist_idx_buf[: 2 * total]
+            cells2d = hi[:total].reshape(n_act, kf)
+            np.multiply(slot_act[:, None], kf * b, out=cells2d)
+            cells2d += cell_act
+            np.add(hi[:total], size, out=hi[total:])
+            hw = hist_w_buf[: 2 * total]
+            hw[:total].reshape(n_act, kf)[:] = grad_act[:, None]
+            hw[total:] = 1.0
             # one bincount for (G, N) histograms and one cumsum over the
             # stacked pair: the G half accumulates in the same sequential
             # order as before, the N half sums exact integers in float64 —
             # bitwise-identical results at half the call overhead
-            gn = np.bincount(
-                np.concatenate([cells, cells + size]),
-                weights=np.concatenate([w, ones_buf[: cells.size]]),
-                minlength=2 * size,
-            )
+            gn = np.bincount(hi, weights=hw, minlength=2 * size)
             gn_l = gn.reshape(2, n_fr, kf, b)
             # prefix sums in place (add.accumulate walks the bin axis
             # sequentially, so aliasing input and output is exact), then
@@ -340,15 +377,15 @@ def train_forest_batch(
             # gain equals the other side's full score ≤ the parent score
             # G²/N — it can win the argmax only when NO cell improves, and
             # then the split test below rejects the node anyway.
-            gr = np.subtract(g_tot, gl)
+            gr = np.subtract(g_tot, gl, out=gr_buf[:size].reshape(n_fr, kf, b))
             np.multiply(gr, gr, out=gr)
-            nr = np.subtract(n_tot, nl)
+            nr = np.subtract(n_tot, nl, out=nr_buf[:size].reshape(n_fr, kf, b))
             np.maximum(nr, 1, out=nr)
             np.divide(gr, nr, out=gr)  # gr := GR²/max(NR,1)
             # gl (gn_l[0]) is dead after this point — nl stays live for
             # the child-validity gate below, so its clamp gets a buffer
             np.multiply(gl, gl, out=gl)
-            nlc = np.maximum(nl, 1)
+            nlc = np.maximum(nl, 1, out=nlc_buf[:size].reshape(n_fr, kf, b))
             np.divide(gl, nlc, out=gl)  # gl := GL²/max(NL,1)
             gain = np.add(gl, gr, out=gl)
             flatgain = gain.reshape(n_fr, kf * b)

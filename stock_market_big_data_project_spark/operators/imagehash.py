@@ -89,6 +89,11 @@ def _grid_cells(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     sums = np.maximum(
         np.bincount(cell, minlength=_GRID_W * _GRID_H), 1
     )
+    # the cached arrays are shared across every call of this shape — an
+    # in-place write anywhere downstream would corrupt all later hashes,
+    # so hand them out read-only (ADVICE r12)
+    cell.flags.writeable = False
+    sums.flags.writeable = False
     return cell, sums
 
 

@@ -220,7 +220,11 @@ def kmeans_train_exact(
     # the per-round stats and the final timed assignment otherwise run
     # on ONE task. Decimal sums + in-aggregate 9dp rounding make every
     # round partition-order-invariant, so results are unchanged.
-    df = df.repartition(spark.sparkContext.defaultParallelism)
+    # r13 (VERDICT r12 #2): size-conditional via the byte guard — a
+    # multi-split scan at real scale skips the extra full-row exchange.
+    from .spread import rebalance_for_compute
+
+    df = rebalance_for_compute(df)
     cents = [tuple(c) for c in hyperplanes(k, n_dims, prefix="ivf:")]
     for _ in range(n_iter):
         stats = (

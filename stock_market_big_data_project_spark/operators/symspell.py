@@ -43,6 +43,10 @@ def deletion_keys(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
     dedup is per-row compute — no extra shuffle or aggregate — and the
     surviving pair set is provably identical (the candidate distinct
     already ignored multiplicity)."""
+    # backtick-quote the interpolated identifier (ADVICE r12): a column
+    # name with spaces/reserved words would otherwise break — or silently
+    # change — the SQL expression text
+    n = f"`{name_col}`"
     return df.select(
         F.col(id_col).alias("_id"),
         F.col(name_col).alias("_name"),
@@ -52,7 +56,7 @@ def deletion_keys(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
                     "transform(sequence(0, length({n})), i -> "
                     "CASE WHEN i = 0 THEN {n} "
                     "ELSE concat(substring({n}, 1, i - 1), "
-                    "substring({n}, i + 1)) END)".format(n=name_col)
+                    "substring({n}, i + 1)) END)".format(n=n)
                 )
             )
         ).alias("_key"),
@@ -81,13 +85,17 @@ def _fuzzy_join(
     # single-file scan (one task) the whole neighborhood build runs
     # serial. The round-robin moves only the tiny pre-expansion rows —
     # the expanded keys were headed into the join exchange anyway.
-    par = left.sparkSession.sparkContext.defaultParallelism
-    lk = keys_fn(left.repartition(par), left_id, left_name).withColumnsRenamed(
-        {"_id": "_lid", "_name": "_lname"}
-    )
-    rk = keys_fn(right.repartition(par), right_id, right_name).withColumnsRenamed(
-        {"_id": "_rid", "_name": "_rname"}
-    )
+    # r13 (VERDICT r12 #2): size-conditional via the byte guard — a
+    # multi-split scan at real scale skips the extra pre-expansion
+    # exchange.
+    from .spread import rebalance_for_compute
+
+    lk = keys_fn(
+        rebalance_for_compute(left), left_id, left_name
+    ).withColumnsRenamed({"_id": "_lid", "_name": "_lname"})
+    rk = keys_fn(
+        rebalance_for_compute(right), right_id, right_name
+    ).withColumnsRenamed({"_id": "_rid", "_name": "_rname"})
     # SHUFFLE_HASH, not broadcast (guide §3.1): both sides are the INPUT
     # table × ~(len+1) (k=1) or ~len²/2 (k=2) generated keys — there is no
     # "small side" at any real scale, but Catalyst's post-Generate size
@@ -100,6 +108,15 @@ def _fuzzy_join(
     # spreads the dedup + verify across the cluster. No sort needed —
     # deletion keys are join-once, aggregate-after (guide §3.1 shuffled
     # hash beats sort-merge when per-partition builds fit).
+    # Skew caveat (ADVICE r12): a hinted SHJ's build partition is
+    # non-spillable, and Spark's AQE skew mitigation does not split
+    # hinted inner SHJ partitions on every 3.5/4.x path — a pathological
+    # key distribution (many short names collapsing onto one deletion
+    # key) could concentrate one build partition. Deletion keys carry
+    # ~len(name) entropy so real collisions are bounded by true fuzzy
+    # blocks; if a deployment hits such a hot key, drop the hint and let
+    # AQE fall back to SMJ rather than salting the completeness-bearing
+    # blocking key.
     cand = (
         lk.join(rk.hint("shuffle_hash"), "_key")
         .select("_lid", "_lname", "_rid", "_rname")

@@ -129,7 +129,12 @@ def video_near_dup_pairs(
     (id_a, id_b, n_frame_matches, min_hamming), id_a < id_b."""
     from .dedup import simhash_hamming_pairs
 
-    fp = hashes.select("fid", "dhash")
+    # r13 (guide §8): materialize the 16-byte-per-keyframe hash proxy
+    # once — the broadcast self-join otherwise re-runs the y4m decode +
+    # keyframe dHash Arrow chain for both sides (no ReuseExchange across
+    # a BroadcastExchange). Lazy: executes inside the timed region.
+    # Measured at sf0.1: 1.84 s → 1.34 s (−28%), same rows.
+    fp = hashes.select("fid", "dhash").localCheckpoint(eager=False)
     pairs = simhash_hamming_pairs(
         fp, "fid", fp_col="dhash", bits=64, bands=4, max_dist=max_dist
     )

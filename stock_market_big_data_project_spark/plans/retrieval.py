@@ -648,9 +648,12 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: spread the single-split scan before the positional explode +
     # per-doc rollup (guide §2.5 unsplittable input) — the 270k-row word
     # stream, the vocab join and the order-preserving collect_list all
-    # inherit the partitioning.
-    sc = spark.sparkContext
-    wp = d.repartition(sc.defaultParallelism).select(
+    # inherit the partitioning. r13 (VERDICT r12 #2): size-conditional
+    # via the byte guard — a multi-split scan at real scale skips the
+    # extra full-row exchange.
+    from ..operators.spread import rebalance_for_compute
+
+    wp = rebalance_for_compute(d).select(
         "doc_id",
         F.posexplode(tokens(F.col("text"))).alias("pos", "word"),
     )

@@ -44,16 +44,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_docs + round-robin to the session parallelism (r12, guide §2.5
-    "one huge unsplittable file ... repartition immediately after the
-    read" / §2.6 idle capacity): for queries whose FIRST stage is a
-    compute-heavy per-row expansion (tokenize/shingle/score), a
-    single-split scan otherwise serializes that stage on one task. Used
-    only where the A/B measured a win — trivial first stages (e.g. one
-    md5 aggregate) keep the plain scan, where the extra exchange costs
-    more than it spreads."""
-    sc = spark.sparkContext
-    return _docs(spark, sf_dir).repartition(sc.defaultParallelism)
+    """_docs + SIZE-CONDITIONAL round-robin to the session parallelism
+    (r12, guide §2.5 "one huge unsplittable file ... repartition
+    immediately after the read" / §2.6 idle capacity): for queries whose
+    FIRST stage is a compute-heavy per-row expansion
+    (tokenize/shingle/score), a single-split scan otherwise serializes
+    that stage on one task. Used only where the A/B measured a win —
+    trivial first stages (e.g. one md5 aggregate) keep the plain scan,
+    where the extra exchange costs more than it spreads. r13 (VERDICT
+    r12 #2): routed through `rebalance_for_compute`'s byte guard, so on
+    a scan already yielding ≥ parallelism max-sized splits this is a
+    no-op — the full-row shuffle only fires for inputs too small to
+    parallelize on their own."""
+    from ..operators.spread import rebalance_for_compute
+
+    return rebalance_for_compute(_docs(spark, sf_dir))
 
 
 # Shared oracle CTE: whitespace tokens with 1-based positions (the same

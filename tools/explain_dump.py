@@ -3,8 +3,11 @@
 Usage: python tools/explain_dump.py <suffix> <query> [query ...]
        python tools/explain_dump.py before symspell_fuzzy_join_dist2 ...
 
-Writes plans/r12/<query>_<suffix>.txt for each name (driver or local
-tier), at $SPARK_GRAFT_SF_DIR (default sf0.1). AQE stays ON (the shipped
+Writes plans/$SPARK_GRAFT_ROUND/<query>_<suffix>.txt for each name
+(driver or local tier), at $SPARK_GRAFT_SF_DIR (default sf0.1). The
+round directory comes from $SPARK_GRAFT_ROUND (default r13) so a new
+optimization round cannot silently overwrite the previous round's
+committed plan artifacts (ADVICE r12). AQE stays ON (the shipped
 configuration): the dump records the initial adaptive plan — join
 strategies, exchanges, pushed filters — exactly what the optimization
 round's before/after claims are about. Queries that execute streams or
@@ -28,7 +31,9 @@ from stock_market_big_data_project_spark.plans.audit import EAGER_ITERATIVE
 from stock_market_big_data_project_spark.session import get_spark
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_ROUND", "r13"),
 )
 
 
