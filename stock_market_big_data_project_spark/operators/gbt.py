@@ -206,7 +206,7 @@ def train_forest_batch(
     row_idx = np.arange(n_rows)[:, None]
 
     kf = max(1, int(n_feat * p.colsample))
-    slot_off = np.arange(kf)[None, :] * b
+    slot_idx = np.arange(kf)[None, :]
     in_sample = np.zeros((p.n_trees, n_rows), dtype=bool)
     # ft_map[t, s] = the kf features sampled for (series s, tree t); the
     # histograms are laid out over SAMPLED feature slots only, so the
@@ -244,6 +244,7 @@ def train_forest_batch(
     slot_buf = np.empty(n_rows, dtype=np.int64)
     grad_buf = np.empty(n_rows)
     cell_act_buf = np.empty((n_rows, kf), dtype=np.int64)
+    code_term_buf = np.empty((n_rows, kf), dtype=np.int64)
     cg_idx_buf = np.empty(2 * n_rows, dtype=np.int64)
     cg_w_buf = np.empty(2 * n_rows)
     hist_idx_buf = np.empty(2 * n_rows * kf, dtype=np.int64)
@@ -261,9 +262,9 @@ def train_forest_batch(
         return slot_act, grad_act
     for t in range(p.n_trees):
         grad = y_all - pred
-        # per-row cells over this tree's SAMPLED feature slots
+        # per-row bin codes over this tree's SAMPLED feature slots
         ft_rows = ft_map[t][row_series]  # (n_rows, kf) global feature ids
-        cell_t = codes[row_idx, ft_rows] + slot_off
+        code_t = codes[row_idx, ft_rows]
         tfeat = np.zeros(cap, dtype=np.int64)
         tthr = np.zeros(cap)
         tleft = np.full(cap, -1, dtype=np.int64)
@@ -332,65 +333,81 @@ def train_forest_batch(
                 slot_act, grad_act = _compress_active(act, cur_slot, grad)
 
             # (n_act × kf) cells and repeated-grad weights, staged into
-            # the preallocated histogram feed: identical values to the
-            # old `(slot_act[:,None]·(kf·b) + cell_t[act]).ravel()` /
-            # `np.repeat(grad_act, kf)` concatenation, minus four
-            # frontier-row-sized mallocs per level
+            # the preallocated histogram feed: identical values per cell
+            # to the old node-major `(slot·(kf·b) + slot_feat·b + code)`
+            # addressing, minus four frontier-row-sized mallocs per level.
+            # r13 layout change: the histogram is BIN-MAJOR
+            # (bin, node, bin-slot) instead of node-major — same bincount
+            # input ORDER (row order), so every per-cell sum is
+            # bit-identical; the bin-prefix pass below then runs on
+            # contiguous (n_fr·kf) slabs instead of 16-element serial
+            # rows (the cumsum was 26% of the trainer, latency-bound).
             n_act = slot_act.size
-            cell_act = np.compress(
-                act, cell_t, axis=0, out=cell_act_buf[:n_act]
+            code_act = np.compress(
+                act, code_t, axis=0, out=cell_act_buf[:n_act]
             )
             total = n_act * kf
             size = n_fr * kf * b
             hi = hist_idx_buf[: 2 * total]
             cells2d = hi[:total].reshape(n_act, kf)
-            np.multiply(slot_act[:, None], kf * b, out=cells2d)
-            cells2d += cell_act
+            np.multiply(slot_act[:, None], kf, out=cells2d)
+            cells2d += slot_idx
+            code_term = np.multiply(
+                code_act, n_fr * kf, out=code_term_buf[:n_act]
+            )
+            cells2d += code_term
             np.add(hi[:total], size, out=hi[total:])
             hw = hist_w_buf[: 2 * total]
             hw[:total].reshape(n_act, kf)[:] = grad_act[:, None]
             hw[total:] = 1.0
-            # one bincount for (G, N) histograms and one cumsum over the
-            # stacked pair: the G half accumulates in the same sequential
-            # order as before, the N half sums exact integers in float64 —
-            # bitwise-identical results at half the call overhead
+            # one bincount for (G, N) histograms: the G half accumulates
+            # in the same sequential row order as before, the N half sums
+            # exact integers in float64 — bitwise-identical results at
+            # half the call overhead
             gn = np.bincount(hi, weights=hw, minlength=2 * size)
-            gn_l = gn.reshape(2, n_fr, kf, b)
-            # prefix sums in place (add.accumulate walks the bin axis
-            # sequentially, so aliasing input and output is exact), then
-            # the gain assembled with out= ops — SAME expressions in the
-            # SAME order as the allocating form (bitwise-identical; the
-            # differential suite pins it), minus ~6 frontier-sized
-            # temporaries per level. The gain search is the trainer's
-            # measured hotspot and it is allocation-bound, not flop-bound
-            # (profiled r10: gain temporaries ≈ 2× the cumsum cost, 10×
-            # the bincount cost at deep-level frontier shapes).
-            np.cumsum(gn_l, axis=3, out=gn_l)
-            gl, nl = gn_l[0], gn_l[1]
+            gn_l = gn.reshape(2, b, n_fr, kf)
+            # bin-prefix sums in place: prefix[j] = prefix[j-1] + x[j]
+            # walked j-ascending is the SAME left-to-right per-cell
+            # addition chain as the old np.cumsum(axis=bins) — only the
+            # loop structure changed (15 vectorized contiguous adds
+            # instead of 2·n_fr·kf serial 16-element rows), so every
+            # prefix value is bit-identical (the differential suite pins
+            # it).
+            for j in range(1, b):
+                gn_l[:, j] += gn_l[:, j - 1]
+            gl, nl = gn_l[0], gn_l[1]  # (b, n_fr, kf)
             # node totals come from the FLAT row-order sums above (one
             # canonical summation order for GR, the parent score, and the
             # leaf values — not the per-slot bin-grouped order)
-            g_tot = gsums[:, None, None]
-            n_tot = counts[:, None, None]
+            g_tot = gsums[None, :, None]
+            n_tot = counts[None, :, None]
             # Empty-side cells (NL=0 or NR=0) are clamped, not masked: the
             # empty side's G is exactly 0, so its term is 0 and the cell's
             # gain equals the other side's full score ≤ the parent score
             # G²/N — it can win the argmax only when NO cell improves, and
             # then the split test below rejects the node anyway.
-            gr = np.subtract(g_tot, gl, out=gr_buf[:size].reshape(n_fr, kf, b))
+            gr = np.subtract(g_tot, gl, out=gr_buf[:size].reshape(b, n_fr, kf))
             np.multiply(gr, gr, out=gr)
-            nr = np.subtract(n_tot, nl, out=nr_buf[:size].reshape(n_fr, kf, b))
+            nr = np.subtract(n_tot, nl, out=nr_buf[:size].reshape(b, n_fr, kf))
             np.maximum(nr, 1, out=nr)
             np.divide(gr, nr, out=gr)  # gr := GR²/max(NR,1)
             # gl (gn_l[0]) is dead after this point — nl stays live for
             # the child-validity gate below, so its clamp gets a buffer
             np.multiply(gl, gl, out=gl)
-            nlc = np.maximum(nl, 1, out=nlc_buf[:size].reshape(n_fr, kf, b))
+            nlc = np.maximum(nl, 1, out=nlc_buf[:size].reshape(b, n_fr, kf))
             np.divide(gl, nlc, out=gl)  # gl := GL²/max(NL,1)
-            gain = np.add(gl, gr, out=gl)
-            flatgain = gain.reshape(n_fr, kf * b)
+            gain = np.add(gl, gr, out=gl)  # (b, n_fr, kf)
+            # argmax must keep the original (bin-slot, bin) flat order per
+            # node for the first-index tie-break: one transposed copy into
+            # the (dead) nr buffer restores it — same comparison sequence,
+            # same winner, same index values as the node-major form
+            flat3 = nr_buf[:size].reshape(n_fr, kf, b)
+            np.copyto(flat3, gain.transpose(1, 2, 0))
+            flatgain = flat3.reshape(n_fr, kf * b)
             best = np.argmax(flatgain, axis=1)
             ar = np.arange(n_fr)
+            bslot = best // b
+            bb = best % b
             # Child validity is part of the SPLIT RULE, not just the clamp
             # argument: the full-range bin's GL is the bin-grouped sum
             # while the parent G is the flat row-order sum, so their ulp
@@ -399,16 +416,14 @@ def train_forest_batch(
             # "win" a split that routes every row one way (empty child →
             # 0/0 NaN leaf). A node therefore splits only when the best
             # cell ALSO keeps ≥1 subsampled row on each side.
-            nl_flat = nl.reshape(n_fr, kf * b)
-            nl_best = nl_flat[ar, best]
+            # cell (node i, slot s, bin j) lives at nl[j, i, s]
+            nl_best = nl[bb, ar, bslot]
             split = (
                 (flatgain[ar, best] - gsums * gsums / counts > 1e-12)
                 & (nl_best >= 1)
                 & (counts - nl_best >= 1)
             )
-            bslot = best // b
             bf = ft_map[t][fr_series, bslot]  # global feature id
-            bb = best % b
 
             # leaves: value = mean residual of the node's subsampled rows
             if (~split).any():
