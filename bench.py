@@ -546,9 +546,14 @@ def main() -> None:
     # spark.sql.shuffle.partitions — size them to state volume, not to the
     # batch-side shuffle width: this stream keeps ~5 keys × hours of tiny
     # window state, where 32 store instances are pure per-task overhead
-    # (measured 2.2 s @ 32 → 0.96 s @ 8 for the same replay).
+    # (measured 2.2 s @ 32 → 0.96 s @ 8 for the same replay). r13 re-sweep
+    # (VERDICT r12 #9), interleaved best-of-2 per point at sf0.1:
+    # {4: 1.55, 8: 1.75, 16: 1.80} s — monotone in store instances for a
+    # 5-key state, so 4 (≈ key cardinality) replaces 8. The sizing rule
+    # (state partitions ≈ distinct-key cardinality, never core count)
+    # lives in SCALE.md.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     for r in range(N_RUNS):
         with tempfile.TemporaryDirectory() as td:
             shutil.copy(f"{sf_dir}/events.parquet", f"{td}/part-000.parquet")

@@ -204,3 +204,55 @@ def label_propagation_oracle_sql(edges_cte: str, rounds: int) -> str:
     {steps_sql}
     SELECT node, label FROM {prev}
     """
+
+
+def wedge_pairs(
+    op: DataFrame,
+    node_col: str,
+    part_col: str,
+    hot_part_threshold: int | None = None,
+    n_salts: int = 8,
+) -> DataFrame:
+    """(c1, c2, shared): node pairs sharing ≥1 part, with the shared-part
+    count — the wedge aggregate of bipartite butterfly counting (one
+    part-keyed self-join of the incidence list; wedge space is
+    Σ_p C(deg(p), 2)).
+
+    ``hot_part_threshold`` (r13, guide §2.5 skew — OFF by default) wires
+    the degree-skew cut as a SALTED plan, not a drop: parts with degree
+    above the threshold are self-joined on (part, salt) — the left side
+    salted by hash(c1) % n_salts, the right side exploded n_salts ways —
+    so each hub part's quadratic bucket splits across n_salts partitions
+    while every (c1, c2) pair still meets exactly once (c1's salt picks
+    exactly one replica of c2). Cold parts take the plain self-join; the
+    shared counts merge in the (c1, c2) aggregate. Output is provably
+    row-identical to the unsalted join (tests/test_skew.py); the cost is
+    a degree aggregate + the hot/cold split joins — measured +0.55 s at
+    sf0.1 with an EMPTY hot set, so the threshold should be wired only
+    on corpora whose part-degree tail is real (SCALE.md records the
+    rule; AQE's skew-join split cannot divide a single hub key, which is
+    exactly what the salt does)."""
+    a = op.withColumnsRenamed({node_col: "c1"})
+    b = op.withColumnsRenamed({node_col: "c2"})
+    p = part_col
+    if hot_part_threshold is None:
+        wpairs = a.join(b, p)
+    else:
+        deg = op.groupBy(p).agg(F.count(F.lit(1)).alias("_d"))
+        hot = deg.filter(F.col("_d") > hot_part_threshold).select(p)
+        a_hot = a.join(F.broadcast(hot), p)
+        b_hot = b.join(F.broadcast(hot), p)
+        a_cold = a.join(F.broadcast(hot), p, "left_anti")
+        b_cold = b.join(F.broadcast(hot), p, "left_anti")
+        sa = a_hot.withColumn("_s", F.pmod(F.xxhash64("c1"), F.lit(n_salts)))
+        sb = b_hot.withColumn(
+            "_s", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        ).withColumn("_s", F.col("_s").cast("bigint"))
+        wpairs = a_cold.join(b_cold, p).unionByName(
+            sa.join(sb, [p, "_s"]).drop("_s")
+        )
+    return (
+        wpairs.filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )

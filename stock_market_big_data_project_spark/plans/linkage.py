@@ -370,21 +370,31 @@ def bipartite_butterfly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, exactly the stop-shingle rule the Jaccard dedup chain
     uses) bounds the wedge blow-up; the fixture's part degrees are
     single-digit so no cut is applied here."""
+    from ..operators.graph import wedge_pairs
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     op = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        # r13 (guide §3.3 plan truncation): the wedge self-join's two
+        # sides each recomputed the join+distinct incidence pipeline
+        # (runtime exchange reuse did not dedup them — same finding as
+        # the r13 report-query checkpoints). Materialize the 16-byte
+        # (c, p) incidence list once inside the timed region. Measured
+        # at sf0.1 (4-round alternating A/B, result-identical):
+        # 2.37 s → 1.68 s.
+        .localCheckpoint(eager=False)
     )
-    a = op.withColumnsRenamed({"c": "c1"})
-    b = op.withColumnsRenamed({"c": "c2"})
-    w = (
-        a.join(b, "p")
-        .filter(F.col("c1") < F.col("c2"))
-        .groupBy("c1", "c2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    # hot_part_threshold/salts are OFF here: the fixture's part degrees
+    # are single-digit, and the r13 A/B measured the hot/cold split
+    # machinery at +0.55 s with an EMPTY hot set (degree agg + two
+    # anti/semi joins + union breadth). The salted path exists for
+    # deployments with hub parts — tests/test_skew.py proves
+    # result-identity on a skewed fixture; SCALE.md records the
+    # decision rule.
+    w = wedge_pairs(op, "c", "p")
     return w.agg(
         F.count(F.lit(1)).alias("n_copurchase_pairs"),
         F.sum("shared").alias("n_wedges"),

@@ -268,3 +268,26 @@ def test_n_salts_zero_degenerates_row_identical(spark, skewed):
     routed_agg = two_stage_agg(big, ["k"], ["v"], n_salts=0).sort("k")
     assert routed_agg.collect() == plain_agg
     assert two_stage_agg(big, ["k"], ["v"], n_salts=8).sort("k").collect() == plain_agg
+
+
+def test_wedge_pairs_salted_matches_plain(spark):
+    """wedge_pairs' hot-part salt (r13) is a pure plan rewrite: pair
+    counts identical to the unsalted self-join on a hub-part fixture
+    (one part incident to half the nodes)."""
+    from stock_market_big_data_project_spark.operators.graph import wedge_pairs
+
+    # 600 incidences over 120 nodes x 40 parts; part 0 is a hub with
+    # ~300 incidences (half the list), the rest single-digit degrees
+    op = spark.range(600).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(1 + F.col("id") % 39)
+        .alias("p"),
+        (F.col("id") % 120).alias("c"),
+    ).distinct()
+    plain = wedge_pairs(op, "c", "p")
+    salted = wedge_pairs(op, "c", "p", hot_part_threshold=10, n_salts=4)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # the hot leg really fired: the hub part's degree exceeds the cut
+    deg = op.groupBy("p").count().filter(F.col("count") > 10).count()
+    assert deg >= 1
