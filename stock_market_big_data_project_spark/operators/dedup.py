@@ -273,7 +273,21 @@ def lsh_candidate_pairs(
     `band_bucket_histogram` makes the tail visible so the cap can be
     chosen from data.
     """
-    banded = minhash_banded(sig, id_col, bands, rows)
+    # r13 (guide §3.3 plan truncation / §8 decide with small rows): the
+    # a/b sides below are identical subtrees, but runtime exchange reuse
+    # does not dedup them — the whole shingle→signature→banding pipeline
+    # executed twice. The banded signature is the SMALL proxy
+    # (bands rows × 16 bytes per doc), so one lazy materialization
+    # inside the timed region is strictly cheaper than the second
+    # pipeline pass at any scale. Measured at sf0.1 (4-round alternating
+    # A/B, row-identical): dedup_minhash_lsh 0.585 → 0.457 s (−22%).
+    # (The same probe on the ngram-Jaccard chain checkpointed the FULL
+    # shingle stream — the corpus-sized expansion, not a proxy — and
+    # measured +44%; that chain keeps its unmaterialized form, see
+    # ngram_jaccard_pairs.)
+    banded = minhash_banded(sig, id_col, bands, rows).localCheckpoint(
+        eager=False
+    )
     if max_bucket is not None:
         banded = _drop_hot_buckets(banded, ["band", "band_hash"], max_bucket)
     a = banded.alias("a")

@@ -857,7 +857,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     sig = minhash_signatures(d, "doc_id", "text", n=3, k=16)
-    banded = minhash_banded(sig, "doc_id", bands=4, rows=4)
+    # r13 (guide §3.3 plan truncation): the full and delta sides of the
+    # incremental probe join both derive from `banded`, and runtime
+    # exchange reuse does not dedup them — the shingle→signature→banding
+    # pipeline executed twice. One lazy materialization of the small
+    # banded proxy (bands rows × 16 bytes per doc) inside the timed
+    # region; 0.83 → 0.64 s at sf0.1 (4-round alternating A/B,
+    # row-identical). A shingle-leg checkpoint on top measured neutral
+    # and was not taken.
+    banded = minhash_banded(sig, "doc_id", bands=4, rows=4).localCheckpoint(
+        eager=False
+    )
     delta = banded.filter(F.col("doc_id") % 5 == 4)
     cand = incremental_lsh_candidates(banded, delta, "doc_id")
     sh = word_shingles(d, "doc_id", "text", n=3)

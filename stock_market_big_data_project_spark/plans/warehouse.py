@@ -189,7 +189,17 @@ def copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row order-count scalar (tiny-cross).  All ratios are the identical
     IEEE division on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # r13 (guide §3.3 plan truncation): `op` is consumed four times
+    # (order-count scalar, part support, both self-join sides) and
+    # runtime exchange reuse deduped none of them. One lazy
+    # materialization of the 16-byte (order, part) incidence list inside
+    # the timed region; 1.23 → 0.85 s at sf0.1 (4-round alternating A/B,
+    # row-identical).
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = op.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n")
     )
